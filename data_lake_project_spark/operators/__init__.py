@@ -1,0 +1,25 @@
+"""Operator library (SURVEY.md §2).
+
+Each module re-expresses one family of reference capabilities as a
+declarative DataFrame rewrite designed to survive a 100 TB scale-up:
+
+- ``asof``       — nearest-preceding-event association (J2,
+                   ``texteExtract.py:95-111``) via union + window,
+                   one shuffle, no join explosion.
+- ``interval``   — spatial/interval theta-join (J1,
+                   ``tableExtract.py:171-197``) via grid bucketing,
+                   no cross join.
+- ``dedup``      — exact + MinHash-LSH + SimHash + n-gram-Jaccard +
+                   embedding-cosine near-dup (north star).
+- ``similarity`` — brute-force and LSH-bucketed top-k cosine search.
+- ``text``       — tokenize / language-ID / quality score / numeric
+                   facts / fingerprints (north star + ``texteExtract``).
+- ``grid``       — OCR-box -> table-grid reconstruction
+                   (``tableExtract.py:112-200``) as applyInPandas.
+- ``deplot``     — chart-to-table linearized-string parser
+                   (``activity_test.py:99-112``) as native exprs.
+- ``textfacts``  — value/year/sign association
+                   (``texteExtract.py:95-129``) as native exprs.
+- ``keyword_scan`` — directional first-match page scan
+                   (``kpis_search.py:21-54``) as ordered filter+limit.
+"""

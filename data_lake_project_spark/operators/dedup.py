@@ -1,0 +1,253 @@
+"""Deduplication operators (north star).
+
+The reference deduplicates only implicitly (NMS over detection boxes,
+``tableExtract.py:145-161``); a training-data lake needs document
+dedup as a first-class operator family:
+
+- ``exact_dedup``        — hash-groupBy, keep first per content hash.
+- ``minhash_signatures`` / ``minhash_candidates`` — MinHash + LSH
+  banding over word shingles; candidate pairs via band-bucket
+  equi-join (never all-pairs).
+- ``jaccard_verify``     — exact n-gram Jaccard on candidate pairs.
+- ``simhash``            — bitwise majority fingerprint.
+- ``embedding_neardup``  — cosine near-dup, blocked to avoid O(n^2).
+
+Determinism: all hashing is built on ``md5`` of UTF-8 strings (same
+bytes-in/hex-out on any engine), so every operator here is
+oracle-checkable against DuckDB running the identical formula.
+
+Scale design: every stage is shuffle-bounded by (doc, shingle) or
+(band, signature) keys — no cross joins. At 100 TB the LSH band join
+is the only wide shuffle and its key space (band signatures) is
+high-cardinality and uniform by construction, which is exactly what
+a shuffle wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_lake_project_spark.functions import pround, tokens
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per distinct text (md5 content hash).
+
+    One shuffle on the 128-bit content hash; survivors carry the hash
+    for downstream lineage.
+    """
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        docs.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Distinct word k-gram shingles per document: (id, shingle).
+
+    Narrow transform (explode) + per-doc distinct.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    # Docs shorter than k words contribute their whole text as one shingle.
+    grams = F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per doc: for hash j, min over shingles of
+    ``md5(j || ':' || shingle)`` (lexicographic min of hex digests —
+    a valid min-wise hash family, identical on any md5-capable engine).
+
+    Output: (id, h, mh) — ``num_hashes`` rows per doc.
+    """
+    hashed = shingled.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
+        F.col("shingle"),
+    ).select(
+        id_col,
+        "h",
+        F.md5(F.concat_ws(":", F.col("h"), F.col("shingle"))).alias("hv"),
+    )
+    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("mh"))
+
+
+def minhash_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing an identical band of consecutive
+    minhashes become candidate pairs (id_a < id_b).
+
+    The band signature join is an equi-join on (band, bandsig) —
+    self-join on a high-cardinality key, never all-pairs.
+    """
+    bands = (
+        signatures.withColumn("band", F.floor(F.col("h") / band_size))
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "mh"))),
+                    lambda s: s.getField("mh"),
+                ),
+            ).alias("bandsig")
+        )
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band", "bandsig"
+    )
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "bandsig")
+    return (
+        a.join(b, on=["band", "bandsig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs only (the verify stage of
+    the MinHash pipeline). Shingle sets are collected per doc once,
+    then joined twice — candidates are few by LSH construction.
+    """
+    sets = shingled.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("shingle")).alias("sh")
+    )
+    out = (
+        candidates.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", pround(F.col("jaccard"), 3).alias("jaccard"))
+    )
+    return out
+
+
+def simhash16(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash over distinct word tokens.
+
+    Each token votes +-1 on 16 bit positions taken from the first 4
+    hex chars of ``md5(token)``; the fingerprint sets bit p when the
+    vote sum is positive. Pure integer arithmetic on md5 hex — engine
+    independent and oracle-checkable.
+    """
+    tok = docs.select(
+        id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tok = tok.withColumn("hex4", F.substring(F.md5("tok"), 1, 4))
+
+    pos = tok.select(
+        id_col,
+        "hex4",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"),
+    )
+    # nibble index = p / 4 (1-based into hex4), bit-in-nibble = p % 4
+    nib_char = F.substring(F.col("hex4"), (F.col("p") / 4).cast("int") + 1, 1)
+    nib_val = F.instr(F.lit("0123456789abcdef"), nib_char) - 1
+    bit = F.floor(nib_val / F.pow(F.lit(2), F.col("p") % 4).cast("long")) % 2
+    pos = pos.withColumn("vote", F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)))
+
+    votes = pos.groupBy(id_col, "p").agg(F.sum("vote").alias("s"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("p")).cast("long")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Cosine near-duplicate pairs within blocks.
+
+    Blocking (here: a label/cluster column; in production an IVF
+    coarse quantizer or LSH bucket) keeps the self-join quadratic only
+    within blocks. Dot/norm are computed JVM-side with
+    ``aggregate``/``zip_with`` on double-cast arrays.
+    """
+    v = emb.select(
+        F.col(id_col),
+        F.col(block_col).alias("__blk"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).withColumn(
+        "__norm",
+        F.sqrt(
+            F.aggregate(
+                "__v", F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__blk"),
+        F.col("__v").alias("va"),
+        F.col("__norm").alias("na"),
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__blk"),
+        F.col("__v").alias("vb"),
+        F.col("__norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", pround(F.col("cosine"), 4).alias("cosine"))
+    )

@@ -1,0 +1,93 @@
+"""Spatial / interval theta-join with grid bucketing (J1).
+
+Reference semantics: ``dags/get_data/tableExtract.py:171-197`` assigns
+each OCR text box to a (row, col) table cell when
+``IoU(cell, box) > 0.09`` — naively a cross join of cells x boxes with
+a geometric predicate.
+
+Scale design: a cross join is O(cells x boxes) and Spark would run it
+as BroadcastNestedLoopJoin — fatal at 100 TB. Instead each box is
+mapped to the set of grid buckets its bounding rectangle can touch
+(``explode(sequence(...))`` over bucket ids in x and y), cells are
+mapped to their bucket, and the join becomes an **equi-join on
+(bucket_x, bucket_y)** followed by the exact geometric predicate —
+shuffle-hash/sort-merge friendly, prunable, AQE-skew-splittable.
+Candidate duplicates (a pair meeting in several buckets) are removed
+by also requiring the pair to meet in the box's *first* shared
+bucket, so no distinct/shuffle is needed afterwards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RECT = ("x1", "y1", "x2", "y2")
+
+
+def iou(a_prefix: str, b_prefix: str) -> Column:
+    """Intersection-over-union of two rectangles given column prefixes.
+
+    Mirrors the arithmetic of ``tableExtract.py:174-188``.
+    """
+    ax1, ay1, ax2, ay2 = [F.col(f"{a_prefix}{c}") for c in RECT]
+    bx1, by1, bx2, by2 = [F.col(f"{b_prefix}{c}") for c in RECT]
+    ix = F.greatest(
+        F.least(ax2, bx2) - F.greatest(ax1, bx1), F.lit(0).cast("double")
+    )
+    iy = F.greatest(
+        F.least(ay2, by2) - F.greatest(ay1, by1), F.lit(0).cast("double")
+    )
+    inter = ix * iy
+    area_a = (ax2 - ax1) * (ay2 - ay1)
+    area_b = (bx2 - bx1) * (by2 - by1)
+    return inter / (area_a + area_b - inter)
+
+
+def _bucketed(df: DataFrame, prefix: str, bucket: float) -> DataFrame:
+    """Explode each rectangle to every (bx, by) grid bucket it touches."""
+    bx1 = F.floor(F.col(f"{prefix}x1") / bucket)
+    bx2 = F.floor((F.col(f"{prefix}x2") - F.lit(1e-9)) / bucket)
+    by1 = F.floor(F.col(f"{prefix}y1") / bucket)
+    by2 = F.floor((F.col(f"{prefix}y2") - F.lit(1e-9)) / bucket)
+    return (
+        df.withColumn("__bx", F.explode(F.sequence(bx1, F.greatest(bx1, bx2))))
+        .withColumn("__by", F.explode(F.sequence(by1, F.greatest(by1, by2))))
+        .withColumn("__first_b", F.struct(F.col("__bx"), F.col("__by")))
+    )
+
+
+def iou_join(
+    cells: DataFrame,
+    boxes: DataFrame,
+    bucket: float,
+    min_iou: float = 0.09,
+    cell_prefix: str = "c_",
+    box_prefix: str = "b_",
+) -> DataFrame:
+    """Join cells x boxes on ``IoU > min_iou`` without a cross join.
+
+    ``cells`` must carry ``{cell_prefix}{x1,y1,x2,y2}`` and ``boxes``
+    ``{box_prefix}{x1,y1,x2,y2}``. ``bucket`` is the grid pitch —
+    pick it near the median cell size so most rectangles land in
+    O(1) buckets.
+    """
+    c = _bucketed(cells, cell_prefix, bucket)
+    b = _bucketed(boxes, box_prefix, bucket).withColumnRenamed(
+        "__first_b", "__first_b_box"
+    )
+
+    joined = c.join(b, on=["__bx", "__by"], how="inner").filter(
+        iou(cell_prefix, box_prefix) > F.lit(min_iou)
+    )
+
+    # Deduplicate multi-bucket matches without a shuffle: keep the pair
+    # only in the lexicographically-first bucket both rectangles share.
+    mx1 = F.greatest(F.col(f"{cell_prefix}x1"), F.col(f"{box_prefix}x1"))
+    my1 = F.greatest(F.col(f"{cell_prefix}y1"), F.col(f"{box_prefix}y1"))
+    first_shared_x = F.floor(mx1 / F.lit(bucket))
+    first_shared_y = F.floor(my1 / F.lit(bucket))
+    joined = joined.filter(
+        (F.col("__bx") == first_shared_x) & (F.col("__by") == first_shared_y)
+    )
+    return joined.drop("__bx", "__by", "__first_b", "__first_b_box")

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (north star).
+
+Brute-force top-k cosine as the exact baseline, and an LSH-bucketed
+variant as the 100 TB path.
+
+Scale design: the probe side is always tiny (a handful of query
+vectors) so the brute-force plan is ``broadcast(probes) x corpus`` —
+a broadcast nested-loop whose cost is one corpus scan, embarrassingly
+parallel, no shuffle except the final per-probe top-k (a
+``TakeOrderedAndProject`` after repartition by probe). The LSH
+variant buckets the corpus once (random-hyperplane signs) and probes
+only matching buckets — corpus scan shrinks by ~2^bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_lake_project_spark.functions import pround
+
+
+def _as_double(vec_col: str):
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe.
+
+    Deterministic: ranks on ``(round(cosine, d) DESC, id)`` so ULP
+    noise in float summation can never reorder the result.
+    Output: (probe_id, vec_id, cosine) — cosine rounded.
+    """
+    c = corpus.select(
+        F.col(id_col), _as_double(vec_col).alias("__cv")
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    p = probes.select(
+        F.col(probe_id_col), _as_double(vec_col).alias("__pv")
+    ).withColumn("__pn", _norm(F.col("__pv")))
+
+    dot = F.aggregate(
+        F.zip_with("__pv", "__cv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = pround(dot / (F.col("__pn") * F.col("__cn")), round_digits)
+
+    joined = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col(probe_id_col) != F.col(id_col))
+        .withColumn("cosine", sim)
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(probe_id_col, id_col, "cosine")
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets.
+
+    Hyperplanes are deterministic pseudo-random vectors derived from
+    ``md5`` of (bit, dim) — reproducible across runs without an RNG.
+    Probes search only their own bucket; recall grows with fewer bits
+    or multi-probe (flip one bit) which is enabled here.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+
+    def plane(bit: int):
+        # Deterministic +-1 hyperplane from md5 parity per dimension.
+        return F.array(
+            *[
+                F.when(
+                    F.conv(F.substring(F.md5(F.lit(f"{bit}:{d}")), 1, 4), 16, 10)
+                    .cast("long")
+                    % 2
+                    == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                for d in range(dim)
+            ]
+        )
+
+    def signature(vcol):
+        bits_cols = []
+        for i in range(bits):
+            dot = F.aggregate(
+                F.zip_with(vcol, plane(i), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits_cols.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+        out = F.lit(0)
+        for i, b in enumerate(bits_cols):
+            out = out + b * (2**i)
+        return out
+
+    c = corpus.withColumn("__v", _as_double(vec_col)).withColumn(
+        "__bucket", signature(F.col("__v"))
+    )
+    p = probes.withColumn("__v", _as_double(vec_col)).withColumn(
+        "__bucket", signature(F.col("__v"))
+    )
+    # Multi-probe: each probe also visits buckets at Hamming distance 1.
+    p = p.withColumn(
+        "__bucket",
+        F.explode(
+            F.array_union(
+                F.array(F.col("__bucket")),
+                F.array(
+                    *[
+                        F.col("__bucket").bitwiseXOR(F.lit(2**i))
+                        for i in range(bits)
+                    ]
+                ),
+            )
+        ),
+    )
+
+    joined = c.select(
+        id_col, "__bucket", F.col("__v").alias("__cv")
+    ).join(
+        F.broadcast(
+            p.select(probe_id_col, "__bucket", F.col("__v").alias("__pv"))
+        ),
+        "__bucket",
+    )
+    sim = pround(
+        F.aggregate(
+            F.zip_with("__pv", "__cv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (_norm(F.col("__pv")) * _norm(F.col("__cv"))),
+        4,
+    )
+    joined = joined.filter(F.col(probe_id_col) != F.col(id_col)).withColumn(
+        "cosine", sim
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(probe_id_col, id_col, "cosine")
+    )

@@ -1,0 +1,139 @@
+"""Text analysis operators (north star + ``texteExtract`` semantics).
+
+All JVM-side expressions — no Python UDFs in this module. Each
+operator returns scalar columns so results are oracle-checkable.
+
+- ``token_stats``    — token / distinct-token counts (whitespace +
+                       regex tokenizer, BPE-ish word/number/punct split).
+- ``numeric_facts``  — count + extraction of number-followed-by-unit
+                       spans (``texteExtract.py:27-33`` Matcher semantics).
+- ``language_id``    — stopword-hit heuristic over a per-language
+                       lexicon (n-gram-free deterministic LID).
+- ``quality_score``  — length / punctuation / stopword-ratio composite.
+- ``fingerprint``    — md5 content fingerprint of normalized text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_lake_project_spark.functions import NUMERIC_FACT_RE, pround, tokens
+
+# Tiny deterministic stopword lexicons; ordering of dict defines the
+# argmax tie-break (first wins).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une"],
+    "es": ["el", "la", "y", "los", "de", "un", "una"],
+    "de": ["der", "die", "das", "und", "ein", "zu", "von"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"],
+}
+
+# BPE-ish pre-tokenizer: words, numbers, or single punctuation marks —
+# RE2-safe so the same pattern drives the DuckDB oracle.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_tokens, n_distinct, n_bpeish) per document."""
+    toks = tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0)).alias(
+            "n_bpeish"
+        ),
+    )
+
+
+def numeric_facts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Count of numeric-fact spans (number + unit) per document.
+
+    Reference: spaCy Matcher VALUE pattern, ``texteExtract.py:27-33``.
+    """
+    return docs.select(
+        F.col(id_col),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(NUMERIC_FACT_RE), 0)
+        ).alias("n_facts"),
+    )
+
+
+def language_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-hit language ID: predicted lang = argmax over
+    per-language distinct stopword hits; ties break on lexicon order.
+    Output: (id, pred_lang, lid_score).
+    """
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    best = None
+    for lang, score in scores.items():
+        entry = F.struct(score.alias("s"), F.lit(lang).alias("l"))
+        if best is None:
+            best = entry
+        else:
+            # strictly-greater keeps the earlier language on ties
+            best = F.when(score > best.getField("s"), entry).otherwise(best)
+    return docs.select(
+        F.col(id_col),
+        best.getField("l").alias("pred_lang"),
+        best.getField("s").cast("int").alias("lid_score"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic document quality: length, mean word length,
+    punctuation ratio, stopword ratio → composite in [0, 1].
+
+    Output: (id, n_chars, n_tokens, punct_ratio, stop_ratio, quality).
+    """
+    txt = F.col(text_col)
+    toks = tokens(txt)
+    n_tokens = F.size(toks)
+    n_chars = F.length(txt)
+    n_punct = F.size(F.regexp_extract_all(txt, F.lit(r"[^\w\s]"), 0))
+    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    n_stop = F.size(
+        F.filter(
+            F.transform(toks, F.lower),
+            lambda t: F.array_contains(F.array(*[F.lit(w) for w in all_stop]), t),
+        )
+    )
+    punct_ratio = pround(n_punct / F.greatest(n_chars, F.lit(1)).cast("double"), 4)
+    stop_ratio = pround(n_stop / F.greatest(n_tokens, F.lit(1)).cast("double"), 4)
+    length_term = F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+    quality = pround(
+        0.5 * length_term + 0.3 * (1.0 - punct_ratio) + 0.2 * stop_ratio, 4
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized, lowercased
+    text (the batch analogue of a rolling document hash).
+    Output: (id, fp).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return docs.select(F.col(id_col), F.md5(norm).alias("fp"))

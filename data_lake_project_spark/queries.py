@@ -1,0 +1,947 @@
+"""Declared query surface (SURVEY.md §2.9) + oracle SQL.
+
+Each ``q*`` builder takes ``(spark, sf_dir)`` and returns a DataFrame;
+``ORACLE`` maps the same keys to ANSI SQL that DuckDB runs on the
+identical parquet tables. Contract for hash-stability (SURVEY.md §2.9):
+total ORDER BY, ``round()`` on floating aggregates, explicit BIGINT
+casts on counts/positions, timestamps rendered as strings, identical
+column aliases on both sides.
+
+Determinism notes:
+- all content hashing is md5 (same hex on any engine);
+- every top-k ranks on a *rounded* score + unique id tie-break so
+  float ULP noise can't reorder results;
+- session timezone pinned to UTC by the table loader.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lake_project_spark.functions import (
+    NUMERIC_FACT_RE,
+    dec_sum,
+    parse_number,
+    pround,
+    tokens,
+)
+from data_lake_project_spark.operators import dedup as D
+from data_lake_project_spark.operators import interval as IV
+from data_lake_project_spark.operators import similarity as SIM
+from data_lake_project_spark.operators import text as TX
+from data_lake_project_spark.operators.asof import asof_join
+from data_lake_project_spark.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_TS = "yyyy-MM-dd HH:mm:ss"  # Spark pattern
+_TS_DUCK = "%Y-%m-%d %H:%M:%S"  # strftime pattern
+
+
+def _ts(col) -> F.Column:
+    return F.date_format(col, _TS)
+
+
+# ---------------------------------------------------------------------------
+# Relational surface Q01-Q20
+# ---------------------------------------------------------------------------
+
+
+def q01_scan_project(spark, sf):
+    """S6/S7/P1: scan + cast-project (``spark_stream.py:167,213``)."""
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("decimal(12,2)").cast("string").alias("acctbal_str"),
+    ).orderBy("c_custkey")
+
+
+def q02_json_extract(spark, sf):
+    """P2/F9: JSON path extraction (``spark_stream.py:159-171`` from_json)."""
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k")
+    ).orderBy("event_id")
+
+
+def q03_contains_filter(spark, sf):
+    """P3: case-insensitive containment predicate (``kpis_search.py:50``)."""
+    p = load_table(spark, sf, "part")
+    return (
+        p.filter(F.lower(F.col("p_type")).contains("brass"))
+        .select("p_partkey", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+def q04_equi_join(spark, sf):
+    """Broadcast equi-join of a small dim (nation x region)."""
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_name", "r_name")
+        .orderBy("n_name")
+    )
+
+
+def q05_multiway_join_agg(spark, sf):
+    """TPC-H Q3-shaped: customer ⋈ orders ⋈ lineitem, top-10 revenue."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            pround(
+                dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey", _ts(F.col("o_orderdate")).alias("order_ts"), "revenue"
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q06_anti_join(spark, sf):
+    """Left-anti join: customers with no orders."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count("*").alias("n_no_orders")
+    )
+
+
+def q07_asof_join(spark, sf):
+    """J2 as-of: latest event at or before each order, per customer.
+
+    Uses the union+window as-of operator (one shuffle, no theta-join;
+    see ``operators/asof.py``; reference ``texteExtract.py:95-111``).
+    """
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    e = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    joined = asof_join(
+        o,
+        e.withColumnRenamed("user_id", "o_custkey"),
+        on="o_custkey",
+        left_time="o_orderdate",
+        right_time="ts",
+        right_values=["ts", "event_type"],
+        right_tiebreak="event_id",
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        _ts(F.col("o_orderdate")).alias("order_ts"),
+        _ts(F.col("ts")).alias("event_ts"),
+        "event_type",
+    ).orderBy("o_orderkey")
+
+
+def q08_groupby_agg(spark, sf):
+    """TPC-H Q1 core (A2 analog)."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(dec_sum(F.col("l_quantity")), 2).alias("sum_qty"),
+            pround(dec_sum(F.col("l_extendedprice")), 2).alias("sum_base"),
+            pround(dec_sum(F.col("l_discount")) / F.count(F.lit(1)), 4).alias(
+                "avg_disc"
+            ),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q09_count_distinct(spark, sf):
+    """Exact distinct count (approx variant: q33, tolerance-checked)."""
+    o = load_table(spark, sf, "orders")
+    return o.agg(F.countDistinct("o_custkey").alias("n_cust"))
+
+
+def q10_rollup(spark, sf):
+    """Grouping-sets/rollup with grouping_id."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            pround(dec_sum(F.col("o_totalprice")), 2).alias("sum_price"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy("gid", "o_orderpriority", "o_orderstatus")
+    )
+
+
+def q11_window_rank(spark, sf):
+    """Ranking window: first 2 orders per customer."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("rk", F.rank().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _ts(F.col("o_orderdate")).alias("order_ts"),
+            "rn",
+            "rk",
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q12_window_frame(spark, sf):
+    """Sliding frame: 3-row rolling sum per user."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        e.withColumn("roll_sum", pround(F.sum("value").over(w), 2))
+        .select("user_id", "event_id", _ts(F.col("ts")).alias("ts_str"), "roll_sum")
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q13_lag_delta(spark, sf):
+    """lag/lead: per-user value deltas."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn(
+            "delta", pround(F.col("value") - F.lag("value").over(w), 2)
+        )
+        .select("user_id", "event_id", "delta")
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q14_topk(spark, sf):
+    """O1/O3 sort + limit top-k (TakeOrderedAndProject)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(5)
+    )
+
+
+def q15_except(spark, sf):
+    """Set op: custkeys with 'F' orders EXCEPT custkeys with 'O' orders."""
+    o = load_table(spark, sf, "orders")
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return f_keys.subtract(o_keys).orderBy("o_custkey")
+
+
+def q15b_intersect(spark, sf):
+    """Set op: custkeys having both 'F' and 'O' orders."""
+    o = load_table(spark, sf, "orders")
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return f_keys.intersect(o_keys).orderBy("o_custkey")
+
+
+def q16_string_fns(spark, sf):
+    """F1-F7 string pipeline incl. decimal-comma parse_number
+    (``notePresentation.py:73-76``)."""
+    p = load_table(spark, sf, "part")
+    euro = F.regexp_replace(
+        F.col("p_retailprice").cast("decimal(12,2)").cast("string"), r"\.", ","
+    )
+    return p.select(
+        "p_partkey",
+        F.lower(F.trim(F.col("p_name"))).alias("name_lc"),
+        F.regexp_replace(F.col("p_name"), " ", "_").alias("name_us"),
+        F.instr(F.lower(F.col("p_name")), "a").cast("long").alias("a_pos"),
+        F.substring(F.lower(F.col("p_name")), 1, 5).alias("name5"),
+        F.element_at(F.split(F.col("p_name"), " "), 1).alias("first_word"),
+        parse_number(euro).alias("price_parsed"),
+    ).orderBy("p_partkey")
+
+
+def q17_date_fns(spark, sf):
+    """F10 date functions: year/month/datediff/date_trunc."""
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem").filter(F.col("l_linenumber") == 1)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("ship_days"),
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("date")
+            .cast("string")
+            .alias("ship_month"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q18_math_fns(spark, sf):
+    """F11/F12: greatest/least/abs/round arithmetic."""
+    l = load_table(spark, sf, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        pround(F.greatest(net, F.col("l_extendedprice") * 0.9), 2).alias("g_val"),
+        pround(F.least(net, F.col("l_extendedprice") * 0.9), 2).alias("l_val"),
+        pround(
+            F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000.0), 2
+        ).alias("abs_val"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def q19_array_fns(spark, sf):
+    """Array ops: split/explode-free scalar view (array_sort, element_at)."""
+    d = load_table(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    return (
+        d.filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            F.element_at(F.array_sort(toks), 1).alias("first_sorted"),
+            F.element_at(toks, F.size(toks)).alias("last_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q20_argmin(spark, sf):
+    """A3 arg-min (``texteExtract.py:119-121``): event with min |value|
+    per user; composite min key makes ties deterministic."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.abs(F.col("value")), "event_id")
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("min_event_type"),
+            pround(F.col("value"), 2).alias("min_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star Q21-Q32
+# ---------------------------------------------------------------------------
+
+
+def q21_dedup_exact(spark, sf):
+    """Exact dedup: lowest doc_id per md5 content hash."""
+    d = load_table(spark, sf, "documents")
+    return D.exact_dedup(d).select("doc_id", "content_hash").orderBy("doc_id")
+
+
+def q22_similarity_topk(spark, sf):
+    """Brute-force top-10 cosine neighbors for probes vec_id < 5."""
+    e = load_table(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return SIM.brute_force_topk(e, probes, k=10).orderBy("probe_id", "vec_id")
+
+
+def q23_text_stats(spark, sf):
+    """Token counting + numeric-fact extraction (``texteExtract.py:27-36``)."""
+    d = load_table(spark, sf, "documents")
+    stats = TX.token_stats(d)
+    facts = TX.numeric_facts(d)
+    return (
+        stats.join(facts, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_bpeish").cast("long").alias("n_bpeish"),
+            F.col("n_facts").cast("long").alias("n_facts"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q24_interval_join(spark, sf):
+    """J1 grid-cell x box IoU join via bucketed interval join
+    (``tableExtract.py:171-197``), on deterministic synthetic geometry."""
+    cells = spark.range(100).select(
+        (F.col("id") / 10).cast("long").alias("cell_row"),
+        (F.col("id") % 10).alias("cell_col"),
+        ((F.col("id") % 10) * 10).cast("double").alias("c_x1"),
+        ((F.col("id") / 10).cast("long") * 10).cast("double").alias("c_y1"),
+        ((F.col("id") % 10) * 10 + 10).cast("double").alias("c_x2"),
+        ((F.col("id") / 10).cast("long") * 10 + 10).cast("double").alias("c_y2"),
+    )
+    boxes = spark.range(200).select(
+        F.col("id").alias("box_id"),
+        ((F.col("id") * 7) % 93).cast("double").alias("b_x1"),
+        ((F.col("id") * 13) % 89).cast("double").alias("b_y1"),
+        ((F.col("id") * 7) % 93 + (F.col("id") % 5) + 3)
+        .cast("double")
+        .alias("b_x2"),
+        ((F.col("id") * 13) % 89 + (F.col("id") % 7) + 4)
+        .cast("double")
+        .alias("b_y2"),
+        F.concat(F.lit("b"), F.col("id").cast("string")).alias("btext"),
+    )
+    matched = IV.iou_join(cells, boxes, bucket=10.0, min_iou=0.09)
+    return (
+        matched.groupBy("cell_row", "cell_col")
+        .agg(
+            F.min_by("btext", "box_id").alias("first_text"),
+            F.count("*").alias("n_boxes"),
+        )
+        .orderBy("cell_row", "cell_col")
+    )
+
+
+def q25_minhash_candidates(spark, sf):
+    """MinHash-LSH near-dup candidate pairs over 3-gram shingles."""
+    d = load_table(spark, sf, "documents")
+    sh = D.shingles(d, k=3)
+    sig = D.minhash_signatures(sh, num_hashes=8)
+    return D.minhash_candidates(sig, band_size=2).orderBy("id_a", "id_b")
+
+
+def q26_jaccard_neardup(spark, sf):
+    """MinHash candidates verified by exact shingle Jaccard >= 0.5."""
+    d = load_table(spark, sf, "documents")
+    sh = D.shingles(d, k=3)
+    sig = D.minhash_signatures(sh, num_hashes=8)
+    cand = D.minhash_candidates(sig, band_size=2)
+    return D.jaccard_verify(cand, sh, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q27_simhash(spark, sf):
+    """16-bit SimHash fingerprint per document."""
+    d = load_table(spark, sf, "documents")
+    return D.simhash16(d).orderBy("doc_id")
+
+
+def q28_embedding_neardup(spark, sf):
+    """Blocked cosine near-dup pairs (block = label)."""
+    e = load_table(spark, sf, "embeddings")
+    return D.embedding_neardup(e, threshold=0.35).orderBy("id_a", "id_b")
+
+
+def q29_language_id(spark, sf):
+    """Stopword-heuristic language ID."""
+    d = load_table(spark, sf, "documents")
+    return TX.language_id(d).orderBy("doc_id")
+
+
+def q30_quality_score(spark, sf):
+    """Document quality scoring (length/punct/stopword composite)."""
+    d = load_table(spark, sf, "documents")
+    return TX.quality_score(d).orderBy("doc_id")
+
+
+def q31_fingerprint(spark, sf):
+    """md5 fingerprint of normalized text."""
+    d = load_table(spark, sf, "documents")
+    return TX.fingerprint(d).orderBy("doc_id")
+
+
+def q32_approx_distinct(spark, sf):
+    """Approx distinct (HLL) — tolerance-checked, no value oracle."""
+    o = load_table(spark, sf, "orders")
+    return o.agg(F.approx_count_distinct("o_custkey").alias("n_approx"))
+
+
+def q33_lsh_topk(spark, sf):
+    """Approximate ANN via random-hyperplane LSH buckets — rows-only check
+    (recall depends on bucketing; exact baseline is q22)."""
+    e = load_table(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return SIM.lsh_bucketed_topk(e, probes, k=10, bits=6).orderBy(
+        "probe_id", "vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "q01_scan_project": q01_scan_project,
+    "q02_json_extract": q02_json_extract,
+    "q03_contains_filter": q03_contains_filter,
+    "q04_equi_join": q04_equi_join,
+    "q05_multiway_join_agg": q05_multiway_join_agg,
+    "q06_anti_join": q06_anti_join,
+    "q07_asof_join": q07_asof_join,
+    "q08_groupby_agg": q08_groupby_agg,
+    "q09_count_distinct": q09_count_distinct,
+    "q10_rollup": q10_rollup,
+    "q11_window_rank": q11_window_rank,
+    "q12_window_frame": q12_window_frame,
+    "q13_lag_delta": q13_lag_delta,
+    "q14_topk": q14_topk,
+    "q15_except": q15_except,
+    "q15b_intersect": q15b_intersect,
+    "q16_string_fns": q16_string_fns,
+    "q17_date_fns": q17_date_fns,
+    "q18_math_fns": q18_math_fns,
+    "q19_array_fns": q19_array_fns,
+    "q20_argmin": q20_argmin,
+    "q21_dedup_exact": q21_dedup_exact,
+    "q22_similarity_topk": q22_similarity_topk,
+    "q23_text_stats": q23_text_stats,
+    "q24_interval_join": q24_interval_join,
+    "q25_minhash_candidates": q25_minhash_candidates,
+    "q26_jaccard_neardup": q26_jaccard_neardup,
+    "q27_simhash": q27_simhash,
+    "q28_embedding_neardup": q28_embedding_neardup,
+    "q29_language_id": q29_language_id,
+    "q30_quality_score": q30_quality_score,
+    "q31_fingerprint": q31_fingerprint,
+    "q32_approx_distinct": q32_approx_distinct,
+    "q33_lsh_topk": q33_lsh_topk,
+}
+
+_SHINGLE_CTE = """
+    d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(len(toks) - 2),
+                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                      ELSE [array_to_string(toks, ' ')] END) AS shingle
+        FROM d
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle <> ''),
+    sig AS (
+        SELECT s.doc_id, hs.h,
+               min(md5(hs.h::VARCHAR || ':' || s.shingle)) AS mh
+        FROM sh s, (SELECT unnest(range(8)) AS h) hs
+        GROUP BY s.doc_id, hs.h
+    ),
+    band AS (
+        SELECT doc_id, (h // 2)::BIGINT AS band,
+               string_agg(mh, '|' ORDER BY h) AS bandsig
+        FROM sig GROUP BY doc_id, (h // 2)::BIGINT
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+    )
+"""
+
+ORACLE: dict[str, str] = {
+    "q01_scan_project": """
+        SELECT c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS acctbal_str
+        FROM customer ORDER BY c_custkey
+    """,
+    "q02_json_extract": """
+        SELECT event_id, json_extract_string(props, '$.k') AS k
+        FROM events ORDER BY event_id
+    """,
+    "q03_contains_filter": """
+        SELECT p_partkey, p_type FROM part
+        WHERE lower(p_type) LIKE '%brass%' ORDER BY p_partkey
+    """,
+    "q04_equi_join": """
+        SELECT n_name, r_name FROM nation
+        JOIN region ON n_regionkey = r_regionkey ORDER BY n_name
+    """,
+    "q05_multiway_join_agg": """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+               floor(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    "q06_anti_join": """
+        SELECT count(*)::BIGINT AS n_no_orders FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q07_asof_join": """
+        WITH ranked AS (
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, e.ts, e.event_type,
+                   row_number() OVER (
+                       PARTITION BY o.o_orderkey
+                       ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST
+                   ) AS rn
+            FROM orders o
+            LEFT JOIN events e
+              ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        )
+        SELECT o_orderkey, o_custkey,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+               event_type
+        FROM ranked WHERE rn = 1 ORDER BY o_orderkey
+    """,
+    "q08_groupby_agg": """
+        SELECT l_returnflag, l_linestatus,
+               floor(sum(CAST(l_quantity AS DECIMAL(27,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_qty,
+               floor(sum(CAST(l_extendedprice AS DECIMAL(27,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_base,
+               floor((sum(CAST(l_discount AS DECIMAL(27,6)))::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+               count(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q09_count_distinct": """
+        SELECT count(DISTINCT o_custkey)::BIGINT AS n_cust FROM orders
+    """,
+    "q10_rollup": """
+        SELECT o_orderpriority, o_orderstatus,
+               floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_price,
+               GROUPING(o_orderpriority, o_orderstatus)::BIGINT AS gid
+        FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    "q11_window_rank": """
+        WITH w AS (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn,
+                   rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rk
+            FROM orders
+        )
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+               rn::BIGINT AS rn, rk::BIGINT AS rk
+        FROM w WHERE rn <= 2 ORDER BY o_custkey, rn
+    """,
+    "q12_window_frame": """
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+               floor(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100.0 + 0.5)
+                   / 100.0 AS roll_sum
+        FROM events ORDER BY user_id, event_id
+    """,
+    "q13_lag_delta": """
+        SELECT user_id, event_id,
+               floor((value - lag(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) * 100.0 + 0.5)
+                   / 100.0 AS delta
+        FROM events ORDER BY user_id, event_id
+    """,
+    "q14_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+    """,
+    "q15_except": """
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY o_custkey
+    """,
+    "q15b_intersect": """
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY o_custkey
+    """,
+    "q16_string_fns": """
+        SELECT p_partkey,
+               lower(trim(p_name)) AS name_lc,
+               replace(p_name, ' ', '_') AS name_us,
+               strpos(lower(p_name), 'a')::BIGINT AS a_pos,
+               substring(lower(p_name), 1, 5) AS name5,
+               split_part(p_name, ' ', 1) AS first_word,
+               CAST(replace(replace(CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR),
+                            '.', ','), ',', '.') AS DOUBLE) AS price_parsed
+        FROM part ORDER BY p_partkey
+    """,
+    "q17_date_fns": """
+        SELECT o_orderkey,
+               year(o_orderdate)::BIGINT AS o_year,
+               month(o_orderdate)::BIGINT AS o_month,
+               datediff('day', o_orderdate, l_shipdate)::BIGINT AS ship_days,
+               strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS ship_month
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber = 1
+        ORDER BY o_orderkey
+    """,
+    "q18_math_fns": """
+        SELECT l_orderkey, l_linenumber,
+               floor(greatest(l_extendedprice * (1 - l_discount),
+                              l_extendedprice * 0.9) * 100.0 + 0.5) / 100.0 AS g_val,
+               floor(least(l_extendedprice * (1 - l_discount),
+                           l_extendedprice * 0.9) * 100.0 + 0.5) / 100.0 AS l_val,
+               floor(abs(l_extendedprice - l_quantity * 1000.0) * 100.0 + 0.5)
+                   / 100.0 AS abs_val
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    "q19_array_fns": """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               len(list_distinct(toks))::BIGINT AS n_distinct,
+               list_sort(toks)[1] AS first_sorted,
+               toks[len(toks)] AS last_tok
+        FROM t ORDER BY doc_id
+    """,
+    "q20_argmin": """
+        WITH r AS (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY abs(value), event_id) AS rn
+            FROM events
+        )
+        SELECT user_id, event_type AS min_event_type,
+               floor(value * 100.0 + 0.5) / 100.0 AS min_value
+        FROM r WHERE rn = 1 ORDER BY user_id
+    """,
+    "q21_dedup_exact": """
+        WITH h AS (
+            SELECT doc_id, md5(text) AS content_hash,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        )
+        SELECT doc_id, content_hash FROM h WHERE rn = 1 ORDER BY doc_id
+    """,
+    "q22_similarity_topk": """
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, v,
+                   sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM v
+        ),
+        p AS (
+            SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM n
+            WHERE vec_id < 5
+        ),
+        s AS (
+            SELECT p.probe_id, c.vec_id,
+                   floor(list_sum(list_transform(range(len(c.v)),
+                             i -> p.pv[i+1] * c.v[i+1])) / (p.pn * c.nrm)
+                         * 10000.0 + 0.5) / 10000.0 AS cosine
+            FROM p, n c WHERE c.vec_id <> p.probe_id
+        ),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY cosine DESC, vec_id) AS rk
+            FROM s
+        )
+        SELECT probe_id, vec_id, cosine FROM r WHERE rk <= 10
+        ORDER BY probe_id, vec_id
+    """,
+    "q23_text_stats": """
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpeish,
+               len(regexp_extract_all(text,
+                   '[0-9]+(?:[.,][0-9]+)?\\s*(?:%|\\$|bbl|dollars|millions)'))::BIGINT
+                   AS n_facts
+        FROM documents ORDER BY doc_id
+    """,
+    "q24_interval_join": """
+        WITH cells AS (
+            SELECT (r // 10)::BIGINT AS cell_row, (r % 10)::BIGINT AS cell_col,
+                   ((r % 10) * 10)::DOUBLE AS cx1, ((r // 10) * 10)::DOUBLE AS cy1,
+                   ((r % 10) * 10 + 10)::DOUBLE AS cx2,
+                   ((r // 10) * 10 + 10)::DOUBLE AS cy2
+            FROM range(100) t(r)
+        ),
+        boxes AS (
+            SELECT b::BIGINT AS box_id,
+                   ((b * 7) % 93)::DOUBLE AS bx1, ((b * 13) % 89)::DOUBLE AS by1,
+                   ((b * 7) % 93 + (b % 5) + 3)::DOUBLE AS bx2,
+                   ((b * 13) % 89 + (b % 7) + 4)::DOUBLE AS by2,
+                   'b' || b::VARCHAR AS btext
+            FROM range(200) t(b)
+        ),
+        m AS (
+            SELECT c.cell_row, c.cell_col, b.box_id, b.btext,
+                   greatest(least(cx2, bx2) - greatest(cx1, bx1), 0)
+                 * greatest(least(cy2, by2) - greatest(cy1, by1), 0) AS inter,
+                   (cx2 - cx1) * (cy2 - cy1) AS ca,
+                   (bx2 - bx1) * (by2 - by1) AS ba
+            FROM cells c, boxes b
+        )
+        SELECT cell_row, cell_col,
+               arg_min(btext, box_id) AS first_text,
+               count(*)::BIGINT AS n_boxes
+        FROM m WHERE inter / (ca + ba - inter) > 0.09
+        GROUP BY cell_row, cell_col ORDER BY cell_row, cell_col
+    """,
+    "q25_minhash_candidates": f"""
+        WITH {_SHINGLE_CTE}
+        SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
+    """,
+    "q26_jaccard_neardup": f"""
+        WITH {_SHINGLE_CTE},
+        sets AS (
+            SELECT doc_id, list_sort(list(DISTINCT shingle)) AS shs
+            FROM sh GROUP BY doc_id
+        ),
+        verified AS (
+            SELECT c.id_a, c.id_b,
+                   len(list_intersect(a.shs, b.shs))::DOUBLE
+                   / (len(a.shs) + len(b.shs)
+                      - len(list_intersect(a.shs, b.shs)))::DOUBLE AS j
+            FROM cand c
+            JOIN sets a ON a.doc_id = c.id_a
+            JOIN sets b ON b.doc_id = c.id_b
+        )
+        SELECT id_a, id_b, floor(j * 1000.0 + 0.5) / 1000.0 AS jaccard FROM verified
+        WHERE j >= 0.5 ORDER BY id_a, id_b
+    """,
+    "q27_simhash": """
+        WITH tok AS (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ),
+        t2 AS (
+            SELECT doc_id, substr(md5(tok), 1, 4) AS hex4
+            FROM tok WHERE tok <> ''
+        ),
+        pos AS (
+            SELECT doc_id, hex4, ps.p
+            FROM t2, (SELECT unnest(range(16)) AS p) ps
+        ),
+        bits AS (
+            SELECT doc_id, p,
+                   CASE WHEN (((strpos('0123456789abcdef',
+                                       substr(hex4, (p // 4)::INT + 1, 1)) - 1)
+                               // CAST(2 ** (p % 4) AS BIGINT)) % 2) = 1
+                        THEN 1 ELSE -1 END AS vote
+            FROM pos
+        ),
+        votes AS (
+            SELECT doc_id, p, sum(vote) AS s FROM bits GROUP BY doc_id, p
+        )
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN 2 ** p ELSE 0 END)::BIGINT AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id
+    """,
+    "q28_embedding_neardup": """
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, label, v,
+                   sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM v
+        ),
+        p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_sum(list_transform(range(len(a.v)),
+                        i -> a.v[i+1] * b.v[i+1])) / (a.nrm * b.nrm) AS cos
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine FROM p
+        WHERE cos >= 0.35 ORDER BY id_a, id_b
+    """,
+    "q29_language_id": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                len(list_intersect(toks, ['the','a','of','and','to','in','is'])) AS s_en,
+                len(list_intersect(toks, ['le','la','et','les','des','un','une'])) AS s_fr,
+                len(list_intersect(toks, ['el','la','y','los','de','un','una'])) AS s_es,
+                len(list_intersect(toks, ['der','die','das','und','ein','zu','von'])) AS s_de,
+                len(list_intersect(toks, ['de5','shi4','le5','zai4','he2','you3','wo3'])) AS s_zh
+            FROM t
+        ),
+        m AS (
+            SELECT doc_id, s_en, s_fr, s_es, s_de, s_zh,
+                   greatest(s_en, s_fr, s_es, s_de, s_zh) AS mx
+            FROM s
+        )
+        SELECT doc_id,
+               CASE WHEN s_en = mx THEN 'en'
+                    WHEN s_fr = mx THEN 'fr'
+                    WHEN s_es = mx THEN 'es'
+                    WHEN s_de = mx THEN 'de'
+                    ELSE 'zh' END AS pred_lang,
+               mx::INT AS lid_score
+        FROM m ORDER BY doc_id
+    """,
+    "q30_quality_score": """
+        WITH t AS (
+            SELECT doc_id, text,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   length(text) AS n_chars_m,
+                   len(toks) AS n_tokens,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                   len(list_filter(list_transform(toks, x -> lower(x)),
+                       x -> list_contains(
+                           ['the','a','of','and','to','in','is',
+                            'le','la','et','les','des','un','une',
+                            'el','y','los','de','una',
+                            'der','die','das','und','ein','zu','von',
+                            'de5','shi4','le5','zai4','he2','you3','wo3'], x)))
+                       AS n_stop
+            FROM t
+        ),
+        r AS (
+            SELECT doc_id, n_chars_m, n_tokens,
+                   floor(n_punct / greatest(n_chars_m, 1)::DOUBLE * 10000.0 + 0.5)
+                       / 10000.0 AS punct_ratio,
+                   floor(n_stop / greatest(n_tokens, 1)::DOUBLE * 10000.0 + 0.5)
+                       / 10000.0 AS stop_ratio,
+                   least(n_tokens::DOUBLE / 100.0, 1.0) AS length_term
+            FROM s
+        )
+        SELECT doc_id, n_chars_m::BIGINT AS n_chars_m, n_tokens::BIGINT AS n_tokens,
+               punct_ratio, stop_ratio,
+               floor((0.5 * length_term + 0.3 * (1.0 - punct_ratio)
+                     + 0.2 * stop_ratio) * 10000.0 + 0.5) / 10000.0 AS quality
+        FROM r ORDER BY doc_id
+    """,
+    "q31_fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents ORDER BY doc_id
+    """,
+    # q32_approx_distinct / q33_lsh_topk: intentionally no oracle
+    # (approximate results; driver records rows-only check).
+}
