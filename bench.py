@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the declared query surface and prints ONE
+JSON line ``{"metric": ..., "value": N, "unit": "sec", "queries":
+{...}, "sf": ...}``.
+
+Config via env:
+- ``SPARK_GRAFT_SF_DIR``  data dir (default /root/testdata/sf0.1)
+- ``SPARK_GRAFT_CPUS``    local[] parallelism (default all cores)
+- ``BENCH_RUNS``          timed runs per query (default 1; use 3 for
+                          median when establishing BASELINE.md)
+- ``BENCH_QUERIES``       comma-separated subset (default: all)
+
+Each query is forced through full materialization with the ``noop``
+sink (no driver collect bottleneck, no result truncation) — the same
+way a cluster job would be measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_lake_project_spark.queries import QUERIES
+from data_lake_project_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("BENCH_RUNS", "1"))
+    subset = os.environ.get("BENCH_QUERIES")
+    names = subset.split(",") if subset else list(QUERIES)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not session startup.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

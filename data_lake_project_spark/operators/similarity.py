@@ -90,25 +90,24 @@ def lsh_bucketed_topk(
 
     Hyperplanes are deterministic pseudo-random vectors derived from
     ``md5`` of (bit, dim) — reproducible across runs without an RNG.
+    They are constants, so they are computed driver-side and embedded
+    as literal arrays (a per-row md5 expression tree was ~8x slower).
     Probes search only their own bucket; recall grows with fewer bits
     or multi-probe (flip one bit) which is enabled here.
     """
+    import hashlib
+
     dim = len(corpus.select(vec_col).first()[0])
 
     def plane(bit: int):
         # Deterministic +-1 hyperplane from md5 parity per dimension.
-        return F.array(
-            *[
-                F.when(
-                    F.conv(F.substring(F.md5(F.lit(f"{bit}:{d}")), 1, 4), 16, 10)
-                    .cast("long")
-                    % 2
-                    == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                for d in range(dim)
-            ]
-        )
+        vals = [
+            1.0
+            if int(hashlib.md5(f"{bit}:{d}".encode()).hexdigest()[:4], 16) % 2 == 0
+            else -1.0
+            for d in range(dim)
+        ]
+        return F.array(*[F.lit(v) for v in vals])
 
     def signature(vcol):
         bits_cols = []

@@ -1,0 +1,34 @@
+"""Structured Streaming surface (SURVEY.md §2.8, M3).
+
+Re-expresses the reference's only Spark pipeline — Kafka topic →
+cast/from_json/flatten → keyed sink (``spark_stream/spark_stream.py``)
+— with the weaknesses fixed (checkpointing, idempotent writes) and
+the reference-absent surface added (watermarks, event-time windows,
+session windows, streaming dedup).
+"""
+
+from data_lake_project_spark.streaming.pipeline import (
+    EVENT_SCHEMA,
+    file_stream_source,
+    kafka_source,
+    parse_events,
+    write_idempotent_foreach_batch,
+)
+from data_lake_project_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+
+__all__ = [
+    "EVENT_SCHEMA",
+    "kafka_source",
+    "file_stream_source",
+    "parse_events",
+    "write_idempotent_foreach_batch",
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "stream_dedup",
+]

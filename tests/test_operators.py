@@ -1,0 +1,161 @@
+"""Unit + property tests for the operator library (SURVEY.md §5.2/§5.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_lake_project_spark.functions import clamp, contains_ci, parse_number, pround
+from data_lake_project_spark.operators import dedup as D
+from data_lake_project_spark.operators.asof import asof_join
+from data_lake_project_spark.operators.interval import iou_join
+from data_lake_project_spark.operators.similarity import brute_force_topk
+
+
+def test_parse_number_decimal_comma(spark):
+    # notePresentation.py:73-76 semantics incl. thousands spaces
+    df = spark.createDataFrame(
+        [("3,5",), (" 1 234,56 ",), ("42",), ("-7,25",)], ["s"]
+    )
+    vals = [r[0] for r in df.select(parse_number("s")).collect()]
+    assert vals == [3.5, 1234.56, 42.0, -7.25]
+
+
+def test_clamp_and_contains(spark):
+    df = spark.createDataFrame([(-5, "Compte COURANT",)], ["x", "t"])
+    row = df.select(
+        clamp(F.col("x"), 0, 100).alias("c"),
+        contains_ci("t", "courant").alias("hit"),
+        contains_ci("t", "absent").alias("miss"),
+    ).first()
+    assert row.c == 0 and row.hit and not row.miss
+
+
+def test_pround_half_boundary(spark):
+    import math
+
+    xs = [2.675, 2.665, -1.005]
+    df = spark.createDataFrame([(x,) for x in xs], ["x"])
+    vals = [r[0] for r in df.select(pround(F.col("x"), 2)).collect()]
+    # must equal the identical IEEE formula evaluated anywhere else
+    assert vals == [math.floor(x * 100.0 + 0.5) / 100.0 for x in xs]
+
+
+def test_asof_join_basic(spark):
+    orders = spark.createDataFrame(
+        [Row(k=1, t=10, oid="a"), Row(k=1, t=5, oid="b"), Row(k=2, t=7, oid="c")]
+    )
+    events = spark.createDataFrame(
+        [
+            Row(k=1, et=4, ev="e1", eid=1),
+            Row(k=1, et=10, ev="e2", eid=2),
+            Row(k=1, et=10, ev="e3", eid=3),  # tie on time -> max eid wins
+            Row(k=2, et=9, ev="e4", eid=4),   # after order -> no match
+        ]
+    )
+    out = {
+        r.oid: (r.ev,)
+        for r in asof_join(
+            orders,
+            events,
+            on="k",
+            left_time="t",
+            right_time="et",
+            right_values=["ev"],
+            right_tiebreak="eid",
+        ).collect()
+    }
+    assert out["a"] == ("e3",)   # t=10 ties included, eid=3 wins
+    assert out["b"] == ("e1",)   # only et=4 <= 5
+    assert out["c"] == (None,)   # no event at or before 7
+
+
+def test_asof_join_strict(spark):
+    left = spark.createDataFrame([Row(k=1, t=10, oid="a")])
+    right = spark.createDataFrame([Row(k=1, et=10, ev="same", eid=1)])
+    out = asof_join(
+        left, right, "k", "t", "et", ["ev"], strict=True, right_tiebreak="eid"
+    ).first()
+    assert out.ev is None  # strict: et < t required
+
+
+def test_iou_join_matches_cross_join(spark):
+    """Property: bucketed interval join == brute-force cross join."""
+    cells = spark.range(25).select(
+        F.col("id").alias("cell_id"),
+        ((F.col("id") % 5) * 20).cast("double").alias("c_x1"),
+        ((F.col("id") / 5).cast("long") * 20).cast("double").alias("c_y1"),
+        ((F.col("id") % 5) * 20 + 20).cast("double").alias("c_x2"),
+        ((F.col("id") / 5).cast("long") * 20 + 20).cast("double").alias("c_y2"),
+    )
+    boxes = spark.range(60).select(
+        F.col("id").alias("box_id"),
+        ((F.col("id") * 11) % 95).cast("double").alias("b_x1"),
+        ((F.col("id") * 17) % 93).cast("double").alias("b_y1"),
+        ((F.col("id") * 11) % 95 + 4 + (F.col("id") % 9)).cast("double").alias("b_x2"),
+        ((F.col("id") * 17) % 93 + 3 + (F.col("id") % 6)).cast("double").alias("b_y2"),
+    )
+    fast = iou_join(cells, boxes, bucket=20.0, min_iou=0.05)
+    from data_lake_project_spark.operators.interval import iou
+
+    slow = cells.crossJoin(boxes).filter(iou("c_", "b_") > 0.05)
+    f_pairs = {(r.cell_id, r.box_id) for r in fast.collect()}
+    s_pairs = {(r.cell_id, r.box_id) for r in slow.collect()}
+    assert f_pairs == s_pairs and len(s_pairs) > 0
+
+
+def test_exact_dedup_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "bb"), (4, "bb"), (5, "cc")],
+        ["doc_id", "text"],
+    )
+    once = D.exact_dedup(df)
+    twice = D.exact_dedup(once.select("doc_id", "text"))
+    assert sorted(r.doc_id for r in once.collect()) == [1, 3, 5]
+    assert sorted(r.doc_id for r in twice.collect()) == [1, 3, 5]
+
+
+def test_minhash_finds_planted_neardup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words describing an unrelated topic entirely here now"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    sh = D.shingles(df, k=3)
+    sig = D.minhash_signatures(sh, num_hashes=8)
+    cand = {(r.id_a, r.id_b) for r in D.minhash_candidates(sig, band_size=2).collect()}
+    assert (1, 2) in cand
+    assert (1, 3) not in cand and (2, 3) not in cand
+    verified = D.jaccard_verify(
+        D.minhash_candidates(sig, band_size=2), sh, threshold=0.5
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in verified] == [(1, 2)]
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six seven"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc_id: r.simhash for r in D.simhash16(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
+
+
+def test_brute_force_topk_self_similarity(spark):
+    rows = [
+        Row(vec_id=i, embedding=[float(i == j) for j in range(4)])
+        for i in range(4)
+    ]
+    corpus = spark.createDataFrame(rows)
+    # duplicate of vec 0 as probe -> nearest neighbor must be vec 0
+    probes = spark.createDataFrame(
+        [Row(probe_id=100, embedding=[1.0, 0.0, 0.0, 0.0])]
+    )
+    top = brute_force_topk(corpus, probes, k=1).first()
+    assert top.vec_id == 0 and top.cosine == 1.0
