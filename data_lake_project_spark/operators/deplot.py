@@ -39,7 +39,7 @@ def parse_deplot(
         F.trim(F.element_at(lines, 1)).alias("title"),
         F.transform(
             F.element_at(F.transform(F.slice(lines, 2, 1), lambda s: F.split(s, r"\|")), 1),
-            F.trim,
+            lambda c: F.trim(c),
         ).alias("header"),
         F.slice(lines, 3, 10000).alias("data_lines"),
     )
@@ -53,7 +53,7 @@ def parse_deplot(
         "title",
         "header",
         "row_idx",
-        F.transform(F.split("line", r"\|"), F.trim).alias("cells"),
+        F.transform(F.split("line", r"\|"), lambda c: F.trim(c)).alias("cells"),
     )
     # first cell = x (e.g. the year), remaining cells pair with header[2:]
     return (
@@ -69,7 +69,9 @@ def parse_deplot(
         .select(
             id_col,
             "title",
-            F.element_at(F.col("header"), F.col("col_idx") + 1).alias(
+            # header[1] labels the x column; data cell i pairs with
+            # header[i+2] (activity_test.py:103-108)
+            F.element_at(F.col("header"), F.col("col_idx") + 2).alias(
                 "series_label"
             ),
             "x",

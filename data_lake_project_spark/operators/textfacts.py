@@ -109,21 +109,21 @@ def extract_facts(
         .otherwise(F.lit("-"))
         .alias("sign"),
     )
+    # A sentiment only counts when it lies within the 25-token
+    # lookback; out-of-window rows degrade to sign=NULL (value still
+    # emitted unsigned) rather than dropping the value.
+    in_window = (F.col("s_pos") < F.col("v_pos")) & (
+        F.col("v_pos") - F.col("s_pos") <= 25
+    )
     signed = (
         paired.join(sentiments, on=id_col, how="left")
-        .filter(
-            F.col("s_pos").isNull()
-            | (
-                (F.col("s_pos") < F.col("v_pos"))
-                & (F.col("v_pos") - F.col("s_pos") <= 25)
-            )
-        )
+        .withColumn("sign", F.when(in_window, F.col("sign")))
         .withColumn(
             "srn",
             F.row_number().over(
                 Window.partitionBy(id_col, "v_pos").orderBy(
-                    F.coalesce(
-                        F.col("v_pos") - F.col("s_pos"), F.lit(1_000_000)
+                    F.when(in_window, F.col("v_pos") - F.col("s_pos")).otherwise(
+                        F.lit(1_000_000)
                     )
                 )
             ),

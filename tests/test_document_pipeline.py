@@ -1,0 +1,259 @@
+"""Golden-output tests for the document-pipeline operators with model
+calls stubbed (SURVEY.md §5.2) — grid reconstruction from fixed OCR
+boxes (tableExtract.py:112-200 semantics), DePlot string parse
+(activity_test.py:99-112), value/year/sign association
+(texteExtract.py:95-129), keyword-scan first-match (kpis_search.py:21-54),
+and the end-to-end multimodal flow with deterministic fakes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from data_lake_project_spark.multimodal import (
+    explode_pages,
+    fake_ocr_lines,
+    fake_rasterize,
+    ocr_pages,
+)
+from data_lake_project_spark.operators.deplot import parse_deplot
+from data_lake_project_spark.operators.grid import grid_reconstruct, reconstruct_page
+from data_lake_project_spark.operators.keyword_scan import (
+    find_first_page,
+    find_first_page_per_doc,
+)
+from data_lake_project_spark.operators.textfacts import extract_facts, facts_by_year
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# grid reconstruction
+# --------------------------------------------------------------------------
+
+
+def test_reconstruct_page_2x2_golden():
+    # a clean 2x2 table: boxes laid out in two visual rows / two columns
+    boxes = np.array(
+        [
+            [10.0, 10.0, 40.0, 20.0],  # r0 c0
+            [60.0, 10.0, 90.0, 20.0],  # r0 c1
+            [10.0, 40.0, 40.0, 50.0],  # r1 c0
+            [60.0, 40.0, 90.0, 50.0],  # r1 c1
+        ]
+    )
+    texts = ["a", "b", "c", "d"]
+    cells = reconstruct_page(boxes, texts, page_w=100.0, page_h=60.0)
+    assert cells == [(0, 0, "a"), (0, 1, "b"), (1, 0, "c"), (1, 1, "d")]
+
+
+def test_reconstruct_page_missing_cell():
+    # sparse table: no box at (row 1, col 1) -> that cell is absent
+    boxes = np.array(
+        [
+            [10.0, 10.0, 40.0, 20.0],
+            [60.0, 10.0, 90.0, 20.0],
+            [10.0, 40.0, 40.0, 50.0],
+        ]
+    )
+    cells = reconstruct_page(boxes, ["a", "b", "c"], 100.0, 60.0)
+    assert (0, 0, "a") in cells and (1, 0, "c") in cells
+    assert all((r, c) != (1, 1) for r, c, _ in cells)
+
+
+def test_reconstruct_page_empty():
+    assert reconstruct_page(np.zeros((0, 4)), [], 100.0, 60.0) == []
+
+
+def test_grid_reconstruct_distributed_matches_local(spark):
+    rows = []
+    for doc in (1, 2):
+        for r in range(3):
+            for c in range(2):
+                rows.append(
+                    (
+                        doc,
+                        1,
+                        float(c * 50 + 5),
+                        float(r * 30 + 5),
+                        float(c * 50 + 45),
+                        float(r * 30 + 25),
+                        f"d{doc}r{r}c{c}",
+                    )
+                )
+    df = spark.createDataFrame(
+        rows, "doc_id long, page int, x1 double, y1 double, x2 double, y2 double, text string"
+    )
+    out = (
+        grid_reconstruct(df, page_w=100.0, page_h=90.0)
+        .orderBy("doc_id", "row_idx", "col_idx")
+        .collect()
+    )
+    assert len(out) == 12
+    assert out[0].cell_text == "d1r0c0"
+    assert out[-1].cell_text == "d2r2c1"
+    # row/col indices follow visual order
+    assert [r.row_idx for r in out[:6]] == [0, 0, 1, 1, 2, 2]
+
+
+# --------------------------------------------------------------------------
+# DePlot linearized-table parse
+# --------------------------------------------------------------------------
+
+
+def test_parse_deplot_golden(spark):
+    linearized = (
+        "TITLE | Production annuelle <0x0A> "
+        "Annee | Agricole | Industrie <0x0A> "
+        "2021 | 3,5 | 10,1 <0x0A> "
+        "2022 | 4,0 | 11,5"
+    )
+    df = spark.createDataFrame([(1, linearized)], "chart_id int, deplot string")
+    out = parse_deplot(df).orderBy("x", "series_label").collect()
+    assert len(out) == 4
+    got = {(r.x, r.series_label): r.value for r in out}
+    # decimal-comma parse (notePresentation.py:73-76)
+    assert got[("2021", "Agricole")] == 3.5
+    assert got[("2022", "Industrie")] == 11.5
+    assert all(r.title == "TITLE | Production annuelle".split("<")[0].strip() or True for r in out)
+    assert out[0].title.startswith("TITLE")
+
+
+def test_parse_deplot_ragged_rows(spark):
+    # data row wider than the header: extra cells dropped
+    # (activity_test.py:103-108 sliced to header length)
+    linearized = "T <0x0A> X | A <0x0A> 2020 | 1,0 | 9,9"
+    df = spark.createDataFrame([(1, linearized)], "chart_id int, deplot string")
+    out = parse_deplot(df).collect()
+    assert len(out) == 1
+    assert out[0].value == 1.0 and out[0].series_label == "A"
+
+
+# --------------------------------------------------------------------------
+# value/year/sign association (texteExtract semantics)
+# --------------------------------------------------------------------------
+
+
+def test_extract_facts_nearest_following_year(spark):
+    text = "une hausse de 3,5% en 2021 puis une baisse de 1,2% en 2022"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = extract_facts(df).collect()
+    assert [(r.year, r.signed_value) for r in out] == [
+        ("2021", "+3,5%"),
+        ("2022", "-1,2%"),
+    ]
+
+
+def test_extract_facts_detached_unit_token(spark):
+    # unit as its own token ("5 millions") — spaCy pattern allowed this
+    text = "un excedent de 5 millions en 2023"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = extract_facts(df).collect()
+    assert [(r.year, r.signed_value) for r in out] == [("2023", "+5 millions")]
+
+
+def test_extract_facts_sign_beyond_25_tokens_ignored(spark):
+    filler = " ".join(["mot"] * 30)
+    text = f"hausse {filler} 7% en 2020"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = extract_facts(df).collect()
+    # sentiment word is 31 tokens back -> no sign attributed
+    assert [(r.year, r.signed_value) for r in out] == [("2020", "7%")]
+
+
+def test_extract_facts_value_without_following_year_dropped(spark):
+    # nearest-FOLLOWING-year semantics: a value after the last year
+    # has no year to pair with (texteExtract.py:99 distance >= 0)
+    text = "en 2019 le deficit atteint 2,1%"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    assert extract_facts(df).count() == 0
+
+
+def test_facts_by_year_groups_in_document_order(spark):
+    text = "hausse de 1% et baisse de 2% en 2021"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = facts_by_year(df).collect()
+    assert len(out) == 1
+    assert out[0].year == "2021"
+    assert out[0].values == ["+1%", "-2%"]
+
+
+# --------------------------------------------------------------------------
+# keyword scan
+# --------------------------------------------------------------------------
+
+
+def test_find_first_page_forward_and_reverse(spark):
+    pages = spark.createDataFrame(
+        [(1, 1, "intro"), (1, 2, "Annexe A"), (1, 3, "annexe B"), (1, 4, "fin")],
+        "doc_id long, page int, text string",
+    )
+    fwd = find_first_page(pages, "annexe").collect()
+    rev = find_first_page(pages, "annexe", reverse=True).collect()
+    assert fwd[0].page == 2  # first match, case-insensitive
+    assert rev[0].page == 3  # reverse scan: last page first
+
+
+def test_find_first_page_per_doc(spark):
+    pages = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "kpi here"), (2, 5, "KPI"), (2, 6, "kpi again"), (3, 1, "none")],
+        "doc_id long, page int, text string",
+    )
+    out = {
+        r.doc_id: r.page
+        for r in find_first_page_per_doc(pages, "kpi").collect()
+    }
+    assert out == {1: 2, 2: 5}
+    rev = {
+        r.doc_id: r.page
+        for r in find_first_page_per_doc(pages, "kpi", reverse=True).collect()
+    }
+    assert rev == {1: 2, 2: 6}
+
+
+# --------------------------------------------------------------------------
+# multimodal end-to-end with deterministic fakes
+# --------------------------------------------------------------------------
+
+
+def test_multimodal_pipeline_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [("a.pdf", b"doc-one-bytes"), ("b.pdf", b"doc-two-bytes")],
+        "path string, content binary",
+    )
+    pages = explode_pages(docs, rasterize=fake_rasterize)
+    pages_pd = pages.toPandas().sort_values(["path", "page"])
+    # page counts are deterministic functions of the blob hash
+    expected_counts = {
+        p: len(fake_rasterize(c)) for p, c in [("a.pdf", b"doc-one-bytes"), ("b.pdf", b"doc-two-bytes")]
+    }
+    assert pages_pd.groupby("path").size().to_dict() == expected_counts
+    assert (pages_pd.groupby("path")["page"].min() == 1).all()
+
+    lines = ocr_pages(pages, ocr=fake_ocr_lines)
+    lines_pd = lines.toPandas()
+    assert set(lines_pd.columns) == {"path", "page", "x1", "y1", "x2", "y2", "text"}
+    assert len(lines_pd) > 0
+    # every line box lies inside its page bounds
+    wh = pages_pd.set_index(["path", "page"])[["width", "height"]]
+    joined = lines_pd.join(wh, on=["path", "page"])
+    assert (joined["x2"] <= joined["width"]).all()
+    assert (joined["y2"] <= joined["height"]).all()
+
+    # feed OCR lines into the grid operator: full doc->table flow
+    ocr_df = lines.withColumnRenamed("path", "doc_path").selectExpr(
+        "abs(hash(doc_path)) as doc_id",
+        "page",
+        "cast(x1 as double) x1",
+        "cast(y1 as double) y1",
+        "cast(x2 as double) x2",
+        "cast(y2 as double) y2",
+        "text",
+    )
+    grid = grid_reconstruct(ocr_df).toPandas()
+    assert len(grid) > 0
+    # fake OCR emits cell_{r}_{c}_* at grid positions; reconstruction
+    # must recover those coordinates
+    recovered = grid["cell_text"].str.extract(r"cell_(\d+)_(\d+)_")
+    assert (recovered[0].astype(int) == grid["row_idx"]).all()
+    assert (recovered[1].astype(int) == grid["col_idx"]).all()

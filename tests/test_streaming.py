@@ -1,0 +1,202 @@
+"""Batch↔stream equivalence tests (SURVEY.md §5.3): the same input
+processed as static files vs a file stream must produce identical
+results; the idempotent foreachBatch sink must survive a
+checkpoint-lost replay without duplicating rows (fixes reference
+Appendix B.7, ``spark_stream/spark_stream.py:217-224``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_project_spark.streaming import (
+    file_stream_source,
+    parse_events,
+    session_agg,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+    write_idempotent_foreach_batch,
+)
+from data_lake_project_spark.streaming.pipeline import to_silver
+
+EVENTS = [
+    {"id": "1", "order_date": "2024-05-01", "product_name": "a", "quantity": "2"},
+    {"id": "2", "order_date": "2024-05-01", "product_name": "b", "quantity": "3"},
+    {"id": "3", "order_date": "2024-05-02", "product_name": "a", "quantity": "5"},
+    {"id": "4", "order_date": "2024-05-03", "product_name": "c", "quantity": "1"},
+]
+
+
+def _write_source(dirpath: str, events: list[dict], files: int = 2) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    per = max(1, len(events) // files)
+    for i in range(0, len(events), per):
+        with open(os.path.join(dirpath, f"chunk_{i}.json"), "w") as fh:
+            for e in events[i : i + per]:
+                fh.write(json.dumps({"key": e["id"], "value": json.dumps(e)}) + "\n")
+
+
+def test_parse_events_flattens_and_keeps_malformed(spark):
+    raw = spark.createDataFrame(
+        [
+            ("1", json.dumps(EVENTS[0])),
+            ("x", "not json at all"),
+        ],
+        "key string, value string",
+    ).select(F.col("key").cast("binary"), F.col("value").cast("binary"))
+    out = parse_events(raw).orderBy("key").collect()
+    assert [r.id for r in out] == ["1", None]  # bronze keeps malformed
+    silver = to_silver(parse_events(raw)).collect()
+    assert len(silver) == 1 and silver[0].quantity == 2
+
+
+def test_stream_matches_batch_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_source(src, EVENTS)
+
+    q = write_idempotent_foreach_batch(
+        to_silver(parse_events(file_stream_source(spark, src))),
+        out_dir=out,
+        checkpoint_dir=ckpt,
+        key_cols=["id"],
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = spark.read.parquet(os.path.join(out, "data"))
+    batch = to_silver(
+        parse_events(
+            spark.read.json(src).select(
+                F.col("key").cast("binary"), F.col("value").cast("binary")
+            )
+        )
+    )
+    assert sorted(streamed.collect()) == sorted(batch.collect())
+
+
+def test_idempotent_sink_survives_checkpoint_loss(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_source(src, EVENTS)
+
+    pipeline = lambda: write_idempotent_foreach_batch(  # noqa: E731
+        to_silver(parse_events(file_stream_source(spark, src))),
+        out_dir=out,
+        checkpoint_dir=ckpt,
+        key_cols=["id"],
+    )
+    q = pipeline()
+    q.processAllAvailable()
+    q.stop()
+    n_first = spark.read.parquet(os.path.join(out, "data")).count()
+
+    # lose the checkpoint -> every micro-batch replays with the same
+    # batch ids; the committed-batch markers must make them no-ops
+    shutil.rmtree(ckpt)
+    q = pipeline()
+    q.processAllAvailable()
+    q.stop()
+    n_second = spark.read.parquet(os.path.join(out, "data")).count()
+    assert n_first == n_second == len(EVENTS)
+
+
+@pytest.fixture()
+def ts_events(spark):
+    rows = [
+        ("u1", "2024-05-01 10:00:00", 1.0),
+        ("u1", "2024-05-01 10:04:00", 2.0),
+        ("u1", "2024-05-01 10:21:00", 4.0),  # > 15 min gap: new session
+        ("u2", "2024-05-01 10:02:00", 8.0),
+        ("u2", "2024-05-01 11:30:00", 16.0),
+    ]
+    return spark.createDataFrame(rows, "user_id string, ts_s string, value double").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+
+
+def _stream_from(spark, df, tmp_path, name):
+    path = str(tmp_path / name)
+    df.select("user_id", F.col("ts").cast("string").alias("ts_s"), "value").coalesce(
+        1
+    ).write.mode("overwrite").json(path)
+    return (
+        spark.readStream.schema("user_id string, ts_s string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+        .select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    )
+
+
+def _run_to_memory(spark, streamed_df, name, mode="complete"):
+    q = (
+        streamed_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+@pytest.mark.parametrize(
+    "agg_fn,kwargs",
+    [
+        (tumbling_agg, {"duration": "10 minutes"}),
+        (sliding_agg, {"duration": "10 minutes", "slide": "5 minutes"}),
+        (session_agg, {"gap": "15 minutes"}),
+    ],
+    ids=["tumbling", "sliding", "session"],
+)
+def test_windowed_agg_stream_equals_batch(spark, tmp_path, ts_events, agg_fn, kwargs):
+    aggs = [
+        F.sum("value").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    batch = agg_fn(ts_events, "ts", agg_exprs=aggs, keys=["user_id"], **kwargs)
+    stream_in = _stream_from(spark, ts_events, tmp_path, f"win_{agg_fn.__name__}")
+    streamed = _run_to_memory(
+        spark,
+        agg_fn(stream_in, "ts", agg_exprs=aggs, keys=["user_id"], **kwargs),
+        f"mem_{agg_fn.__name__}",
+    )
+
+    def canon(df):
+        return sorted(
+            (r.win.start, r.win.end, r.user_id, r.total, r.n) for r in df.collect()
+        )
+
+    assert canon(batch) == canon(streamed)
+    assert len(canon(batch)) > 0
+
+
+def test_stream_dedup_bounded_state(spark, tmp_path):
+    rows = [
+        ("k1", "2024-05-01 10:00:00"),
+        ("k1", "2024-05-01 10:00:00"),  # exact duplicate
+        ("k2", "2024-05-01 10:05:00"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_s string").select(
+        "k", F.to_timestamp("ts_s").alias("ts")
+    )
+    path = str(tmp_path / "dedup_src")
+    df.select("k", F.col("ts").cast("string").alias("ts_s")).coalesce(1).write.mode(
+        "overwrite"
+    ).json(path)
+    stream_in = (
+        spark.readStream.schema("k string, ts_s string")
+        .json(path)
+        .select("k", F.to_timestamp("ts_s").alias("ts"))
+    )
+    deduped = stream_dedup(stream_in, ["k", "ts"], ts_col="ts")
+    out = _run_to_memory(spark, deduped, "mem_dedup", mode="append")
+    assert sorted(r.k for r in out.collect()) == ["k1", "k2"]
