@@ -1,0 +1,159 @@
+"""Lakehouse table layout (SURVEY.md §7.1 M2): bronze/silver/gold
+medallion zones, DDL-style table ensure, partitioned writes.
+
+Reference analogs: ``setup_cassandra`` keyspace/table DDL
+(``spark_stream/spark_stream.py:42-89``) becomes ``ensure_table``;
+the /tmp-filesystem handoff between Airflow tasks
+(``dags/GetData.py:140-168``) becomes typed zone tables that each
+pipeline stage reads from and writes to.
+
+Storage is plain parquet plus a tiny JSON manifest (no Delta jars in
+this environment; with delta-spark on the cluster image, ``format``
+flips to "delta" and ``ensure_table``/MERGE map onto native DDL —
+the interface is the contract, SURVEY.md §7.1 M2).
+
+Scale design:
+- every table is hive-partitioned on declared columns, so partition
+  pruning applies to any filter on them (`.explain` shows
+  ``PartitionFilters``);
+- writers use dynamic partition overwrite (only touched partitions
+  rewritten), which is how a 100 TB table takes per-day updates
+  without a full rewrite;
+- zone paths are URI-agnostic (local, ``hdfs://``, ``s3a://``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+ZONES = ("bronze", "silver", "gold")
+
+
+class Lakehouse:
+    """A rooted medallion layout: ``<root>/<zone>/<table>``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        # only-touched-partitions overwrite semantics for partitioned
+        # writes (the 100 TB-friendly default)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- layout ------------------------------------------------------------
+
+    def path(self, zone: str, table: str) -> str:
+        if zone not in ZONES:
+            raise ValueError(f"unknown zone {zone!r}; expected one of {ZONES}")
+        return os.path.join(self.root, zone, table)
+
+    def _manifest(self, zone: str, table: str) -> str:
+        return os.path.join(self.path(zone, table), "_table_manifest.json")
+
+    # -- DDL (S4 analog) ---------------------------------------------------
+
+    def ensure_table(
+        self,
+        zone: str,
+        table: str,
+        schema: StructType | str,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """CREATE TABLE IF NOT EXISTS (``spark_stream.py:71-89``): a
+        no-op when the table already exists, otherwise records schema +
+        partitioning and writes an empty parquet skeleton so readers
+        never race a first writer."""
+        if self.exists(zone, table):
+            return
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        empty = self.spark.createDataFrame([], schema)
+        writer = empty.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.path(zone, table), "data"))
+        os.makedirs(self.path(zone, table), exist_ok=True)
+        with open(self._manifest(zone, table), "w") as fh:
+            json.dump(
+                {"schema": schema.json(), "partition_by": partition_by or []},
+                fh,
+            )
+
+    def exists(self, zone: str, table: str) -> bool:
+        return os.path.exists(self._manifest(zone, table))
+
+    def partitioning(self, zone: str, table: str) -> list[str]:
+        with open(self._manifest(zone, table)) as fh:
+            return json.load(fh)["partition_by"]
+
+    # -- I/O ---------------------------------------------------------------
+
+    def read(self, zone: str, table: str) -> DataFrame:
+        # schema comes from the manifest, not footer inference: stable
+        # under empty tables (a partitioned empty write has no files)
+        # and skips the file-listing schema merge on wide tables
+        with open(self._manifest(zone, table)) as fh:
+            schema = StructType.fromJson(json.loads(json.load(fh)["schema"]))
+        return self.spark.read.schema(schema).parquet(
+            os.path.join(self.path(zone, table), "data")
+        )
+
+    def append(self, zone: str, table: str, df: DataFrame) -> None:
+        """Blind append (bronze ingest): at-least-once callers should
+        prefer ``upsert_partitions`` or the streaming module's
+        idempotent sink."""
+        writer = df.write.mode("append")
+        parts = self.partitioning(zone, table)
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(os.path.join(self.path(zone, table), "data"))
+
+    def upsert_partitions(self, zone: str, table: str, df: DataFrame) -> None:
+        """Idempotent partition-level upsert: rewrites ONLY the
+        partitions present in ``df`` (dynamic partition overwrite).
+        Re-running the same load is a no-op in effect — the scalable
+        fix for the reference's duplicate-on-retry sink."""
+        parts = self.partitioning(zone, table)
+        if not parts:
+            raise ValueError(
+                "upsert_partitions requires a partitioned table; "
+                "use KeyedTable.upsert for key-level MERGE"
+            )
+        df.write.mode("overwrite").partitionBy(*parts).parquet(
+            os.path.join(self.path(zone, table), "data")
+        )
+
+    # -- medallion flow ----------------------------------------------------
+
+    def promote(
+        self,
+        src_zone: str,
+        dst_zone: str,
+        table: str,
+        transform,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Run ``transform(df)`` from one zone into the next (e.g.
+        bronze→silver typed cast, silver→gold aggregate) and land the
+        result. Returns the written DataFrame."""
+        out = transform(self.read(src_zone, table))
+        self.ensure_table(dst_zone, table, out.schema, partition_by)
+        if partition_by:
+            self.upsert_partitions(dst_zone, table, out)
+        else:
+            out.write.mode("overwrite").parquet(
+                os.path.join(self.path(dst_zone, table), "data")
+            )
+        return out
+
+
+def with_ingest_metadata(df: DataFrame, source: str) -> DataFrame:
+    """Bronze-layer lineage columns every ingest gets: source tag +
+    load date (the partition column of choice for 100 TB bronze)."""
+    return df.withColumn("_source", F.lit(source)).withColumn(
+        "_load_date", F.current_date()
+    )

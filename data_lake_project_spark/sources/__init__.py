@@ -17,8 +17,9 @@ The reference's ingest surface re-expressed:
 from __future__ import annotations
 
 import os
+import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -115,9 +116,7 @@ class KeyedTable:
             .withColumn(
                 "__rn",
                 F.row_number().over(
-                    __import__(
-                        "pyspark.sql.window", fromlist=["Window"]
-                    ).Window.partitionBy(self.key_col).orderBy("__prio")
+                    Window.partitionBy(self.key_col).orderBy("__prio")
                 ),
             )
             .filter(F.col("__rn") == 1)
@@ -127,6 +126,4 @@ class KeyedTable:
         merged.write.mode("overwrite").parquet(tmp)
         final = self.spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(self._data)
-        import shutil
-
         shutil.rmtree(tmp, ignore_errors=True)

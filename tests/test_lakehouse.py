@@ -1,0 +1,117 @@
+"""Tests for the M2 lakehouse layer (DDL ensure, partitioned upsert
+idempotence, medallion promote) and the sources module (CSV
+round-trip with reference quote semantics, UUID-keyed JSON records,
+KeyedTable MERGE-on-key).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from data_lake_project_spark.lakehouse import Lakehouse, with_ingest_metadata
+from data_lake_project_spark.sources import (
+    KeyedTable,
+    read_csv,
+    to_keyed_json_records,
+    write_csv,
+)
+
+
+def test_ensure_table_is_idempotent(spark, tmp_path):
+    lh = Lakehouse(spark, str(tmp_path))
+    lh.ensure_table("bronze", "ev", "id string, d date, v int", ["d"])
+    lh.ensure_table("bronze", "ev", "id string, d date, v int", ["d"])  # no-op
+    assert lh.exists("bronze", "ev")
+    assert lh.partitioning("bronze", "ev") == ["d"]
+    assert lh.read("bronze", "ev").count() == 0
+
+
+def test_upsert_partitions_idempotent_and_partial(spark, tmp_path):
+    lh = Lakehouse(spark, str(tmp_path))
+    lh.ensure_table("silver", "ev", "id string, d string, v int", ["d"])
+    day1 = spark.createDataFrame(
+        [("a", "2024-05-01", 1), ("b", "2024-05-01", 2)], "id string, d string, v int"
+    )
+    day2 = spark.createDataFrame(
+        [("c", "2024-05-02", 3)], "id string, d string, v int"
+    )
+    lh.upsert_partitions("silver", "ev", day1)
+    lh.upsert_partitions("silver", "ev", day2)
+    # replay day1 (retry after failure): must not duplicate, must not
+    # touch day2's partition
+    lh.upsert_partitions("silver", "ev", day1)
+    out = lh.read("silver", "ev")
+    assert out.count() == 3
+    assert out.filter(F.col("d") == "2024-05-02").count() == 1
+    # corrected day1 replaces, not appends
+    day1_fixed = spark.createDataFrame(
+        [("a", "2024-05-01", 99)], "id string, d string, v int"
+    )
+    lh.upsert_partitions("silver", "ev", day1_fixed)
+    out = lh.read("silver", "ev")
+    assert out.count() == 2
+    assert out.filter("id = 'a'").first().v == 99
+
+
+def test_promote_bronze_to_silver(spark, tmp_path):
+    lh = Lakehouse(spark, str(tmp_path))
+    raw = spark.createDataFrame(
+        [("1", "2024-05-01", "7"), ("", "2024-05-02", "x")],
+        "id string, order_date string, quantity string",
+    )
+    lh.ensure_table("bronze", "orders", raw.schema)
+    lh.append("bronze", "orders", with_ingest_metadata(raw, "test").drop(
+        "_source", "_load_date"
+    ))
+
+    def typed(df):
+        return df.filter(F.col("id") != "").select(
+            "id",
+            F.to_date("order_date").alias("order_date"),
+            F.col("quantity").cast("int").alias("quantity"),
+        )
+
+    out = lh.promote("bronze", "silver", "orders", typed)
+    silver = lh.read("silver", "orders")
+    assert silver.count() == out.count() == 1
+    assert dict(silver.dtypes)["quantity"] == "int"
+
+
+def test_csv_roundtrip_reference_quote_semantics(spark, tmp_path):
+    # quoted field containing the delimiter — pandas quotechar='"'
+    # semantics (GetData.py:33)
+    src = tmp_path / "in.csv"
+    src.write_text('name,desc\nwidget,"a, b"\ngadget,plain\n')
+    df = read_csv(spark, str(src))
+    rows = {r.name: r.desc for r in df.collect()}
+    assert rows == {"widget": "a, b", "gadget": "plain"}
+    out = str(tmp_path / "out")
+    write_csv(df, out)
+    back = read_csv(spark, out)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_to_keyed_json_records(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    out = to_keyed_json_records(df).collect()
+    assert len(out) == 2
+    # fresh UUIDs are unique; values round-trip through JSON
+    assert len({r.key for r in out}) == 2
+    assert {json.loads(r.value)["s"] for r in out} == {"a", "b"}
+    keyed = to_keyed_json_records(df, key_col="id").collect()
+    assert sorted(r.key for r in keyed) == ["1", "2"]
+
+
+def test_keyed_table_upsert_merge_semantics(spark, tmp_path):
+    t = KeyedTable(spark, str(tmp_path / "kt"), key_col="k")
+    base = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    t.upsert(base)
+    # update one key, insert another; re-run the same batch (retry)
+    upd = spark.createDataFrame([("b", 20), ("c", 3)], "k string, v int")
+    t.upsert(upd)
+    t.upsert(upd)
+    out = {r.k: r.v for r in t.read().collect()}
+    assert out == {"a": 1, "b": 20, "c": 3}
