@@ -94,3 +94,20 @@ the identical pattern runs on Spark (Java regex) and DuckDB (RE2).
 
 YEAR_RE = r"\b(1[89][0-9]{2}|20[0-9]{2})\b"
 """4-digit year pattern (``texteExtract.py:34-38`` YEAR shape)."""
+
+
+def spread(df, min_partitions: int | None = None):
+    """Ensure the map side of a compute-heavy operator has at least
+    the session's default parallelism of input partitions.
+
+    A small table (one parquet file → one partition) would otherwise
+    run the whole pre-shuffle pipeline — shingling, md5 hashing, dot
+    products — on a single core. At 100 TB inputs already carry
+    thousands of partitions, so the condition is false and this is a
+    zero-cost no-op; the round-robin repartition only ever pays its
+    (tiny-input) shuffle when parallelism is actually missing.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_lake_project_spark.functions import pround, tokens
+from data_lake_project_spark.functions import pround, spread, tokens
 
 
 def exact_dedup(
@@ -67,7 +67,8 @@ def shingles(
     # Docs shorter than k words contribute their whole text as one shingle.
     grams = F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
     return (
-        docs.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        spread(docs)
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.col("shingle") != "")
     )
 
@@ -81,16 +82,25 @@ def minhash_signatures(
 
     Output: (id, h, mh) — ``num_hashes`` rows per doc.
     """
-    hashed = shingled.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
-        F.col("shingle"),
-    ).select(
-        id_col,
-        "h",
-        F.md5(F.concat_ws(":", F.col("h"), F.col("shingle"))).alias("hv"),
+    # All num_hashes digests as COLUMNS of one row per shingle, min-
+    # aggregated per column: partial (map-side) aggregation shrinks the
+    # shuffle to num_hashes values per doc per partition, instead of
+    # shuffling an exploded num_hashes x shingles row stream. Long form
+    # (id, h, mh) is recovered after the aggregate — identical output.
+    mins = shingled.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(h)), F.col("shingle")))
+            ).alias(f"mh{h}")
+            for h in range(num_hashes)
+        ]
     )
-    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("mh"))
+    return mins.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"mh{h}") for h in range(num_hashes)])).alias(
+            "h", "mh"
+        ),
+    )
 
 
 def minhash_candidates(
@@ -175,7 +185,7 @@ def simhash16(
     vote sum is positive. Pure integer arithmetic on md5 hex — engine
     independent and oracle-checkable.
     """
-    tok = docs.select(
+    tok = spread(docs).select(
         id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     ).filter(F.col("tok") != "")
     tok = tok.withColumn("hex4", F.substring(F.md5("tok"), 1, 4))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_lake_project_spark.functions import pround
+from data_lake_project_spark.functions import pround, spread
 
 
 def _as_double(vec_col: str):
@@ -48,7 +48,7 @@ def brute_force_topk(
     noise in float summation can never reorder the result.
     Output: (probe_id, vec_id, cosine) — cosine rounded.
     """
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col), _as_double(vec_col).alias("__cv")
     ).withColumn("__cn", _norm(F.col("__cv")))
     p = probes.select(
@@ -123,7 +123,7 @@ def lsh_bucketed_topk(
             out = out + b * (2**i)
         return out
 
-    c = corpus.withColumn("__v", _as_double(vec_col)).withColumn(
+    c = spread(corpus).withColumn("__v", _as_double(vec_col)).withColumn(
         "__bucket", signature(F.col("__v"))
     )
     p = probes.withColumn("__v", _as_double(vec_col)).withColumn(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_lake_project_spark.functions import NUMERIC_FACT_RE, pround, tokens
+from data_lake_project_spark.functions import NUMERIC_FACT_RE, pround, spread, tokens
 
 # Tiny deterministic stopword lexicons; ordering of dict defines the
 # argmax tie-break (first wins).
@@ -40,7 +40,7 @@ def token_stats(
 ) -> DataFrame:
     """(id, n_tokens, n_distinct, n_bpeish) per document."""
     toks = tokens(F.col(text_col))
-    return docs.select(
+    return spread(docs).select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
@@ -57,7 +57,7 @@ def numeric_facts(
 
     Reference: spaCy Matcher VALUE pattern, ``texteExtract.py:27-33``.
     """
-    return docs.select(
+    return spread(docs).select(
         F.col(id_col),
         F.size(
             F.regexp_extract_all(F.col(text_col), F.lit(NUMERIC_FACT_RE), 0)
@@ -85,7 +85,7 @@ def language_id(
         else:
             # strictly-greater keeps the earlier language on ties
             best = F.when(score > best.getField("s"), entry).otherwise(best)
-    return docs.select(
+    return spread(docs).select(
         F.col(id_col),
         best.getField("l").alias("pred_lang"),
         best.getField("s").cast("int").alias("lid_score"),
@@ -118,7 +118,7 @@ def quality_score(
     quality = pround(
         0.5 * length_term + 0.3 * (1.0 - punct_ratio) + 0.2 * stop_ratio, 4
     )
-    return docs.select(
+    return spread(docs).select(
         F.col(id_col),
         n_chars.alias("n_chars_m"),
         n_tokens.alias("n_tokens"),
@@ -136,4 +136,4 @@ def fingerprint(
     Output: (id, fp).
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return docs.select(F.col(id_col), F.md5(norm).alias("fp"))
+    return spread(docs).select(F.col(id_col), F.md5(norm).alias("fp"))

@@ -71,7 +71,7 @@ def q03_contains_filter(spark, sf):
     """P3: case-insensitive containment predicate (``kpis_search.py:50``)."""
     p = load_table(spark, sf, "part")
     return (
-        p.filter(F.lower(F.col("p_type")).contains("brass"))
+        p.filter(F.lower(F.col("p_type")).contains("omo"))
         .select("p_partkey", "p_type")
         .orderBy("p_partkey")
     )
@@ -482,6 +482,104 @@ def q33_lsh_topk(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Document-operator queries Q34-Q36: the reference's extraction ops run
+# against corpora synthesized deterministically from the base tables —
+# the SAME SQL template builds the input on both engines, then the
+# Spark side runs the real operator while the oracle re-derives the
+# expected output independently.
+# ---------------------------------------------------------------------------
+
+# French-econ sentence template (texteExtract shapes): sentiment word /
+# none, variable filler (exercises the 25-token lookback boundary),
+# attached ("34%") and detached ("35 millions") units, a following
+# year, and sometimes a trailing value with NO following year (the
+# dropped case). Valid in both Spark SQL and DuckDB.
+FACTS_CORPUS_EXPR = """concat(
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'hausse ' WHEN 1 THEN 'baisse ' ELSE 'stable ' END,
+  repeat('mot ', CAST(doc_id % 40 AS INT)),
+  'de ', CAST(doc_id % 90 AS STRING),
+  CASE WHEN doc_id % 2 = 0 THEN '% ' ELSE ' millions ' END,
+  'en ', CAST(2000 + doc_id % 25 AS STRING),
+  CASE WHEN doc_id % 5 = 0 THEN ' et un solde de 9%' ELSE '' END)"""
+
+
+def q34_textfacts(spark, sf):
+    """Value/year/sign association (``texteExtract.py:95-129``) over a
+    synthesized econ-sentence corpus; oracle re-implements the token
+    pipeline in SQL."""
+    from data_lake_project_spark.operators.textfacts import extract_facts
+
+    d = load_table(spark, sf, "documents").selectExpr(
+        "doc_id", f"{FACTS_CORPUS_EXPR} AS text"
+    )
+    return extract_facts(d).select(
+        "doc_id",
+        "year",
+        "signed_value",
+        F.col("v_pos").cast("bigint").alias("v_pos"),
+    ).orderBy("doc_id", "v_pos")
+
+
+def q35_deplot_parse(spark, sf):
+    """DePlot linearized-table parse (``activity_test.py:99-112``):
+    charts built from region/nation, parsed by the real operator;
+    oracle derives the expected series analytically."""
+    from data_lake_project_spark.operators.deplot import parse_deplot
+
+    r = load_table(spark, sf, "region")
+    n = load_table(spark, sf, "nation")
+    charts = (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_regionkey", "r_name")
+        .agg(
+            F.concat_ws(
+                " <0x0A> ",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat(
+                            F.col("n_name"),
+                            F.lit(" | "),
+                            F.col("n_nationkey").cast("string"),
+                            F.lit(",5"),
+                        )
+                    )
+                ),
+            ).alias("body")
+        )
+        .select(
+            F.col("r_regionkey").alias("chart_id"),
+            F.concat(
+                F.lit("Region "),
+                F.col("r_name"),
+                F.lit(" <0x0A> Pays | Valeur <0x0A> "),
+                F.col("body"),
+            ).alias("deplot"),
+        )
+    )
+    return (
+        parse_deplot(charts)
+        .select("chart_id", "title", "series_label", "x", "value")
+        .orderBy("chart_id", "x")
+    )
+
+
+def q36_keyword_scan(spark, sf):
+    """Directional first-match keyword scan (``kpis_search.py:21-54``)
+    corpus-wide: documents regrouped as (doc, page) pages, first page
+    containing the keyword per doc via min_by."""
+    from data_lake_project_spark.operators.keyword_scan import (
+        find_first_page_per_doc,
+    )
+
+    pages = load_table(spark, sf, "documents").selectExpr(
+        "doc_id % 50 AS doc", "doc_id div 50 AS page", "text"
+    )
+    return find_first_page_per_doc(
+        pages, "vector", doc_col="doc", text_col="text", page_col="page"
+    ).orderBy("doc")
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -520,6 +618,9 @@ QUERIES: dict[str, QueryFn] = {
     "q31_fingerprint": q31_fingerprint,
     "q32_approx_distinct": q32_approx_distinct,
     "q33_lsh_topk": q33_lsh_topk,
+    "q34_textfacts": q34_textfacts,
+    "q35_deplot_parse": q35_deplot_parse,
+    "q36_keyword_scan": q36_keyword_scan,
 }
 
 _SHINGLE_CTE = """
@@ -566,7 +667,7 @@ ORACLE: dict[str, str] = {
     """,
     "q03_contains_filter": """
         SELECT p_partkey, p_type FROM part
-        WHERE lower(p_type) LIKE '%brass%' ORDER BY p_partkey
+        WHERE lower(p_type) LIKE '%omo%' ORDER BY p_partkey
     """,
     "q04_equi_join": """
         SELECT n_name, r_name FROM nation
@@ -944,4 +1045,94 @@ ORACLE: dict[str, str] = {
     """,
     # q32_approx_distinct / q33_lsh_topk: intentionally no oracle
     # (approximate results; driver records rows-only check).
+    "q34_textfacts": f"""
+        WITH docs AS (
+            SELECT doc_id, {FACTS_CORPUS_EXPR} AS text FROM documents
+        ),
+        toks AS (
+            SELECT doc_id,
+                   generate_subscripts(arr, 1) - 1 AS pos,
+                   unnest(arr) AS tok
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+                  FROM docs)
+        ),
+        toks2 AS (
+            SELECT *, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tok
+            FROM toks
+        ),
+        vals AS (
+            SELECT doc_id, pos AS v_pos,
+                   tok || CASE WHEN coalesce(
+                                   regexp_matches(next_tok, '^(?:%|\\$|bbl|dollars|millions)$'),
+                                   false)
+                               AND NOT regexp_matches(tok, '(?:%|\\$|bbl)$')
+                          THEN ' ' || next_tok ELSE '' END AS value_text
+            FROM toks2
+            WHERE regexp_matches(tok, '^[0-9]+(?:[.,][0-9]+)?(?:%|\\$|bbl)?$')
+              AND NOT regexp_matches(tok, '^(?:1[89][0-9]{{2}}|20[0-9]{{2}})$')
+              AND (regexp_matches(tok, '(?:%|\\$|bbl)$')
+                   OR coalesce(regexp_matches(next_tok, '^(?:%|\\$|bbl|dollars|millions)$'), false))
+        ),
+        years AS (
+            SELECT doc_id, pos AS y_pos, tok AS year FROM toks
+            WHERE regexp_matches(tok, '^(?:1[89][0-9]{{2}}|20[0-9]{{2}})$')
+        ),
+        paired AS (
+            SELECT * FROM (
+                SELECT v.doc_id, v.v_pos, v.value_text, y.year,
+                       row_number() OVER (PARTITION BY v.doc_id, v.v_pos
+                           ORDER BY y.y_pos - v.v_pos, y.y_pos) AS rn
+                FROM vals v JOIN years y
+                  ON v.doc_id = y.doc_id AND y.y_pos >= v.v_pos
+            ) WHERE rn = 1
+        ),
+        sents AS (
+            SELECT doc_id, pos AS s_pos,
+                   CASE WHEN lower(tok) IN
+                       ('hausse','augmentation','appreciation','excedent','accroissement')
+                   THEN '+' ELSE '-' END AS sign
+            FROM toks
+            WHERE lower(tok) IN ('hausse','augmentation','appreciation',
+                                 'excedent','accroissement',
+                                 'baisse','diminution','deficit')
+        ),
+        signed AS (
+            SELECT * FROM (
+                SELECT p.doc_id, p.v_pos, p.value_text, p.year,
+                       CASE WHEN s.s_pos < p.v_pos AND p.v_pos - s.s_pos <= 25
+                            THEN s.sign END AS sign,
+                       row_number() OVER (PARTITION BY p.doc_id, p.v_pos
+                           ORDER BY CASE WHEN s.s_pos < p.v_pos
+                                          AND p.v_pos - s.s_pos <= 25
+                                     THEN p.v_pos - s.s_pos
+                                     ELSE 1000000 END) AS srn
+                FROM paired p LEFT JOIN sents s ON p.doc_id = s.doc_id
+            ) WHERE srn = 1
+        )
+        SELECT doc_id, year,
+               coalesce(sign, '') || value_text AS signed_value,
+               CAST(v_pos AS BIGINT) AS v_pos
+        FROM signed ORDER BY doc_id, v_pos
+    """,
+    "q35_deplot_parse": """
+        SELECT r_regionkey AS chart_id,
+               'Region ' || r_name AS title,
+               'Valeur' AS series_label,
+               n_name AS x,
+               CAST(n_nationkey AS DOUBLE) + 0.5 AS value
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY chart_id, x
+    """,
+    "q36_keyword_scan": """
+        WITH pages AS (
+            SELECT doc_id % 50 AS doc,
+                   doc_id // CAST(50 AS BIGINT) AS page,
+                   text
+            FROM documents
+        )
+        SELECT doc, min(page) AS page, arg_min(text, page) AS text
+        FROM pages
+        WHERE contains(lower(text), 'vector')
+        GROUP BY doc ORDER BY doc
+    """,
 }
