@@ -1,0 +1,93 @@
+"""Plan-quality guardrails (SURVEY.md §4): these tests pin the
+physical-plan properties that make the engine scale — pushdown,
+pruning, broadcast selection, no cartesian degeneration — so a
+refactor that silently de-optimizes a plan fails here instead of at
+100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lake_project_spark import plans as P
+from data_lake_project_spark.operators.interval import iou_join
+from data_lake_project_spark.queries import QUERIES
+from data_lake_project_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    df = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    P.assert_pushdown(df, "IsNotNull(o_orderstatus)", "EqualTo(o_orderstatus,F)")
+
+
+def test_column_pruning_two_column_projection(spark):
+    l = load_table(spark, SF_DIR, "lineitem")
+    df = l.select("l_orderkey", "l_quantity")
+    # a 2-column projection must not scan the wide remainder
+    P.assert_pruned(df, ["l_comment", "l_extendedprice", "l_shipdate"])
+    schemas = P.read_schemas(df)
+    assert schemas and all("l_orderkey" in s for s in schemas)
+
+
+def test_small_dim_join_broadcasts(spark):
+    df = QUERIES["q04_equi_join"](spark, SF_DIR)
+    P.assert_broadcast(df)
+    P.assert_no_cartesian(df)
+
+
+def test_multiway_join_no_cartesian(spark):
+    df = QUERIES["q05_multiway_join_agg"](spark, SF_DIR)
+    P.assert_no_cartesian(df)
+
+
+def test_interval_join_is_equi_join_not_cross(spark):
+    cells = spark.createDataFrame(
+        [(0, 0.0, 0.0, 50.0, 20.0)], "cell_id int, c_x1 double, c_y1 double, c_x2 double, c_y2 double"
+    )
+    boxes = spark.createDataFrame(
+        [(0, 5.0, 5.0, 45.0, 18.0)], "box_id int, b_x1 double, b_y1 double, b_x2 double, b_y2 double"
+    )
+    df = iou_join(cells, boxes, bucket=50.0)
+    # the bucketing rewrite must produce an equi-join on bucket keys
+    P.assert_no_cartesian(df)
+    assert len(df.columns) == 10
+
+
+def test_topk_uses_take_ordered(spark):
+    df = QUERIES["q14_topk"](spark, SF_DIR)
+    plan = P.explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "q05_multiway_join_agg",
+        "q08_groupby_agg",
+        "q16_string_fns",
+        "q18_math_fns",
+    ],
+)
+def test_hot_queries_stay_in_codegen(spark, qname):
+    df = QUERIES[qname](spark, SF_DIR)
+    # AQE assigns codegen ids only once the plan is finalized — run it
+    df.collect()
+    assert P.codegen_stage_count(df) >= 1, "no whole-stage codegen span"
+
+
+def test_groupby_has_single_shuffle(spark):
+    df = QUERIES["q08_groupby_agg"](spark, SF_DIR)
+    # partial (map-side) aggregation: one hash exchange for the group
+    # keys; the final orderBy adds at most one range exchange
+    assert P.exchange_count(df) <= 2
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from data_lake_project_spark.operators.dedup import exact_dedup
+
+    d = load_table(spark, SF_DIR, "documents")
+    assert P.exchange_count(exact_dedup(d)) <= 2  # content-hash window (+spread)
