@@ -217,3 +217,84 @@ def corner_brightness(
             yield pd.DataFrame(out, columns=[f.name for f in BRIGHTNESS_SCHEMA])
 
     return pages.mapInPandas(gen, BRIGHTNESS_SCHEMA)
+
+
+def fake_layout_detect(image: bytes, width: int, height: int):
+    """Deterministic stand-in for the Detectron2 PubLayNet layout
+    model (``graphData.py:32,92-113``): blocks with a type label from
+    the 5-class map {Text, Title, List, Table, Figure}, score >= 0.4.
+    Returns [(cx, cy, bw, bh, conf, block_type)]."""
+    h = hashlib.md5(b"layout" + image).digest()
+    classes = ["Text", "Title", "List", "Table", "Figure"]
+    n = 1 + h[0] % 3
+    return [
+        (
+            0.3 + 0.1 * (h[1 + i] % 5),
+            0.3 + 0.1 * (h[2 + i] % 5),
+            0.2 + 0.05 * (h[3 + i] % 4),
+            0.15 + 0.05 * (h[4 + i] % 4),
+            round(0.4 + (h[5 + i] % 60) / 100.0, 2),
+            classes[h[6 + i] % 5],
+        )
+        for i in range(n)
+    ]
+
+
+LAYOUT_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("page", IntegerType()),
+        StructField("det_idx", IntegerType()),
+        StructField("cx", DoubleType()),
+        StructField("cy", DoubleType()),
+        StructField("bw", DoubleType()),
+        StructField("bh", DoubleType()),
+        StructField("conf", DoubleType()),
+        StructField("block_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def detect_layout(
+    pages: DataFrame,
+    detector: Callable[[bytes, int, int], list] = fake_layout_detect,
+) -> DataFrame:
+    """Layout blocks per page (``graphData.py:92-113``), long form."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for i, (cx, cy, bw, bh, conf, btype) in enumerate(
+                    detector(r["image"], r["width"], r["height"])
+                ):
+                    rows.append(
+                        {
+                            "path": r["path"],
+                            "page": r["page"],
+                            "det_idx": i,
+                            "cx": cx,
+                            "cy": cy,
+                            "bw": bw,
+                            "bh": bh,
+                            "conf": conf,
+                            "block_type": btype,
+                            "width": r["width"],
+                            "height": r["height"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in LAYOUT_SCHEMA])
+
+    return pages.mapInPandas(gen, LAYOUT_SCHEMA)
+
+
+def figure_blocks(layout: DataFrame, min_conf: float = 0.4) -> DataFrame:
+    """P7: keep Figure blocks above the score floor
+    (``graphData.py:104,117-119`` — reference bug B.5 returned from
+    inside the first iteration and missed later figures; here every
+    figure survives)."""
+    return layout.filter(
+        (F.col("block_type") == "Figure") & (F.col("conf") >= min_conf)
+    )

@@ -1,0 +1,151 @@
+"""Property-based tests (SURVEY.md §5.4): dedup idempotence,
+union-count conservation, join-cardinality bounds, top-k symmetry,
+grid invariants — hypothesis drives the pure-python cores at full
+example counts and the Spark operators at reduced counts (each
+example pays a JVM round-trip).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from data_lake_project_spark.operators.grid import _nms, reconstruct_page
+
+# ---------------------------------------------------------------------------
+# pure-python cores: full hypothesis throughput
+# ---------------------------------------------------------------------------
+
+rects = st.tuples(
+    st.floats(0, 900, allow_nan=False),
+    st.floats(0, 1300, allow_nan=False),
+    st.floats(1, 100, allow_nan=False),
+    st.floats(1, 100, allow_nan=False),
+).map(lambda t: (t[0], t[1], t[0] + t[2], t[1] + t[3]))
+
+
+@given(st.lists(rects, min_size=0, max_size=25))
+def test_grid_invariants(boxes):
+    arr = np.array(boxes, dtype=float).reshape(-1, 4)
+    texts = [f"t{i}" for i in range(len(arr))]
+    cells = reconstruct_page(arr, texts, page_w=1000.0, page_h=1400.0)
+    seen = set()
+    for r, c, t in cells:
+        assert (r, c) not in seen, "duplicate cell assignment"
+        seen.add((r, c))
+        assert 0 <= r < len(arr) and 0 <= c < len(arr)
+        assert t in texts
+    # cell count bounded by rows x cols after NMS
+    assert len(cells) <= max(1, len(arr)) ** 2
+
+
+@given(st.lists(rects, min_size=1, max_size=30))
+def test_nms_keeps_non_overlapping_set(boxes):
+    arr = np.array(boxes, dtype=float)
+    keep = _nms(arr, iou_threshold=0.1)
+    assert keep == sorted(keep)  # priority order preserved
+    assert len(set(keep)) == len(keep)
+    # every kept pair overlaps at most threshold
+    for i_idx, i in enumerate(keep):
+        for j in keep[i_idx + 1 :]:
+            ix1 = max(arr[i, 0], arr[j, 0]); iy1 = max(arr[i, 1], arr[j, 1])
+            ix2 = min(arr[i, 2], arr[j, 2]); iy2 = min(arr[i, 3], arr[j, 3])
+            inter = max(0.0, ix2 - ix1) * max(0.0, iy2 - iy1)
+            a = (arr[i, 2] - arr[i, 0]) * (arr[i, 3] - arr[i, 1])
+            b = (arr[j, 2] - arr[j, 0]) * (arr[j, 3] - arr[j, 1])
+            union = a + b - inter
+            if union > 0:
+                assert inter / union <= 0.1 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Spark operators: reduced example counts
+# ---------------------------------------------------------------------------
+
+SPARK_SETTINGS = settings(max_examples=8, deadline=None)
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.text("ab", min_size=0, max_size=6)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_exact_dedup_idempotent_and_conserving(spark, rows):
+    from data_lake_project_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(rows, "doc_id int, text string") if rows else (
+        spark.createDataFrame([], "doc_id int, text string")
+    )
+    once = exact_dedup(df)
+    n_once = once.count()
+    assert n_once == df.select("text").distinct().count()
+    assert exact_dedup(once.drop("content_hash")).count() == n_once
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(st.integers(0, 10), min_size=0, max_size=20),
+    st.lists(st.integers(0, 10), min_size=0, max_size=20),
+)
+def test_union_count_conservation(spark, xs, ys):
+    a = spark.createDataFrame([(x,) for x in xs], "v int")
+    b = spark.createDataFrame([(y,) for y in ys], "v int")
+    assert a.unionAll(b).count() == len(xs) + len(ys)
+    # join-cardinality bound: |A ⋈ B| <= |A| x |B|; equi self-join on
+    # key conserves the group-size-square sum
+    j = a.join(b, "v")
+    assert j.count() <= len(xs) * len(ys)
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.lists(st.floats(-1, 1, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=2,
+        max_size=8,
+    ).filter(lambda vs: all(sum(x * x for x in v) > 1e-6 for v in vs))
+)
+def test_topk_cosine_symmetry(spark, vecs):
+    from data_lake_project_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    probes = corpus.selectExpr("vec_id as probe_id", "embedding")
+    out = brute_force_topk(corpus, probes, k=len(vecs)).collect()
+    sims = {(r.probe_id, r.vec_id): r.cosine for r in out}
+    for (a, b), s in sims.items():
+        assert math.isclose(sims[(b, a)], s, abs_tol=1e-9), "cosine not symmetric"
+        assert -1.0001 <= s <= 1.0001
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(rects, min_size=1, max_size=10),
+    st.lists(rects, min_size=1, max_size=10),
+)
+def test_iou_join_equals_cross_join_reference(spark, cell_rects, box_rects):
+    from data_lake_project_spark.operators.interval import iou, iou_join
+
+    cells = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(cell_rects)],
+        "cell_id int, c_x1 double, c_y1 double, c_x2 double, c_y2 double",
+    )
+    boxes = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(box_rects)],
+        "box_id int, b_x1 double, b_y1 double, b_x2 double, b_y2 double",
+    )
+    fast = {
+        (r.cell_id, r.box_id)
+        for r in iou_join(cells, boxes, bucket=64.0).collect()
+    }
+    slow = {
+        (r.cell_id, r.box_id)
+        for r in cells.crossJoin(boxes).filter(iou("c_", "b_") > 0.09).collect()
+    }
+    assert fast == slow
