@@ -22,7 +22,27 @@ Design principles (see SURVEY.md §7):
 
 __version__ = "0.1.0"
 
+from data_lake_project_spark.lakehouse import Lakehouse, with_ingest_metadata
+from data_lake_project_spark.pipelines import (
+    extract_figures,
+    extract_tables,
+    extract_text_facts,
+)
 from data_lake_project_spark.session import get_spark
-from data_lake_project_spark.tables import load_table, TABLES
+from data_lake_project_spark.sources import KeyedTable, read_csv, write_csv
+from data_lake_project_spark.tables import TABLES, load_table
 
-__all__ = ["get_spark", "load_table", "TABLES", "__version__"]
+__all__ = [
+    "get_spark",
+    "load_table",
+    "TABLES",
+    "Lakehouse",
+    "with_ingest_metadata",
+    "KeyedTable",
+    "read_csv",
+    "write_csv",
+    "extract_tables",
+    "extract_text_facts",
+    "extract_figures",
+    "__version__",
+]

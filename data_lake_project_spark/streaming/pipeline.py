@@ -149,3 +149,35 @@ def write_idempotent_foreach_batch(
         .outputMode("append")
         .start()
     )
+
+
+def ensure_topic(
+    bootstrap_servers: str,
+    topic: str,
+    num_partitions: int = 1,
+    replication_factor: int = 1,
+) -> None:  # pragma: no cover - needs a broker + kafka client
+    """S2: create the topic if absent (``spark_stream.py:12-40``).
+
+    Driver-side admin setup, not a data operator. The kafka client is
+    an optional extra; at scale the partition count should match the
+    consuming job's target parallelism (the reference's 1 partition
+    caps the whole stream at one task).
+    """
+    try:
+        from kafka.admin import KafkaAdminClient, NewTopic  # type: ignore
+        from kafka.errors import TopicAlreadyExistsError  # type: ignore
+    except ImportError as exc:
+        raise NotImplementedError(
+            "kafka-python not installed; install the 'kafka' extra "
+            "on the cluster image"
+        ) from exc
+    admin = KafkaAdminClient(bootstrap_servers=bootstrap_servers)
+    try:
+        admin.create_topics(
+            [NewTopic(topic, num_partitions, replication_factor)]
+        )
+    except TopicAlreadyExistsError:
+        pass
+    finally:
+        admin.close()
