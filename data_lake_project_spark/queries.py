@@ -481,6 +481,18 @@ def q33_lsh_topk(spark, sf):
     )
 
 
+def q37_ivf_topk(spark, sf):
+    """Approximate ANN via IVF coarse quantizer — rows-only check
+    (recall depends on nprobe; exact baseline is q22, LSH variant q33)."""
+    e = load_table(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return SIM.ivf_topk(e, probes, k=10, n_centroids=16, nprobe=3).orderBy(
+        "probe_id", "vec_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Document-operator queries Q34-Q36: the reference's extraction ops run
 # against corpora synthesized deterministically from the base tables —
@@ -621,6 +633,7 @@ QUERIES: dict[str, QueryFn] = {
     "q34_textfacts": q34_textfacts,
     "q35_deplot_parse": q35_deplot_parse,
     "q36_keyword_scan": q36_keyword_scan,
+    "q37_ivf_topk": q37_ivf_topk,
 }
 
 _SHINGLE_CTE = """

@@ -14,6 +14,7 @@ from data_lake_project_spark.streaming.pipeline import (
     parse_events,
     write_idempotent_foreach_batch,
 )
+from data_lake_project_spark.streaming.stateful import running_totals
 from data_lake_project_spark.streaming.windows import (
     session_agg,
     sliding_agg,
@@ -31,4 +32,5 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "stream_dedup",
+    "running_totals",
 ]

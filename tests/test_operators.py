@@ -159,3 +159,31 @@ def test_brute_force_topk_self_similarity(spark):
     )
     top = brute_force_topk(corpus, probes, k=1).first()
     assert top.vec_id == 0 and top.cosine == 1.0
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from data_lake_project_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from data_lake_project_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = e.filter("vec_id < 5").selectExpr("vec_id as probe_id", "embedding")
+    exact = brute_force_topk(e, probes, k=10)
+    approx = ivf_topk(e, probes, k=10, n_centroids=8, nprobe=3)
+    exact_pairs = {(r.probe_id, r.vec_id) for r in exact.collect()}
+    approx_pairs = {(r.probe_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # determinism: same seeding, same result
+    again = {
+        (r.probe_id, r.vec_id)
+        for r in ivf_topk(e, probes, k=10, n_centroids=8, nprobe=3).collect()
+    }
+    assert approx_pairs == again
+    # approximate sims are exact cosines (IVF only prunes candidates)
+    exact_sims = {(r.probe_id, r.vec_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        if (r.probe_id, r.vec_id) in exact_sims:
+            assert abs(exact_sims[(r.probe_id, r.vec_id)] - r.cosine) < 1e-9

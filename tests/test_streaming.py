@@ -200,3 +200,39 @@ def test_stream_dedup_bounded_state(spark, tmp_path):
     deduped = stream_dedup(stream_in, ["k", "ts"], ts_col="ts")
     out = _run_to_memory(spark, deduped, "mem_dedup", mode="append")
     assert sorted(r.k for r in out.collect()) == ["k1", "k2"]
+
+
+def test_running_totals_state_carries_across_batches(spark, tmp_path):
+    from data_lake_project_spark.streaming.stateful import running_totals
+
+    # two files -> two micro-batches (maxFilesPerTrigger=1); the second
+    # batch must see state accumulated by the first
+    src = str(tmp_path / "stateful_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as fh:
+        fh.write('{"user_id": "u1", "value": 1.0}\n{"user_id": "u1", "value": 2.0}\n')
+        fh.write('{"user_id": "u2", "value": 10.0}\n')
+    with open(os.path.join(src, "b2.json"), "w") as fh:
+        fh.write('{"user_id": "u1", "value": 4.0}\n')
+
+    stream = (
+        spark.readStream.schema("user_id string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("mem_stateful")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table("mem_stateful").collect()
+    # u1 appears once per batch; the LAST update carries the running sum
+    u1 = [r for r in rows if r.key == "u1"]
+    assert {(r.total, r.n) for r in u1} >= {(7.0, 3)}, u1
+    u2 = [r for r in rows if r.key == "u2"]
+    assert (u2[-1].total, u2[-1].n, u2[-1].vmax) == (10.0, 1, 10.0)
+    assert not any(r.closed for r in rows)
