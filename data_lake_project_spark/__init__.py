@@ -22,7 +22,11 @@ Design principles (see SURVEY.md §7):
 
 __version__ = "0.1.0"
 
-from data_lake_project_spark.lakehouse import Lakehouse, with_ingest_metadata
+from data_lake_project_spark.lakehouse import (
+    BucketedCatalog,
+    Lakehouse,
+    with_ingest_metadata,
+)
 from data_lake_project_spark.pipelines import (
     extract_figures,
     extract_tables,
@@ -37,6 +41,7 @@ __all__ = [
     "load_table",
     "TABLES",
     "Lakehouse",
+    "BucketedCatalog",
     "with_ingest_metadata",
     "KeyedTable",
     "read_csv",

@@ -157,3 +157,46 @@ def with_ingest_metadata(df: DataFrame, source: str) -> DataFrame:
     return df.withColumn("_source", F.lit(source)).withColumn(
         "_load_date", F.current_date()
     )
+
+
+class BucketedCatalog:
+    """Bucketed tables for co-located (shuffle-free) joins.
+
+    Spark bucketing pre-shuffles data at WRITE time: a table bucketed
+    on its join key by the same bucket count as its join partner makes
+    the join a zero-Exchange sort-merge — the single biggest shuffle
+    saver for repeated fact⋈fact joins at 100 TB (pay the shuffle
+    once at ingest, never per query). Requires a catalog table
+    (``saveAsTable``), so this wraps a warehouse location.
+    """
+
+    def __init__(self, spark: SparkSession, database: str = "lake"):
+        self.spark = spark
+        self.database = database
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int = 16,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Materialize ``df`` bucketed (and optionally sorted) on the
+        join key. Sorting within buckets additionally removes the Sort
+        from sort-merge joins."""
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(f"{self.database}.{table}")
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.table(f"{self.database}.{table}")
+
+    def drop(self, table: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.database}.{table}")

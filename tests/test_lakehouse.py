@@ -115,3 +115,36 @@ def test_keyed_table_upsert_merge_semantics(spark, tmp_path):
     t.upsert(upd)
     out = {r.k: r.v for r in t.read().collect()}
     assert out == {"a": 1, "b": 20, "c": 3}
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from data_lake_project_spark import plans as P
+    from data_lake_project_spark.lakehouse import BucketedCatalog
+
+    cat = BucketedCatalog(spark, database="t_bucket")
+    try:
+        orders = spark.range(0, 1000).selectExpr(
+            "id as o_orderkey", "id % 7 as o_custkey"
+        )
+        items = spark.range(0, 3000).selectExpr(
+            "id % 1000 as l_orderkey", "id as l_item", "id * 1.5 as l_price"
+        )
+        cat.write_bucketed(orders, "orders_b", ["o_orderkey"], n_buckets=8,
+                           sort_cols=["o_orderkey"])
+        cat.write_bucketed(items, "items_b", ["l_orderkey"], n_buckets=8,
+                           sort_cols=["l_orderkey"])
+
+        j = cat.read("orders_b").join(
+            cat.read("items_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        # co-located buckets: the join itself needs NO hash exchange
+        assert P.exchange_count(j) == 0, P.explain_str(j)
+        assert j.count() == 3000
+        # identical result to the unbucketed join
+        plain = orders.join(items, F.col("o_orderkey") == F.col("l_orderkey"))
+        assert plain.count() == 3000
+    finally:
+        cat.drop("orders_b")
+        cat.drop("items_b")
+        spark.sql("DROP DATABASE IF EXISTS t_bucket")
