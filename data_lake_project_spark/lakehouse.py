@@ -200,3 +200,29 @@ class BucketedCatalog:
 
     def drop(self, table: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.database}.{table}")
+
+
+def compact(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files (default: sized by data volume at 128 MiB
+    per file). Streaming sinks and frequent small appends accrete
+    thousands of tiny files; at 100 TB the file-listing alone becomes
+    the scan bottleneck. Returns the file count written."""
+    df = spark.read.parquet(path)
+    if target_files is None:
+        total_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        target_files = max(1, total_bytes // (128 * 1024 * 1024))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.coalesce(int(target_files)).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return int(target_files)

@@ -148,3 +148,41 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         cat.drop("orders_b")
         cat.drop("items_b")
         spark.sql("DROP DATABASE IF EXISTS t_bucket")
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    from data_lake_project_spark.lakehouse import compact
+
+    path = str(tmp_path / "frag")
+    # simulate a streaming sink's small-file accretion
+    for i in range(5):
+        spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(path)
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before >= 5
+    compact(spark, path, target_files=1)
+    after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert after == 1
+    assert spark.read.parquet(path).count() == 50
+
+
+def test_sketches_tolerances(spark):
+    from data_lake_project_spark.operators.sketches import (
+        approx_distinct,
+        approx_quantiles,
+        column_profile,
+        frequent_items,
+    )
+
+    df = spark.range(0, 10000).selectExpr(
+        "id % 100 AS k", "CAST(id AS DOUBLE) AS v",
+        "CASE WHEN id % 3 = 0 THEN 'hot' ELSE concat('c', id) END AS cat",
+    )
+    q = approx_quantiles(df, "v", [0.5]).first().quantiles[0]
+    assert abs(q - 4999.5) < 100
+    ndv = approx_distinct(df, "k").first().approx_ndv
+    assert abs(ndv - 100) <= 10
+    hot = {r.cat for r in frequent_items(df, "cat", support=0.2).collect()}
+    assert "hot" in hot
+    prof = {r.column: r for r in column_profile(df, ["k", "v"]).collect()}
+    assert prof["k"].n_rows == 10000 and prof["k"].n_nulls == 0
+    assert float(prof["v"].max_str) == 9999.0

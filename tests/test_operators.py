@@ -187,3 +187,26 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     for r in approx.collect():
         if (r.probe_id, r.vec_id) in exact_sims:
             assert abs(exact_sims[(r.probe_id, r.vec_id)] - r.cosine) < 1e-9
+
+
+def test_salted_join_matches_plain_join(spark):
+    from data_lake_project_spark.operators.skew import salted_join
+
+    # heavy skew: 90% of the fact rows share one key
+    fact = spark.range(0, 2000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id) END AS k",
+        "id AS v",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1.0), ("k9", 2.0), ("k19", 3.0), ("absent", 9.9)],
+        "k string, w double",
+    )
+    plain = fact.join(dim, "k").selectExpr("k", "v", "w")
+    salted = salted_join(fact, dim, "k", n_salts=4).selectExpr("k", "v", "w")
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+    plain_l = fact.join(dim, "k", "left").selectExpr("k", "v", "w")
+    salted_l = salted_join(fact, dim, "k", n_salts=4, how="left").selectExpr(
+        "k", "v", "w"
+    )
+    assert sorted(plain_l.collect()) == sorted(salted_l.collect())
