@@ -205,20 +205,35 @@ def ivf_topk(
         .collect()
     ]
     cnorms = [sum(x * x for x in v) ** 0.5 for _, v in cents]
+    dim = len(cents[0][1])
+    # ONE flat literal array of all centroid components (+ a norms
+    # array) sliced per centroid inside transform() — a per-centroid
+    # literal-array tree was ~n_centroids x bigger and dominated plan
+    # compile time.
+    flat = F.array(*[F.lit(x) for _, v in cents for x in v])
+    norms = F.array(*[F.lit(n) for n in cnorms])
 
     def sims_array(vcol):
         """Array of (cosine-to-centroid, centroid_idx) structs."""
-        entries = []
-        for i, (_, cv) in enumerate(cents):
-            lit = F.array(*[F.lit(x) for x in cv])
-            dot = F.aggregate(
-                F.zip_with(vcol, lit, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            sim = dot / (_norm(vcol) * F.lit(cnorms[i]))
-            entries.append(F.struct(sim.alias("s"), F.lit(i).alias("i")))
-        return F.array(*entries)
+        vnorm = _norm(vcol)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda i: F.struct(
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            vcol,
+                            F.slice(flat, i * dim + 1, dim),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (vnorm * F.element_at(norms, i + 1))
+                ).alias("s"),
+                i.cast("int").alias("i"),
+            ),
+        )
 
     c = corpus.withColumn("__v", _as_double(vec_col)).withColumn(
         "__bucket",

@@ -137,3 +137,53 @@ def fingerprint(
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return spread(docs).select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+# Character-trigram profiles per language (top distinctive trigrams;
+# deterministic, tiny). The n-gram path is robust where stopword LID
+# fails (no spaces, short docs); both heuristics compose.
+TRIGRAM_PROFILES = {
+    "en": ["the", "ing", "and", "ion", "ent", "her", "for", "tha"],
+    "fr": ["les", "ent", "des", "ion", "que", "eur", "ait", "our"],
+    "es": ["los", "ent", "ado", "que", "cio", "con", "sta", "las"],
+    "de": ["der", "ein", "ich", "sch", "und", "die", "che", "ung"],
+}
+
+
+def language_id_ngram(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Char-trigram language ID: predicted lang = argmax over
+    per-language profile-trigram hits in the document's trigram set;
+    ties break on profile order. All JVM-side: the doc's trigram set
+    is built once with ``transform(sequence(...))`` + ``array_distinct``
+    and intersected with each tiny profile literal.
+
+    Output: (id, pred_lang_ng, ng_score).
+    """
+    txt = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    n = F.length(txt)
+    grams = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+                lambda i: F.substring(txt, i, 3),
+            )
+        ),
+    ).otherwise(F.array(txt))
+    d = spread(docs).withColumn("__g", grams)
+    best = None
+    for lang, profile in TRIGRAM_PROFILES.items():
+        score = F.size(
+            F.array_intersect(F.col("__g"), F.array(*[F.lit(g) for g in profile]))
+        )
+        entry = F.struct(score.alias("s"), F.lit(lang).alias("l"))
+        best = entry if best is None else (
+            F.when(score > best.getField("s"), entry).otherwise(best)
+        )
+    return d.select(
+        F.col(id_col),
+        best.getField("l").alias("pred_lang_ng"),
+        best.getField("s").cast("int").alias("ng_score"),
+    )

@@ -481,6 +481,15 @@ def q33_lsh_topk(spark, sf):
     )
 
 
+def q38_language_id_ngram(spark, sf):
+    """Char-trigram language ID over documents (n-gram heuristic LID;
+    stopword variant is q29)."""
+    from data_lake_project_spark.operators.text import language_id_ngram
+
+    d = load_table(spark, sf, "documents")
+    return language_id_ngram(d).orderBy("doc_id")
+
+
 def q37_ivf_topk(spark, sf):
     """Approximate ANN via IVF coarse quantizer — rows-only check
     (recall depends on nprobe; exact baseline is q22, LSH variant q33)."""
@@ -634,6 +643,7 @@ QUERIES: dict[str, QueryFn] = {
     "q35_deplot_parse": q35_deplot_parse,
     "q36_keyword_scan": q36_keyword_scan,
     "q37_ivf_topk": q37_ivf_topk,
+    "q38_language_id_ngram": q38_language_id_ngram,
 }
 
 _SHINGLE_CTE = """
@@ -1135,6 +1145,38 @@ ORACLE: dict[str, str] = {
                CAST(n_nationkey AS DOUBLE) + 0.5 AS value
         FROM nation JOIN region ON n_regionkey = r_regionkey
         ORDER BY chart_id, x
+    """,
+    "q38_language_id_ngram": """
+        WITH d AS (
+            SELECT doc_id,
+                   lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN length(t) >= 3 THEN
+                     list_distinct([substr(t, i, 3)
+                        for i in generate_series(1, greatest(length(t) - 2, 1))])
+                   ELSE [t] END AS grams
+            FROM d
+        ),
+        scores AS (
+            SELECT doc_id,
+                   len(list_intersect(grams, ['the','ing','and','ion','ent','her','for','tha'])) AS s_en,
+                   len(list_intersect(grams, ['les','ent','des','ion','que','eur','ait','our'])) AS s_fr,
+                   len(list_intersect(grams, ['los','ent','ado','que','cio','con','sta','las'])) AS s_es,
+                   len(list_intersect(grams, ['der','ein','ich','sch','und','die','che','ung'])) AS s_de
+            FROM g
+        ),
+        b0 AS (SELECT doc_id, s_en AS bs, 'en' AS bl, s_fr, s_es, s_de FROM scores),
+        b1 AS (SELECT doc_id, CASE WHEN s_fr > bs THEN s_fr ELSE bs END AS bs,
+                      CASE WHEN s_fr > bs THEN 'fr' ELSE bl END AS bl, s_es, s_de FROM b0),
+        b2 AS (SELECT doc_id, CASE WHEN s_es > bs THEN s_es ELSE bs END AS bs,
+                      CASE WHEN s_es > bs THEN 'es' ELSE bl END AS bl, s_de FROM b1),
+        b3 AS (SELECT doc_id, CASE WHEN s_de > bs THEN s_de ELSE bs END AS bs,
+                      CASE WHEN s_de > bs THEN 'de' ELSE bl END AS bl FROM b2)
+        SELECT doc_id, bl AS pred_lang_ng, CAST(bs AS INT) AS ng_score
+        FROM b3 ORDER BY doc_id
     """,
     "q36_keyword_scan": """
         WITH pages AS (

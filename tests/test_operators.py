@@ -210,3 +210,21 @@ def test_salted_join_matches_plain_join(spark):
         "k", "v", "w"
     )
     assert sorted(plain_l.collect()) == sorted(salted_l.collect())
+
+
+def test_language_id_ngram_four_languages(spark):
+    from data_lake_project_spark.operators.text import language_id_ngram
+
+    df = spark.createDataFrame(
+        [
+            (1, "the thing and the other thing for them"),
+            (2, "les enfants que nous avons vus dans la cour"),
+            (3, "der einzige mensch der die schule und"),
+            (4, "los estados que concierne a los demas"),
+            (5, "xy"),  # shorter than a trigram: falls back to whole text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang_ng for r in language_id_ngram(df).collect()}
+    assert out[1] == "en" and out[2] == "fr" and out[3] == "de" and out[4] == "es"
+    assert out[5] == "en"  # zero scores everywhere -> first profile wins

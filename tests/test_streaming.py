@@ -236,3 +236,42 @@ def test_running_totals_state_carries_across_batches(spark, tmp_path):
     u2 = [r for r in rows if r.key == "u2"]
     assert (u2[-1].total, u2[-1].n, u2[-1].vmax) == (10.0, 1, 10.0)
     assert not any(r.closed for r in rows)
+
+
+def test_events_fixture_stream_equals_batch(spark, tmp_path):
+    """Equivalence on the REAL events fixture: tumbling agg over a
+    parquet-file stream == the same agg on the batch read."""
+    from data_lake_project_spark.tables import load_table
+
+    # watermarks need TIMESTAMP (tz-aware); the loader yields NTZ —
+    # cast is exact under the UTC session timezone
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    src = str(tmp_path / "ev_stream")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    aggs = [
+        F.sum("value").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    batch = tumbling_agg(ev, "ts", "1 hour", aggs, keys=["user_id"])
+    streamed = _run_to_memory(
+        spark,
+        tumbling_agg(stream, "ts", "1 hour", aggs, keys=["user_id"]),
+        "mem_events_fixture",
+    )
+
+    def canon(df):
+        return sorted(
+            (r.win.start, r.win.end, r.user_id, round(r.total, 6), r.n)
+            for r in df.collect()
+        )
+
+    assert canon(batch) == canon(streamed)
+    assert len(canon(batch)) > 10
