@@ -76,21 +76,28 @@ def shingles(
 def minhash_signatures(
     shingled: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
 ) -> DataFrame:
-    """MinHash signature per doc: for hash j, min over shingles of
-    ``md5(j || ':' || shingle)`` (lexicographic min of hex digests —
-    a valid min-wise hash family, identical on any md5-capable engine).
+    """MinHash signature per doc: hash ``h`` is the lexicographic min
+    over shingles of the ``h % 4``-th 8-hex chunk of
+    ``md5((h // 4) || ':' || shingle)`` — one digest yields FOUR
+    independent 32-bit min-wise hashes, so ``num_hashes`` signatures
+    cost ``ceil(num_hashes / 4)`` md5 evaluations per shingle (the
+    dominant CPU at scale), identical on any md5-capable engine.
 
     Output: (id, h, mh) — ``num_hashes`` rows per doc.
     """
-    # All num_hashes digests as COLUMNS of one row per shingle, min-
+    # All num_hashes chunks as COLUMNS of one row per shingle, min-
     # aggregated per column: partial (map-side) aggregation shrinks the
     # shuffle to num_hashes values per doc per partition, instead of
     # shuffling an exploded num_hashes x shingles row stream. Long form
     # (id, h, mh) is recovered after the aggregate — identical output.
+    digests = [
+        F.md5(F.concat_ws(":", F.lit(str(d)), F.col("shingle")))
+        for d in range((num_hashes + 3) // 4)
+    ]
     mins = shingled.groupBy(id_col).agg(
         *[
             F.min(
-                F.md5(F.concat_ws(":", F.lit(str(h)), F.col("shingle")))
+                F.substring(digests[h // 4], 1 + 8 * (h % 4), 8)
             ).alias(f"mh{h}")
             for h in range(num_hashes)
         ]

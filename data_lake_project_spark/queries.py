@@ -662,7 +662,8 @@ _SHINGLE_CTE = """
     sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle <> ''),
     sig AS (
         SELECT s.doc_id, hs.h,
-               min(md5(hs.h::VARCHAR || ':' || s.shingle)) AS mh
+               min(substr(md5((hs.h // CAST(4 AS BIGINT))::VARCHAR || ':' || s.shingle),
+                          (1 + 8 * (hs.h % 4))::INT, 8)) AS mh
         FROM sh s, (SELECT unnest(range(8)) AS h) hs
         GROUP BY s.doc_id, hs.h
     ),
