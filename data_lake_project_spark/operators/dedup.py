@@ -56,9 +56,16 @@ def shingles(
 ) -> DataFrame:
     """Distinct word k-gram shingles per document: (id, shingle).
 
-    Narrow transform (explode) + per-doc distinct.
+    Narrow transform (explode) + per-doc distinct. The token array is
+    materialized as a column BEFORE the per-position lambda: an
+    expression inlined into a ``transform`` lambda body is re-evaluated
+    per element (the regex tokenizer would run once per shingle
+    position — quadratic in document length).
     """
-    toks = tokens(F.col(text_col))
+    base = spread(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
@@ -67,8 +74,7 @@ def shingles(
     # Docs shorter than k words contribute their whole text as one shingle.
     grams = F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
     return (
-        spread(docs)
-        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        base.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.col("shingle") != "")
     )
 

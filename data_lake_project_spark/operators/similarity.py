@@ -213,9 +213,14 @@ def ivf_topk(
     flat = F.array(*[F.lit(x) for _, v in cents for x in v])
     norms = F.array(*[F.lit(n) for n in cnorms])
 
-    def sims_array(vcol):
-        """Array of (cosine-to-centroid, centroid_idx) structs."""
-        vnorm = _norm(vcol)
+    def sims_array(vcol, vnorm):
+        """Array of (cosine-to-centroid, centroid_idx) structs.
+
+        ``vnorm`` must be a materialized column, not an inline
+        ``_norm(vcol)`` expression — the lambda body is re-evaluated
+        per centroid, which would recompute the self-dot-product
+        ``n_centroids`` times per row.
+        """
         return F.transform(
             F.sequence(F.lit(0), F.lit(len(cents) - 1)),
             lambda i: F.struct(
@@ -235,18 +240,34 @@ def ivf_topk(
             ),
         )
 
-    c = corpus.withColumn("__v", _as_double(vec_col)).withColumn(
-        "__bucket",
-        F.element_at(F.reverse(F.array_sort(sims_array(F.col("__v")))), 1)["i"],
+    c = (
+        corpus.withColumn("__v", _as_double(vec_col))
+        .withColumn("__nrm", _norm(F.col("__v")))
+        .withColumn(
+            "__bucket",
+            F.element_at(
+                F.reverse(F.array_sort(sims_array(F.col("__v"), F.col("__nrm")))), 1
+            )["i"],
+        )
     )
-    p = probes.withColumn("__v", _as_double(vec_col)).withColumn(
-        "__bucket",
-        F.explode(
-            F.transform(
-                F.slice(F.reverse(F.array_sort(sims_array(F.col("__v")))), 1, nprobe),
-                lambda s: s["i"],
-            )
-        ),
+    p = (
+        probes.withColumn("__v", _as_double(vec_col))
+        .withColumn("__nrm", _norm(F.col("__v")))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.reverse(
+                            F.array_sort(sims_array(F.col("__v"), F.col("__nrm")))
+                        ),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: s["i"],
+                )
+            ),
+        )
     )
 
     joined = c.select(id_col, "__bucket", F.col("__v").alias("__cv")).join(

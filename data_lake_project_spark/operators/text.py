@@ -161,18 +161,24 @@ def language_id_ngram(
 
     Output: (id, pred_lang_ng, ng_score).
     """
-    txt = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    # Normalized text is materialized as a column BEFORE the trigram
+    # lambda: inlining it would re-run the whitespace regex once per
+    # trigram position (quadratic in document length).
+    d = spread(docs).withColumn(
+        "__t", F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    )
+    txt = F.col("__t")
     n = F.length(txt)
     grams = F.when(
         n >= 3,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-                lambda i: F.substring(txt, i, 3),
+                lambda i: txt.substr(i, F.lit(3)),
             )
         ),
     ).otherwise(F.array(txt))
-    d = spread(docs).withColumn("__g", grams)
+    d = d.withColumn("__g", grams)
     best = None
     for lang, profile in TRIGRAM_PROFILES.items():
         score = F.size(
