@@ -48,19 +48,24 @@ def exact_dedup(
     )
 
 
-def shingles(
+def shingle_sets(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
 ) -> DataFrame:
-    """Distinct word k-gram shingles per document: (id, shingle).
+    """Distinct word k-gram shingles per document as ONE array row:
+    (id, sh array<string>), sorted for set semantics.
 
-    Narrow transform (explode) + per-doc distinct. The token array is
-    materialized as a column BEFORE the per-position lambda: an
-    expression inlined into a ``transform`` lambda body is re-evaluated
-    per element (the regex tokenizer would run once per shingle
-    position — quadratic in document length).
+    Fully narrow — no explode, no shuffle. This is the preferred input
+    to the minhash pipeline: signatures and band keys derive from the
+    array with per-row ``transform``/``array_min``, so the only wide
+    operation left in candidate generation is the band self-join.
+
+    The token array is materialized as a column BEFORE the
+    per-position lambda: an expression inlined into a ``transform``
+    lambda body is re-evaluated per element (the regex tokenizer would
+    run once per shingle position — quadratic in document length).
     """
     base = spread(docs).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
@@ -73,9 +78,74 @@ def shingles(
     )
     # Docs shorter than k words contribute their whole text as one shingle.
     grams = F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
-    return (
-        base.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .filter(F.col("shingle") != "")
+    # array_remove (codegen) instead of a filter() lambda; NO
+    # array_sort — every consumer (array_min, array_intersect, join
+    # keys) is order-independent, and sorting costs a comparison sort
+    # per document. Empty docs become sh=NULL via a PROJECTION, not a
+    # .filter(): Catalyst pushes filters below the spread() repartition,
+    # which would re-evaluate the whole shingle expression on the
+    # unparallelized scan partitions. NULLs flow narrowly and vanish at
+    # the explode/posexplode consumers.
+    return base.select(
+        F.col(id_col),
+        F.array_remove(F.array_distinct(grams), "").alias("__sh0"),
+    ).select(
+        F.col(id_col),
+        F.when(F.size("__sh0") > 0, F.col("__sh0")).alias("sh"),
+    )
+
+
+def shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exploded long form of :func:`shingle_sets`: (id, shingle)."""
+    return shingle_sets(docs, text_col, id_col, k).select(
+        F.col(id_col), F.explode("sh").alias("shingle")
+    )
+
+
+def minhash_sets(
+    sets: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature from per-doc shingle arrays: (id, mhs
+    array<string>) where ``mhs[h]`` is the lexicographic min over
+    shingles of the ``h % 4``-th 8-hex chunk of
+    ``md5((h // 4) || ':' || shingle)`` — one digest yields FOUR
+    independent 32-bit min-wise hashes, identical on any md5-capable
+    engine (oracle-checkable).
+
+    Fully narrow — no shuffle. The digest arrays are materialized as
+    columns so each md5 runs once per (shingle, digest-group) and the
+    four chunk-mins per group are cheap substring passes over it.
+    """
+    # NB: the lambdas are built by factories so they stay ONE-parameter
+    # — a `lambda s, d=d:` default-arg closure has arity 2, which
+    # F.transform silently treats as an (element, index) lambda and
+    # binds the array index over the default (same trap as
+    # `transform(arr, F.trim)`).
+    def digest_fn(d: int):
+        return lambda s: F.md5(F.concat_ws(":", F.lit(str(d)), s))
+
+    def chunk_fn(h: int):
+        return lambda x: F.substring(x, 1 + 8 * (h % 4), 8)
+
+    n_digests = (num_hashes + 3) // 4
+    base = sets
+    for d in range(n_digests):
+        base = base.withColumn(f"__dig{d}", F.transform(F.col("sh"), digest_fn(d)))
+    mhs = F.array(
+        *[
+            F.array_min(F.transform(F.col(f"__dig{h // 4}"), chunk_fn(h)))
+            for h in range(num_hashes)
+        ]
+    )
+    # NULL sh (empty doc) propagates as mhs=NULL, not an array of
+    # nulls, so downstream band explosion drops the row entirely.
+    return base.select(
+        F.col(id_col), F.when(F.col("sh").isNotNull(), mhs).alias("mhs")
     )
 
 
@@ -116,33 +186,34 @@ def minhash_signatures(
     )
 
 
-def minhash_candidates(
-    signatures: DataFrame,
+def minhash_candidates_sets(
+    sig: DataFrame,
     id_col: str = "doc_id",
     band_size: int = 2,
 ) -> DataFrame:
-    """LSH banding: docs sharing an identical band of consecutive
-    minhashes become candidate pairs (id_a < id_b).
+    """LSH banding over array signatures from :func:`minhash_sets`:
+    docs sharing an identical band of consecutive minhashes become
+    candidate pairs (id_a < id_b).
 
-    The band signature join is an equi-join on (band, bandsig) —
-    self-join on a high-cardinality key, never all-pairs.
+    Band keys are built narrowly (``posexplode`` of per-row slices);
+    the ONLY wide operation is the (band, bandsig) self-join — an
+    equi-join on a high-cardinality uniform key, never all-pairs.
     """
-    bands = (
-        signatures.withColumn("band", F.floor(F.col("h") / band_size))
-        .groupBy(id_col, "band")
-        .agg(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("h", "mh"))),
-                    lambda s: s.getField("mh"),
+    nb = (F.size("mhs") / band_size).cast("int")
+    # posexplode of a NULL band array (mhs=NULL: empty doc) emits no
+    # rows — empty docs leave the pipeline here without any filter.
+    bands = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nb - 1),
+                lambda b: F.concat_ws(
+                    "|", F.slice(F.col("mhs"), b * band_size + 1, band_size)
                 ),
-            ).alias("bandsig")
-        )
+            )
+        ).alias("band", "bandsig"),
     )
-    a = bands.select(
-        F.col(id_col).alias("id_a"), "band", "bandsig"
-    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bandsig")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "bandsig")
     return (
         a.join(b, on=["band", "bandsig"])
@@ -152,19 +223,35 @@ def minhash_candidates(
     )
 
 
-def jaccard_verify(
+def minhash_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding over long-form signatures (id, h, mh) from
+    :func:`minhash_signatures` — adapter onto
+    :func:`minhash_candidates_sets` semantics for exploded input.
+    """
+    sig = signatures.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "mh"))),
+            lambda s: s.getField("mh"),
+        ).alias("mhs")
+    )
+    return minhash_candidates_sets(sig, id_col, band_size)
+
+
+def jaccard_verify_sets(
     candidates: DataFrame,
-    shingled: DataFrame,
+    sets: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs only (the verify stage of
-    the MinHash pipeline). Shingle sets are collected per doc once,
-    then joined twice — candidates are few by LSH construction.
+    the MinHash pipeline), from per-doc shingle arrays
+    (:func:`shingle_sets`) joined twice — candidates are few by LSH
+    construction.
     """
-    sets = shingled.groupBy(id_col).agg(
-        F.array_sort(F.collect_set("shingle")).alias("sh")
-    )
     out = (
         candidates.join(
             sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")),
@@ -186,6 +273,20 @@ def jaccard_verify(
         .select("id_a", "id_b", pround(F.col("jaccard"), 3).alias("jaccard"))
     )
     return out
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Adapter for exploded (id, shingle) input: collects per-doc sets
+    then delegates to :func:`jaccard_verify_sets`."""
+    sets = shingled.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("shingle")).alias("sh")
+    )
+    return jaccard_verify_sets(candidates, sets, id_col, threshold)
 
 
 def simhash16(

@@ -417,20 +417,25 @@ def q24_interval_join(spark, sf):
 
 
 def q25_minhash_candidates(spark, sf):
-    """MinHash-LSH near-dup candidate pairs over 3-gram shingles."""
+    """MinHash-LSH near-dup candidate pairs over 3-gram shingles.
+
+    Set-based pipeline: shingle arrays + signatures are narrow per-row
+    ops; the only shuffle is the LSH band self-join."""
     d = load_table(spark, sf, "documents")
-    sh = D.shingles(d, k=3)
-    sig = D.minhash_signatures(sh, num_hashes=8)
-    return D.minhash_candidates(sig, band_size=2).orderBy("id_a", "id_b")
+    sets = D.shingle_sets(d, k=3)
+    sig = D.minhash_sets(sets, num_hashes=8)
+    return D.minhash_candidates_sets(sig, band_size=2).orderBy("id_a", "id_b")
 
 
 def q26_jaccard_neardup(spark, sf):
     """MinHash candidates verified by exact shingle Jaccard >= 0.5."""
     d = load_table(spark, sf, "documents")
-    sh = D.shingles(d, k=3)
-    sig = D.minhash_signatures(sh, num_hashes=8)
-    cand = D.minhash_candidates(sig, band_size=2)
-    return D.jaccard_verify(cand, sh, threshold=0.5).orderBy("id_a", "id_b")
+    sets = D.shingle_sets(d, k=3)
+    sig = D.minhash_sets(sets, num_hashes=8)
+    cand = D.minhash_candidates_sets(sig, band_size=2)
+    return D.jaccard_verify_sets(cand, sets, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q27_simhash(spark, sf):
