@@ -106,8 +106,22 @@ def spread(df, min_partitions: int | None = None):
     thousands of partitions, so the condition is false and this is a
     zero-cost no-op; the round-robin repartition only ever pays its
     (tiny-input) shuffle when parallelism is actually missing.
+
+    The probe is ``df.inputFiles()`` — leaf-scan file listing served
+    from the already-built ``InMemoryFileIndex`` (~1 ms) — instead of
+    ``df.rdd.getNumPartitions()``, whose plan-to-RDD conversion cost
+    ~80 ms per operator call (the round-1 q31 bench regression). The
+    RDD probe remains only as the fallback for non-file sources
+    (in-memory test fixtures, post-shuffle inputs), where file count
+    is not a meaningful parallelism signal.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # pragma: no cover - defensive
+        n_files = 0
+    if n_files == 0:
+        n_files = df.rdd.getNumPartitions()
+    if n_files < target:
         return df.repartition(target)
     return df

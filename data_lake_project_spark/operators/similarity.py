@@ -85,71 +85,121 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets.
 
     Hyperplanes are deterministic pseudo-random vectors derived from
-    ``md5`` of (bit, dim) — reproducible across runs without an RNG.
-    They are constants, so they are computed driver-side and embedded
-    as literal arrays (a per-row md5 expression tree was ~8x slower).
-    Probes search only their own bucket; recall grows with fewer bits
-    or multi-probe (flip one bit) which is enabled here.
+    ``md5`` of (table, bit, dim) — reproducible across runs without an
+    RNG. They are constants, so they are computed driver-side and
+    embedded as literal arrays (a per-row md5 expression tree was ~8x
+    slower). Probes search only their own bucket per table; recall
+    grows along three standard axes, all exposed here:
+
+    - fewer ``bits`` (bigger buckets),
+    - multi-probe (each probe also visits Hamming-distance-1 buckets
+      — always on),
+    - more ``n_tables``: L independent hash tables whose candidate
+      sets are unioned then deduped — the classic recall lever. The
+      corpus is indexed once per table (an L-way explode, exactly the
+      L-fold index space any multi-table LSH pays); expected scanned
+      fraction is ~``L*(bits+1)/2^bits`` of the corpus.
+
+    ``dim`` (embedding dimensionality) should be passed by callers who
+    know it; when omitted it is read from the *probe* side — always a
+    handful of rows — never by scanning the corpus.
     """
     import hashlib
 
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(probes.select(vec_col).first()[0])
 
-    def plane(bit: int):
-        # Deterministic +-1 hyperplane from md5 parity per dimension.
-        vals = [
+    # ONE flat literal array of every hyperplane component, indexed by
+    # (table*bits + bit)*dim, sliced inside the lambdas below — the
+    # per-plane literal-array tree compiled n_tables*bits separate
+    # zip_with/aggregate nodes and dominated plan compile time (same
+    # lesson as the IVF centroid literals).
+    def plane_val(table: int, bit: int, d: int) -> float:
+        return (
             1.0
-            if int(hashlib.md5(f"{bit}:{d}".encode()).hexdigest()[:4], 16) % 2 == 0
+            if int(hashlib.md5(f"{table}:{bit}:{d}".encode()).hexdigest()[:4], 16) % 2
+            == 0
             else -1.0
+        )
+
+    flat = F.array(
+        *[
+            F.lit(plane_val(t, b, d))
+            for t in range(n_tables)
+            for b in range(bits)
             for d in range(dim)
         ]
-        return F.array(*[F.lit(v) for v in vals])
+    )
 
-    def signature(vcol):
-        bits_cols = []
-        for i in range(bits):
-            dot = F.aggregate(
-                F.zip_with(vcol, plane(i), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    def all_signatures(vcol):
+        """array<int> of composite bucket ids, one per table.
+
+        Bit i of table t is the sign of vcol . plane(t, i); bits fold
+        MSB-first into an int via acc*2+bit. Composite id is
+        (table << bits) | signature so the bucket join stays a single
+        equi-key across all tables.
+        """
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_tables - 1)),
+            lambda t: F.aggregate(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                F.lit(0),
+                lambda acc, i: acc * 2
+                + F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            vcol,
+                            F.slice(flat, (t * bits + i) * dim + 1, dim),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    >= 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
             )
-            bits_cols.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
-        out = F.lit(0)
-        for i, b in enumerate(bits_cols):
-            out = out + b * (2**i)
-        return out
+            + t * (2**bits),
+        )
 
     c = spread(corpus).withColumn("__v", _as_double(vec_col)).withColumn(
-        "__bucket", signature(F.col("__v"))
+        "__bucket", F.explode(all_signatures(F.col("__v")))
     )
     p = probes.withColumn("__v", _as_double(vec_col)).withColumn(
-        "__bucket", signature(F.col("__v"))
+        "__sigs", all_signatures(F.col("__v"))
     )
-    # Multi-probe: each probe also visits buckets at Hamming distance 1.
-    p = p.withColumn(
-        "__bucket",
-        F.explode(
-            F.array_union(
-                F.array(F.col("__bucket")),
-                F.array(
-                    *[
-                        F.col("__bucket").bitwiseXOR(F.lit(2**i))
-                        for i in range(bits)
-                    ]
-                ),
-            )
-        ),
-    )
+    # Multi-probe: each probe also visits buckets at Hamming distance 1
+    # within every table. __sigs is a materialized column, so the XOR
+    # flips below are integer ops on it — they never re-evaluate the
+    # dot-product tree.
+    probe_buckets = []
+    for t in range(n_tables):
+        sig = F.element_at("__sigs", t + 1)
+        probe_buckets.append(F.array(sig))
+        probe_buckets.append(
+            F.array(*[sig.bitwiseXOR(F.lit(2**i)) for i in range(bits)])
+        )
+    all_buckets = probe_buckets[0]
+    for b in probe_buckets[1:]:
+        all_buckets = F.array_union(all_buckets, b)
+    p = p.withColumn("__bucket", F.explode(all_buckets))
 
-    joined = c.select(
-        id_col, "__bucket", F.col("__v").alias("__cv")
+    # Norms are computed ONCE per side before the join and carried as
+    # columns — recomputing _norm() inside the joined sim expression
+    # would redo the self-dot-product once per (probe, candidate) pair.
+    joined = c.withColumn("__cn", _norm(F.col("__v"))).select(
+        id_col, "__bucket", F.col("__v").alias("__cv"), "__cn"
     ).join(
         F.broadcast(
-            p.select(probe_id_col, "__bucket", F.col("__v").alias("__pv"))
+            p.withColumn("__pn", _norm(F.col("__v"))).select(
+                probe_id_col, "__bucket", F.col("__v").alias("__pv"), "__pn"
+            )
         ),
         "__bucket",
     )
@@ -159,12 +209,16 @@ def lsh_bucketed_topk(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        / (_norm(F.col("__pv")) * _norm(F.col("__cv"))),
+        / (F.col("__pn") * F.col("__cn")),
         4,
     )
     joined = joined.filter(F.col(probe_id_col) != F.col(id_col)).withColumn(
         "cosine", sim
     )
+    # A pair can match in several tables — dedupe before ranking.
+    # (Cosine is identical for every copy of a pair, so any survivor
+    # is fine; distinct-on-projection keeps it deterministic anyway.)
+    joined = joined.select(probe_id_col, id_col, "cosine").distinct()
     w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         joined.withColumn("__rk", F.row_number().over(w))
@@ -182,28 +236,53 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    lloyd_iters: int = 1,
 ) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer.
 
-    Index: centroids are the vectors of the ``n_centroids`` lowest ids
-    (deterministic seeding — no RNG, no training step; a k-means
-    refinement is a drop-in upgrade that only changes the literals).
-    Each corpus vector is assigned to its most-cosine-similar centroid
-    (one narrow pass, centroids embedded as literal arrays). Probes
-    search their ``nprobe`` closest centroid buckets, so the exact
-    cosine runs against ~nprobe/n_centroids of the corpus.
+    Index: seeds are the vectors of the ``n_centroids`` lowest ids,
+    refined by ``lloyd_iters`` deterministic k-means steps over a
+    fixed low-id sample (no RNG anywhere: same corpus → same
+    centroids). Each corpus vector is assigned to its most-cosine-
+    similar centroid (one narrow pass, centroids embedded as literal
+    arrays). Probes search their ``nprobe`` closest centroid buckets,
+    so the exact cosine runs against ~nprobe/n_centroids of the corpus.
 
     At 100 TB the assignment pass is a map-only scan; the bucket join
     shuffles the corpus once on bucket id (uniform when centroids are
-    spread); per-probe state is the nprobe bucket list.
+    spread); per-probe state is the nprobe bucket list. The training
+    sample is bounded (``sample_size`` rows collected to the driver,
+    the standard IVF recipe — FAISS trains on a sample too).
     """
-    cents = [
-        (r[0], [float(x) for x in r[1]])
-        for r in corpus.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .collect()
-    ]
+    import numpy as np
+
+    sample_size = max(n_centroids * 32, 256)
+    sample = np.array(
+        [
+            [float(x) for x in r[0]]
+            for r in corpus.select(vec_col, id_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        ]
+    )
+    seeds = sample[:n_centroids].copy()
+    # One (or more) Lloyd steps under cosine: assign sample rows to the
+    # nearest-by-cosine seed, replace each seed with its cluster mean.
+    # Empty clusters keep their previous centroid. Deterministic ties:
+    # argmax takes the lowest centroid index.
+    snorm = np.linalg.norm(sample, axis=1, keepdims=True)
+    snorm[snorm == 0] = 1.0
+    sunit = sample / snorm
+    for _ in range(max(0, lloyd_iters)):
+        cn = np.linalg.norm(seeds, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        assign = np.argmax(sunit @ (seeds / cn).T, axis=1)
+        for ci in range(n_centroids):
+            members = sample[assign == ci]
+            if len(members):
+                seeds[ci] = members.mean(axis=0)
+    cents = [(i, [float(x) for x in seeds[i]]) for i in range(n_centroids)]
     cnorms = [sum(x * x for x in v) ** 0.5 for _, v in cents]
     dim = len(cents[0][1])
     # ONE flat literal array of all centroid components (+ a norms
@@ -270,8 +349,20 @@ def ivf_topk(
         )
     )
 
-    joined = c.select(id_col, "__bucket", F.col("__v").alias("__cv")).join(
-        F.broadcast(p.select(probe_id_col, "__bucket", F.col("__v").alias("__pv"))),
+    # Reuse the __nrm columns both sides already computed for the
+    # assignment pass — recomputing _norm() here would redo the
+    # self-dot-product once per joined (probe, candidate) pair.
+    joined = c.select(
+        id_col, "__bucket", F.col("__v").alias("__cv"), F.col("__nrm").alias("__cn")
+    ).join(
+        F.broadcast(
+            p.select(
+                probe_id_col,
+                "__bucket",
+                F.col("__v").alias("__pv"),
+                F.col("__nrm").alias("__pn"),
+            )
+        ),
         "__bucket",
     )
     sim = pround(
@@ -280,7 +371,7 @@ def ivf_topk(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        / (_norm(F.col("__pv")) * _norm(F.col("__cv"))),
+        / (F.col("__pn") * F.col("__cn")),
         4,
     )
     joined = joined.filter(F.col(probe_id_col) != F.col(id_col)).withColumn(

@@ -136,7 +136,11 @@ def fingerprint(
     Output: (id, fp).
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return spread(docs).select(F.col(id_col), F.md5(norm).alias("fp"))
+    # No spread(): one regexp + md5 per row is lighter than the
+    # repartition shuffle it would buy (shuffle moves the same text
+    # bytes the map would read). Measured: spread cost q31 a 2.2x
+    # bench regression at sf0.1 for zero map-side win.
+    return docs.select(F.col(id_col), F.md5(norm).alias("fp"))
 
 
 # Character-trigram profiles per language (top distinctive trigrams;

@@ -475,13 +475,18 @@ def q32_approx_distinct(spark, sf):
 
 
 def q33_lsh_topk(spark, sf):
-    """Approximate ANN via random-hyperplane LSH buckets — rows-only check
-    (recall depends on bucketing; exact baseline is q22)."""
+    """Approximate ANN via multi-table random-hyperplane LSH — rows-only
+    driver check, but recall-contracted in CI:
+    ``tests/test_operators.py::test_lsh_topk_recall_vs_brute_force``
+    pins recall >= 0.5 vs ``brute_force_topk`` at this exact config
+    (bits=6, n_tables=4 — ~4*7/64 = 44% expected corpus coverage),
+    plus exact-cosine parity on shared pairs and determinism.
+    Exact baseline is q22."""
     e = load_table(spark, sf, "embeddings")
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return SIM.lsh_bucketed_topk(e, probes, k=10, bits=6).orderBy(
+    return SIM.lsh_bucketed_topk(e, probes, k=10, bits=6, n_tables=4).orderBy(
         "probe_id", "vec_id"
     )
 

@@ -175,7 +175,9 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     exact_pairs = {(r.probe_id, r.vec_id) for r in exact.collect()}
     approx_pairs = {(r.probe_id, r.vec_id) for r in approx.collect()}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
-    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # floor raised 0.4 -> 0.6 in round 2 with the deterministic
+    # one-step Lloyd centroid refinement (measured ~0.9 here).
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
     # determinism: same seeding, same result
     again = {
         (r.probe_id, r.vec_id)
@@ -187,6 +189,74 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     for r in approx.collect():
         if (r.probe_id, r.vec_id) in exact_sims:
             assert abs(exact_sims[(r.probe_id, r.vec_id)] - r.cosine) < 1e-9
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """q33's recall contract: multi-table LSH at the q33 config must
+    recover >= 0.5 of the exact top-10 pairs, be deterministic, and
+    report EXACT cosines (LSH only prunes candidates — a bucketing
+    bug that surfaced wrong neighbors or wrong sims fails here)."""
+    from data_lake_project_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+    from data_lake_project_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = e.filter("vec_id < 5").selectExpr("vec_id as probe_id", "embedding")
+    exact = brute_force_topk(e, probes, k=10)
+    approx = lsh_bucketed_topk(e, probes, k=10, bits=6, n_tables=4)
+    exact_pairs = {(r.probe_id, r.vec_id) for r in exact.collect()}
+    approx_rows = approx.collect()
+    approx_pairs = {(r.probe_id, r.vec_id) for r in approx_rows}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # determinism: hyperplanes are md5-derived constants
+    again = {
+        (r.probe_id, r.vec_id)
+        for r in lsh_bucketed_topk(e, probes, k=10, bits=6, n_tables=4).collect()
+    }
+    assert approx_pairs == again
+    # LSH prunes candidates but never changes the metric: every shared
+    # pair must carry the identical rounded cosine.
+    exact_sims = {(r.probe_id, r.vec_id): r.cosine for r in exact.collect()}
+    shared = 0
+    for r in approx_rows:
+        if (r.probe_id, r.vec_id) in exact_sims:
+            shared += 1
+            assert abs(exact_sims[(r.probe_id, r.vec_id)] - r.cosine) < 1e-9
+    assert shared > 0
+
+
+def test_lsh_planted_clusters_high_recall(spark):
+    """On data with real cluster structure (what LSH is for), a single
+    8-bit table must bucket co-cluster vectors together: recall >= 0.9
+    for within-cluster neighbors."""
+    from data_lake_project_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    # 5 well-separated direction clusters in R^16, 20 members each,
+    # deterministic small per-member perturbation along another axis.
+    rows = []
+    for cidx in range(5):
+        base = [0.0] * 16
+        base[cidx] = 1.0
+        for m in range(20):
+            v = list(base)
+            v[(cidx + 5 + m % 3) % 16] = 0.05 * (1 + m % 4)
+            rows.append(Row(vec_id=cidx * 100 + m, embedding=v))
+    corpus = spark.createDataFrame(rows)
+    probes = corpus.filter("vec_id % 100 = 0").selectExpr(
+        "vec_id as probe_id", "embedding"
+    )
+    exact = brute_force_topk(corpus, probes, k=5)
+    approx = lsh_bucketed_topk(corpus, probes, k=5, bits=8, n_tables=2)
+    exact_pairs = {(r.probe_id, r.vec_id) for r in exact.collect()}
+    approx_pairs = {(r.probe_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"LSH clustered recall too low: {recall}"
 
 
 def test_salted_join_matches_plain_join(spark):
