@@ -25,11 +25,13 @@ Scale design:
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+from data_lake_project_spark import fs
 
 ZONES = ("bronze", "silver", "gold")
 
@@ -49,10 +51,12 @@ class Lakehouse:
     def path(self, zone: str, table: str) -> str:
         if zone not in ZONES:
             raise ValueError(f"unknown zone {zone!r}; expected one of {ZONES}")
-        return os.path.join(self.root, zone, table)
+        # posixpath, not os.path: table paths are URIs, never Windows
+        # separators, and may carry a scheme.
+        return posixpath.join(self.root, zone, table)
 
     def _manifest(self, zone: str, table: str) -> str:
-        return os.path.join(self.path(zone, table), "_table_manifest.json")
+        return posixpath.join(self.path(zone, table), "_table_manifest.json")
 
     # -- DDL (S4 analog) ---------------------------------------------------
 
@@ -75,20 +79,22 @@ class Lakehouse:
         writer = empty.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(os.path.join(self.path(zone, table), "data"))
-        os.makedirs(self.path(zone, table), exist_ok=True)
-        with open(self._manifest(zone, table), "w") as fh:
-            json.dump(
-                {"schema": schema.json(), "partition_by": partition_by or []},
-                fh,
-            )
+        writer.parquet(posixpath.join(self.path(zone, table), "data"))
+        fs.write_text(
+            self.spark,
+            self._manifest(zone, table),
+            json.dumps(
+                {"schema": schema.json(), "partition_by": partition_by or []}
+            ),
+        )
 
     def exists(self, zone: str, table: str) -> bool:
-        return os.path.exists(self._manifest(zone, table))
+        return fs.exists(self.spark, self._manifest(zone, table))
 
     def partitioning(self, zone: str, table: str) -> list[str]:
-        with open(self._manifest(zone, table)) as fh:
-            return json.load(fh)["partition_by"]
+        return json.loads(fs.read_text(self.spark, self._manifest(zone, table)))[
+            "partition_by"
+        ]
 
     # -- I/O ---------------------------------------------------------------
 
@@ -96,10 +102,10 @@ class Lakehouse:
         # schema comes from the manifest, not footer inference: stable
         # under empty tables (a partitioned empty write has no files)
         # and skips the file-listing schema merge on wide tables
-        with open(self._manifest(zone, table)) as fh:
-            schema = StructType.fromJson(json.loads(json.load(fh)["schema"]))
+        manifest = json.loads(fs.read_text(self.spark, self._manifest(zone, table)))
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
         return self.spark.read.schema(schema).parquet(
-            os.path.join(self.path(zone, table), "data")
+            posixpath.join(self.path(zone, table), "data")
         )
 
     def append(self, zone: str, table: str, df: DataFrame) -> None:
@@ -110,7 +116,7 @@ class Lakehouse:
         parts = self.partitioning(zone, table)
         if parts:
             writer = writer.partitionBy(*parts)
-        writer.parquet(os.path.join(self.path(zone, table), "data"))
+        writer.parquet(posixpath.join(self.path(zone, table), "data"))
 
     def upsert_partitions(self, zone: str, table: str, df: DataFrame) -> None:
         """Idempotent partition-level upsert: rewrites ONLY the
@@ -124,7 +130,7 @@ class Lakehouse:
                 "use KeyedTable.upsert for key-level MERGE"
             )
         df.write.mode("overwrite").partitionBy(*parts).parquet(
-            os.path.join(self.path(zone, table), "data")
+            posixpath.join(self.path(zone, table), "data")
         )
 
     # -- medallion flow ----------------------------------------------------
@@ -146,7 +152,7 @@ class Lakehouse:
             self.upsert_partitions(dst_zone, table, out)
         else:
             out.write.mode("overwrite").parquet(
-                os.path.join(self.path(dst_zone, table), "data")
+                posixpath.join(self.path(dst_zone, table), "data")
             )
         return out
 
@@ -209,20 +215,37 @@ def compact(
     ``target_files`` files (default: sized by data volume at 128 MiB
     per file). Streaming sinks and frequent small appends accrete
     thousands of tiny files; at 100 TB the file-listing alone becomes
-    the scan bottleneck. Returns the file count written."""
+    the scan bottleneck. Returns the file count written.
+
+    All filesystem steps go through the Hadoop FileSystem API (``fs``
+    module), so the path may be ``hdfs://``/``s3a://`` — not only the
+    driver's local disk. The swap protocol never has a moment with
+    zero copies of the data on disk (round-1 ADVICE: the old
+    rmtree-then-rename lost the table on a crash between the calls):
+
+    1. write compacted copy to ``<path>__compact_tmp``;
+    2. rename the live dir aside to ``<path>__compact_old``;
+    3. rename tmp into place;
+    4. delete the old dir.
+
+    A crash between 2 and 3 leaves no live dir but BOTH complete
+    copies on disk — recovery is renaming either back. (On S3, rename
+    is copy+delete: correct but slow; the production fix is a table
+    format whose manifest pointer flip replaces renames.)
+    """
     df = spark.read.parquet(path)
     if target_files is None:
-        total_bytes = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(path)
-            for f in fs
-            if f.endswith(".parquet")
-        )
+        total_bytes = fs.total_size(spark, path, ".parquet")
         target_files = max(1, total_bytes // (128 * 1024 * 1024))
-    tmp = path.rstrip("/") + "__compact_tmp"
+    base = path.rstrip("/")
+    tmp, old = base + "__compact_tmp", base + "__compact_old"
     df.coalesce(int(target_files)).write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    fs.delete(spark, old)  # clear any debris from a prior crash
+    if not fs.rename(spark, base, old):
+        raise IOError(f"compact: could not move {base} aside")
+    if not fs.rename(spark, tmp, base):
+        # roll back so the table stays live
+        fs.rename(spark, old, base)
+        raise IOError(f"compact: could not move compacted data into {base}")
+    fs.delete(spark, old)
     return int(target_files)

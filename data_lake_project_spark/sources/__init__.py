@@ -16,11 +16,12 @@ The reference's ingest surface re-expressed:
 
 from __future__ import annotations
 
-import os
-import shutil
+import json
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from data_lake_project_spark import fs
 
 
 def read_csv(
@@ -79,51 +80,142 @@ class KeyedTable:
     """S4/S5 analog: a keyed lakehouse table with idempotent upsert.
 
     The reference's Cassandra sink (``spark_stream.py:64-69,92-108``)
-    is a text-keyed table written at-least-once. Here: parquet data +
-    MERGE-on-key implemented as read-union-dedup-rewrite (with Delta
+    is a text-keyed table written at-least-once. Here: a hash-bucketed
+    parquet layout with a partition-scoped MERGE-on-key (with Delta
     available this becomes a real ``MERGE INTO``; the interface is
-    the contract). Writes are atomic via temp-dir rename.
+    the contract).
+
+    Layout: ``<path>/buckets/__kbucket=<i>/...`` where the bucket is
+    ``pmod(xxhash64(key), n_buckets)``, plus a tiny JSON meta file
+    recording ``n_buckets`` so every writer buckets identically.
+
+    Scale contract — O(delta), not O(table): an upsert reads and
+    rewrites ONLY the buckets its update batch touches; all other
+    bucket directories are never opened (asserted by a file-mtime
+    test). A daily trickle update against a 100 TB table costs
+    ``|delta| + |touched buckets|``, and ``n_buckets`` bounds the
+    worst case at full-table for a batch that spans every bucket.
+    Every filesystem side-step goes through the Hadoop FileSystem API
+    so the same code works on ``hdfs://``/``s3a://`` paths.
     """
 
-    def __init__(self, spark: SparkSession, path: str, key_col: str = "key"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str = "key",
+        n_buckets: int = 16,
+    ):
         self.spark = spark
-        self.path = path
+        self.path = path.rstrip("/")
         self.key_col = key_col
-        self._data = os.path.join(path, "data")
+        self._buckets = f"{self.path}/buckets"
+        self._meta = f"{self.path}/_keyed_meta.json"
+        if fs.exists(spark, self._meta):
+            # the table's recorded bucketing wins over the argument —
+            # mixing bucket counts would scatter a key across buckets
+            self.n_buckets = json.loads(fs.read_text(spark, self._meta))[
+                "n_buckets"
+            ]
+        else:
+            self.n_buckets = n_buckets
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__kbucket",
+            F.pmod(
+                F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets)
+            ).cast("int"),
+        )
+
+    def _write_meta(self) -> None:
+        fs.write_text(
+            self.spark,
+            self._meta,
+            json.dumps({"n_buckets": self.n_buckets, "key_col": self.key_col}),
+        )
 
     def exists(self) -> bool:
-        return os.path.exists(self._data)
+        return fs.exists(self.spark, self._meta)
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self._data)
+        return self.spark.read.parquet(self._buckets).drop("__kbucket")
 
     def append(self, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self._data)
-
-    def upsert(self, updates: DataFrame) -> None:
-        """MERGE on key: new rows win over existing rows; within the
-        update batch, last occurrence wins (dropDuplicates on key
-        after priority tagging)."""
+        self._with_bucket(df).write.mode("append").partitionBy(
+            "__kbucket"
+        ).parquet(self._buckets)
         if not self.exists():
-            updates.dropDuplicates([self.key_col]).write.mode(
-                "overwrite"
-            ).parquet(self._data)
-            return
-        current = self.read().withColumn("__prio", F.lit(1))
-        merged = (
-            updates.withColumn("__prio", F.lit(0))
-            .unionByName(current)
-            .withColumn(
-                "__rn",
-                F.row_number().over(
-                    Window.partitionBy(self.key_col).orderBy("__prio")
-                ),
-            )
-            .filter(F.col("__rn") == 1)
-            .drop("__prio", "__rn")
+            self._write_meta()
+
+    def upsert(self, updates: DataFrame, version_col: str | None = None) -> None:
+        """MERGE on key, scoped to the touched buckets.
+
+        New rows win over existing rows. Within the update batch the
+        row with the highest ``version_col`` wins; without one, a
+        sequence captured via ``monotonically_increasing_id`` at batch
+        entry breaks ties by the batch's row order (deterministic for
+        a deterministically-ordered update source — pass a real
+        version column when you have one).
+        """
+        seq = (
+            F.col(version_col)
+            if version_col
+            else F.monotonically_increasing_id()
         )
-        tmp = self._data + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self._data)
-        shutil.rmtree(tmp, ignore_errors=True)
+        u = self._with_bucket(
+            updates.withColumn("__seq", seq).withColumn("__prio", F.lit(0))
+        )
+        if not self.exists():
+            first = self._dedup(u).drop("__prio", "__seq")
+            first.write.mode("overwrite").partitionBy("__kbucket").parquet(
+                self._buckets
+            )
+            self._write_meta()
+            return
+        # Touched buckets: bounded by n_buckets, a tiny driver list.
+        touched = sorted(
+            r[0] for r in u.select("__kbucket").distinct().collect()
+        )
+        live_dirs = [
+            f"{self._buckets}/__kbucket={b}"
+            for b in touched
+            if fs.exists(self.spark, f"{self._buckets}/__kbucket={b}")
+        ]
+        if live_dirs:
+            current = (
+                self.spark.read.option("basePath", self._buckets)
+                .parquet(*live_dirs)
+                .withColumn("__seq", F.lit(-1).cast("long"))
+                .withColumn("__prio", F.lit(1))
+            )
+            merged = self._dedup(u.unionByName(current))
+        else:
+            merged = self._dedup(u)
+        merged = merged.drop("__prio", "__seq")
+        # ONE Spark write of the touched buckets into a tmp dir, then a
+        # metadata-only swap per bucket (Hadoop FS rename) — the data
+        # is written exactly once, and a crash mid-swap leaves every
+        # bucket with at least one complete copy on disk.
+        tmp = f"{self.path}/__upsert_tmp"
+        fs.delete(self.spark, tmp)
+        merged.write.mode("overwrite").partitionBy("__kbucket").parquet(tmp)
+        for b in touched:
+            live = f"{self._buckets}/__kbucket={b}"
+            old = f"{self.path}/__upsert_old_{b}"
+            fs.delete(self.spark, old)
+            if fs.exists(self.spark, live):
+                fs.rename(self.spark, live, old)
+            fs.rename(self.spark, f"{tmp}/__kbucket={b}", live)
+            fs.delete(self.spark, old)
+        fs.delete(self.spark, tmp)
+
+    def _dedup(self, tagged: DataFrame) -> DataFrame:
+        w = Window.partitionBy(self.key_col).orderBy(
+            F.col("__prio").asc(), F.col("__seq").desc()
+        )
+        return (
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )

@@ -23,11 +23,11 @@ batch is constant, not per-row.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
+
+from data_lake_project_spark import fs
 
 # Reference schema: four non-null strings (spark_stream.py:160-165).
 EVENT_SCHEMA = StructType(
@@ -121,27 +121,46 @@ def write_idempotent_foreach_batch(
     checkpoint_dir: str,
     key_cols: list[str] | None = None,
 ):
-    """Checkpointed, exactly-once ``foreachBatch`` sink (S3 analog).
+    """Checkpointed, effectively-once ``foreachBatch`` sink (S3 analog).
 
-    Fixes reference Appendix B.7: a committed-batch marker directory
-    makes replayed micro-batches no-ops, so restart never duplicates
-    rows. With Delta available this collapses to
-    ``.writeStream.format("delta")`` + ``txnAppId``; the marker
+    Fixes reference Appendix B.7 with TWO independent layers:
+
+    1. **Idempotent by construction**: each micro-batch lands in its
+       own ``data/__batch=<id>`` subdirectory with ``overwrite`` mode,
+       so a replayed batch (restart, lost checkpoint) rewrites the
+       same directory instead of appending duplicates — correct even
+       if the marker write below is lost.
+    2. **Committed-batch markers** as a fast skip: a marker file per
+       durable batch short-circuits the replay without re-running the
+       batch plan. Markers live next to the data and go through the
+       Hadoop FileSystem API (``fs`` module), so the protocol works on
+       the same URI space as the data (``hdfs://``, ``s3a://``) — not
+       just the driver's local disk.
+
+    Read the sink back with ``read_sink`` (drops the ``__batch``
+    partition column). With Delta available this collapses to
+    ``.writeStream.format("delta")`` + ``txnAppId``; the layered
     protocol keeps plain parquet correct.
+
+    The crash window between the data write and the marker write
+    (ADVICE round 1) is closed by layer 1: the replay overwrites, so
+    the marker is purely an optimization and "crash after append,
+    before marker" no longer duplicates.
     """
-    commits_dir = os.path.join(out_dir, "_committed_batches")
+    commits_dir = f"{out_dir.rstrip('/')}/_committed_batches"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(commits_dir, f"{batch_id}")
-        if os.path.exists(marker):
+        spark = batch_df.sparkSession
+        marker = f"{commits_dir}/{batch_id}"
+        if fs.exists(spark, marker):
             return  # replayed batch after restart: already durable
         df = batch_df
         if key_cols:
             df = df.dropDuplicates(key_cols)
-        df.write.mode("append").parquet(os.path.join(out_dir, "data"))
-        os.makedirs(commits_dir, exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("committed")
+        df.write.mode("overwrite").parquet(
+            f"{out_dir.rstrip('/')}/data/__batch={batch_id}"
+        )
+        fs.write_text(spark, marker, "committed")
 
     return (
         stream.writeStream.foreachBatch(write_batch)
@@ -149,6 +168,13 @@ def write_idempotent_foreach_batch(
         .outputMode("append")
         .start()
     )
+
+
+def read_sink(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read back a ``write_idempotent_foreach_batch`` sink: the
+    ``__batch=<id>`` partition directories are an implementation
+    detail, so the discovered ``__batch`` column is dropped."""
+    return spark.read.parquet(f"{out_dir.rstrip('/')}/data").drop("__batch")
 
 
 def ensure_topic(

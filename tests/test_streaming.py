@@ -23,7 +23,7 @@ from data_lake_project_spark.streaming import (
     tumbling_agg,
     write_idempotent_foreach_batch,
 )
-from data_lake_project_spark.streaming.pipeline import to_silver
+from data_lake_project_spark.streaming.pipeline import read_sink, to_silver
 
 EVENTS = [
     {"id": "1", "order_date": "2024-05-01", "product_name": "a", "quantity": "2"},
@@ -71,7 +71,7 @@ def test_stream_matches_batch_end_to_end(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    streamed = spark.read.parquet(os.path.join(out, "data"))
+    streamed = read_sink(spark, out)
     batch = to_silver(
         parse_events(
             spark.read.json(src).select(
@@ -97,7 +97,7 @@ def test_idempotent_sink_survives_checkpoint_loss(spark, tmp_path):
     q = pipeline()
     q.processAllAvailable()
     q.stop()
-    n_first = spark.read.parquet(os.path.join(out, "data")).count()
+    n_first = read_sink(spark, out).count()
 
     # lose the checkpoint -> every micro-batch replays with the same
     # batch ids; the committed-batch markers must make them no-ops
@@ -105,7 +105,39 @@ def test_idempotent_sink_survives_checkpoint_loss(spark, tmp_path):
     q = pipeline()
     q.processAllAvailable()
     q.stop()
-    n_second = spark.read.parquet(os.path.join(out, "data")).count()
+    n_second = read_sink(spark, out).count()
+    assert n_first == n_second == len(EVENTS)
+
+
+def test_idempotent_sink_survives_lost_marker(spark, tmp_path):
+    """The layered protocol's stronger claim: even if a marker never
+    made it to disk (crash between data write and marker write), the
+    replayed batch OVERWRITES its own subdirectory instead of
+    appending — no duplicates, by construction."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_source(src, EVENTS)
+
+    pipeline = lambda: write_idempotent_foreach_batch(  # noqa: E731
+        to_silver(parse_events(file_stream_source(spark, src))),
+        out_dir=out,
+        checkpoint_dir=ckpt,
+        key_cols=["id"],
+    )
+    q = pipeline()
+    q.processAllAvailable()
+    q.stop()
+    n_first = read_sink(spark, out).count()
+
+    # simulate "crash after append, before marker": delete ALL markers
+    # and the checkpoint, so every batch replays as if uncommitted
+    shutil.rmtree(os.path.join(out, "_committed_batches"))
+    shutil.rmtree(ckpt)
+    q = pipeline()
+    q.processAllAvailable()
+    q.stop()
+    n_second = read_sink(spark, out).count()
     assert n_first == n_second == len(EVENTS)
 
 
