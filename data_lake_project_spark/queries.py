@@ -610,6 +610,62 @@ def q36_keyword_scan(spark, sf):
     ).orderBy("doc")
 
 
+def q06b_semi_join(spark, sf):
+    """Left-semi join (SURVEY §2.9 Q06 names left/semi/anti — the semi
+    variant): customers with at least one open ('O') order. Existence
+    check only, never multiplies rows — the plan Spark picks is a
+    broadcast/shuffled semi join, not a join+distinct."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# Multi-sentence corpus for sentence-scoped extraction: sentence 0 is
+# keyword-free filler; sentence 1 carries a sign word, doc_id%5 filler
+# words (so the 3-words-before trim keeps the sign word only when
+# k=0), the keyword, a value with attached/detached unit, and a year;
+# sentence 2 holds a decoy fact that whole-text extraction would emit
+# but sentence scoping must exclude. Valid in Spark SQL and DuckDB.
+SENT_CORPUS_EXPR = """concat(
+  'Rapport annuel preliminaire. ',
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'hausse ' WHEN 1 THEN 'baisse ' ELSE 'stable ' END,
+  repeat('mot ', CAST(doc_id % 5 AS INT)),
+  'notable de production de ', CAST(doc_id % 90 AS STRING),
+  CASE WHEN doc_id % 2 = 0 THEN '% en ' ELSE ' millions en ' END,
+  CAST(2000 + doc_id % 25 AS STRING),
+  '. Ensuite un solde de 9% en 1999.')"""
+
+
+def q39_sentence_facts(spark, sf):
+    """Sentence-scoped fact extraction (``texteExtract.py:10-23`` +
+    ``:62-74``): custom-segmenter sentences, first sentence containing
+    the keyword, trimmed 3 words before it, THEN the value/year/sign
+    matcher — the reference's actual extraction scope (q34 runs the
+    matcher whole-text). The decoy fact in the trailing sentence must
+    not appear."""
+    from data_lake_project_spark.operators.sentences import (
+        sentence_scoped_facts,
+    )
+
+    d = load_table(spark, sf, "documents").selectExpr(
+        "doc_id", f"{SENT_CORPUS_EXPR} AS text"
+    )
+    return (
+        sentence_scoped_facts(d, "production")
+        .select(
+            "doc_id",
+            "year",
+            "signed_value",
+            F.col("v_pos").cast("bigint").alias("v_pos"),
+        )
+        .orderBy("doc_id", "v_pos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -621,6 +677,7 @@ QUERIES: dict[str, QueryFn] = {
     "q04_equi_join": q04_equi_join,
     "q05_multiway_join_agg": q05_multiway_join_agg,
     "q06_anti_join": q06_anti_join,
+    "q06b_semi_join": q06b_semi_join,
     "q07_asof_join": q07_asof_join,
     "q08_groupby_agg": q08_groupby_agg,
     "q09_count_distinct": q09_count_distinct,
@@ -654,6 +711,7 @@ QUERIES: dict[str, QueryFn] = {
     "q36_keyword_scan": q36_keyword_scan,
     "q37_ivf_topk": q37_ivf_topk,
     "q38_language_id_ngram": q38_language_id_ngram,
+    "q39_sentence_facts": q39_sentence_facts,
 }
 
 _SHINGLE_CTE = """
@@ -720,6 +778,13 @@ ORACLE: dict[str, str] = {
     "q06_anti_join": """
         SELECT count(*)::BIGINT AS n_no_orders FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q06b_semi_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O')
+        ORDER BY c_custkey
     """,
     "q07_asof_join": """
         WITH ranked AS (
@@ -1200,5 +1265,126 @@ ORACLE: dict[str, str] = {
         FROM pages
         WHERE contains(lower(text), 'vector')
         GROUP BY doc ORDER BY doc
+    """,
+    # q39: sentence segmentation (punct-separating normalization, the
+    # reference boundary token set), first keyword sentence, 3-words-
+    # before trim, then the q34 fact pipeline over the trimmed text.
+    "q39_sentence_facts": f"""
+        WITH docs AS (
+            SELECT doc_id, {SENT_CORPUS_EXPR} AS text FROM documents
+        ),
+        norm AS (
+            SELECT doc_id,
+                   regexp_replace(text, '([.!?]+)(\\s|$)', ' \\1\\2', 'g') AS t
+            FROM docs
+        ),
+        toksall AS (
+            SELECT doc_id,
+                   generate_subscripts(arr, 1) - 1 AS pos,
+                   unnest(arr) AS tok
+            FROM (SELECT doc_id, string_split_regex(trim(t), '\\s+') AS arr
+                  FROM norm)
+        ),
+        marked AS (
+            SELECT doc_id, pos, tok,
+                   coalesce(sum(CASE WHEN regexp_matches(tok, '^(?:\\.{{1,3}}|!|\\?)$')
+                                     THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS sent_idx
+            FROM toksall
+        ),
+        sentences AS (
+            SELECT doc_id, sent_idx,
+                   string_agg(tok, ' ' ORDER BY pos) AS sentence
+            FROM marked GROUP BY doc_id, sent_idx
+        ),
+        hit AS (
+            SELECT doc_id, min(sent_idx) AS sent_idx FROM sentences
+            WHERE instr(lower(sentence), 'production') > 0
+            GROUP BY doc_id
+        ),
+        chosen AS (
+            SELECT s.doc_id, s.sentence
+            FROM sentences s JOIN hit h
+              ON s.doc_id = h.doc_id AND s.sent_idx = h.sent_idx
+        ),
+        trimmedt AS (
+            SELECT doc_id,
+                   array_to_string(words[greatest(kidx - 3, 1):len(words)], ' ') AS text
+            FROM (
+                SELECT doc_id, words,
+                       coalesce(list_position(
+                           list_transform(words,
+                               w -> instr(lower(w), 'production') > 0),
+                           true), 0) AS kidx
+                FROM (SELECT doc_id, string_split(sentence, ' ') AS words
+                      FROM chosen)
+            )
+        ),
+        toks AS (
+            SELECT doc_id,
+                   generate_subscripts(arr, 1) - 1 AS pos,
+                   unnest(arr) AS tok
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+                  FROM trimmedt)
+        ),
+        toks2 AS (
+            SELECT *, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tok
+            FROM toks
+        ),
+        vals AS (
+            SELECT doc_id, pos AS v_pos,
+                   tok || CASE WHEN coalesce(
+                                   regexp_matches(next_tok, '^(?:%|\\$|bbl|dollars|millions)$'),
+                                   false)
+                               AND NOT regexp_matches(tok, '(?:%|\\$|bbl)$')
+                          THEN ' ' || next_tok ELSE '' END AS value_text
+            FROM toks2
+            WHERE regexp_matches(tok, '^[0-9]+(?:[.,][0-9]+)?(?:%|\\$|bbl)?$')
+              AND NOT regexp_matches(tok, '^(?:1[89][0-9]{{2}}|20[0-9]{{2}})$')
+              AND (regexp_matches(tok, '(?:%|\\$|bbl)$')
+                   OR coalesce(regexp_matches(next_tok, '^(?:%|\\$|bbl|dollars|millions)$'), false))
+        ),
+        years AS (
+            SELECT doc_id, pos AS y_pos, tok AS year FROM toks
+            WHERE regexp_matches(tok, '^(?:1[89][0-9]{{2}}|20[0-9]{{2}})$')
+        ),
+        paired AS (
+            SELECT * FROM (
+                SELECT v.doc_id, v.v_pos, v.value_text, y.year,
+                       row_number() OVER (PARTITION BY v.doc_id, v.v_pos
+                           ORDER BY y.y_pos - v.v_pos, y.y_pos) AS rn
+                FROM vals v JOIN years y
+                  ON v.doc_id = y.doc_id AND y.y_pos >= v.v_pos
+            ) WHERE rn = 1
+        ),
+        sents AS (
+            SELECT doc_id, pos AS s_pos,
+                   CASE WHEN lower(tok) IN
+                       ('hausse','augmentation','appreciation','excedent','accroissement')
+                   THEN '+' ELSE '-' END AS sign
+            FROM toks
+            WHERE lower(tok) IN ('hausse','augmentation','appreciation',
+                                 'excedent','accroissement',
+                                 'baisse','diminution','deficit')
+        ),
+        signed AS (
+            SELECT * FROM (
+                SELECT p.doc_id, p.v_pos, p.value_text, p.year,
+                       CASE WHEN s.s_pos < p.v_pos AND p.v_pos - s.s_pos <= 25
+                            THEN s.sign END AS sign,
+                       row_number() OVER (PARTITION BY p.doc_id, p.v_pos
+                           ORDER BY CASE WHEN s.s_pos < p.v_pos
+                                          AND p.v_pos - s.s_pos <= 25
+                                     THEN p.v_pos - s.s_pos
+                                     ELSE 1000000 END) AS srn
+                FROM paired p LEFT JOIN sents s ON p.doc_id = s.doc_id
+            ) WHERE srn = 1
+        )
+        SELECT doc_id, year,
+               coalesce(sign, '') || value_text AS signed_value,
+               CAST(v_pos AS BIGINT) AS v_pos
+        FROM signed ORDER BY doc_id, v_pos
     """,
 }

@@ -259,6 +259,72 @@ def test_lsh_planted_clusters_high_recall(spark):
     assert recall >= 0.9, f"LSH clustered recall too low: {recall}"
 
 
+def test_split_sentences_reference_boundaries(spark):
+    """custom_seg semantics (texteExtract.py:10-23): boundaries only
+    after . .. ... ! ? tokens; decimals never split."""
+    from data_lake_project_spark.operators.sentences import split_sentences
+
+    d = spark.createDataFrame(
+        [
+            (1, "Une phrase. Deux phrases! Trois... quatre? fin"),
+            (2, "valeur 3.5 millions en 2001, pas de split ici"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        (r.doc_id, r.sent_idx): r.sentence
+        for r in split_sentences(d).collect()
+    }
+    assert out[(1, 0)] == "Une phrase ."
+    assert out[(1, 1)] == "Deux phrases !"
+    assert out[(1, 2)] == "Trois ..."
+    assert out[(1, 3)] == "quatre ?"
+    assert out[(1, 4)] == "fin"
+    # the decimal point inside 3.5 is not a boundary
+    assert len([k for k in out if k[0] == 2]) == 1
+
+
+def test_keyword_sentence_trim_three_words(spark):
+    """texteExtract.py:62-74: first keyword sentence, trimmed to start
+    3 words before the keyword; docs without the keyword yield no row."""
+    from data_lake_project_spark.operators.sentences import keyword_sentence
+
+    d = spark.createDataFrame(
+        [
+            (1, "Intro sans rien. un deux trois quatre cinq production de 3%."),
+            (2, "production en tete de phrase ici."),
+            (3, "aucune occurrence du mot cle."),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r.trimmed_sentence for r in keyword_sentence(d, "production").collect()}
+    # words before keyword: un(0) deux(1) trois(2) quatre(3) cinq(4) -> start at idx 5-3=2
+    assert out[1] == "trois quatre cinq production de 3% ."
+    assert out[2] == "production en tete de phrase ici ."  # clamp at start
+    assert 3 not in out
+
+
+def test_sentence_scoped_facts_exclude_other_sentences(spark):
+    """The decoy fact in a later sentence must not be extracted, and
+    the 3-word trim decides whether the sign word survives."""
+    from data_lake_project_spark.operators.sentences import (
+        sentence_scoped_facts,
+    )
+
+    d = spark.createDataFrame(
+        [
+            # sign word 1 token before keyword-window start -> trimmed off
+            (1, "hausse mot mot mot de production de 34% en 2015. solde de 9% en 1999."),
+            # sign word within the 3-word window -> kept
+            (2, "hausse de production de 12% en 2003. solde de 9% en 1999."),
+        ],
+        "doc_id int, text string",
+    )
+    rows = sentence_scoped_facts(d, "production").collect()
+    got = {(r.doc_id, r.year): r.signed_value for r in rows}
+    assert got == {(1, "2015"): "34%", (2, "2003"): "+12%"}
+
+
 def test_salted_join_matches_plain_join(spark):
     from data_lake_project_spark.operators.skew import salted_join
 
