@@ -121,6 +121,150 @@ def explode_pages(
     return docs.select(path_col, content_col).mapInPandas(gen, PAGE_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# Page preprocessing (reference ``ocr.py:42-44`` inversion gate +
+# ``:91-99`` enhance chain, ``graphData.py:132-142`` figure resize)
+# --------------------------------------------------------------------------
+
+PREPROCESSED_PAGE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("page", IntegerType()),
+        StructField("image", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("inverted", StringType()),
+    ]
+)
+
+
+def fake_invert(image: bytes) -> bytes:
+    """Deterministic stand-in for ``cv2.bitwise_not`` (``ocr.py:43``):
+    complements every byte — an involution, like the real inversion."""
+    return bytes(255 - b for b in image)
+
+
+def real_invert(image: bytes) -> bytes:  # pragma: no cover
+    """Real decoder path (decode → cv2.bitwise_not → re-encode);
+    needs opencv, absent in this container."""
+    raise NotImplementedError(
+        "opencv not available; inject fake_invert or install the "
+        "'vision' extra on the cluster image"
+    )
+
+
+def fake_enhance(image: bytes) -> bytes:
+    """Deterministic stand-in for the reference's enhance chain
+    (``ocr.py:91-99``: Gaussian blur → adaptive threshold → Otsu →
+    sharpen). XORs a marker nibble so tests can prove the stage ran
+    while staying a pure, invertible byte transform."""
+    return bytes(b ^ 0x0F for b in image)
+
+
+def real_enhance(image: bytes) -> bytes:  # pragma: no cover
+    """Real chain: GaussianBlur(5,5) → adaptiveThreshold(GAUSSIAN, 3,
+    3) → Otsu binarize → 3x3 sharpen kernel (``ocr.py:91-99``)."""
+    raise NotImplementedError(
+        "opencv not available; inject fake_enhance or install the "
+        "'vision' extra on the cluster image"
+    )
+
+
+def preprocess_pages(
+    pages: DataFrame,
+    threshold: float = 100.0,
+    patch: int = 16,
+    invert: Callable[[bytes], bytes] = fake_invert,
+    enhance: Callable[[bytes], bytes] = fake_enhance,
+) -> DataFrame:
+    """The reference's pre-OCR conditioning (``ocr.py:42-44``): pages
+    with a dark background (mean of 4 corner patches < threshold) are
+    inverted, then every page runs the enhance chain. Emits the page
+    rows with transformed bytes plus an ``inverted`` flag, so bright
+    and dark pages demonstrably take different paths.
+
+    Same stand-in convention as ``tables.corner_brightness``: with no
+    image codecs in the container, the encoded bytes are the raster;
+    the Spark-side contract (Arrow-batched mapInPandas, per-page
+    scalar gate, pluggable transforms) is the real thing.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                buf = r["image"]
+                corners = [
+                    buf[:patch],
+                    buf[-patch:],
+                    buf[patch : 2 * patch],
+                    buf[-2 * patch : -patch],
+                ]
+                mean = sum(sum(c) / max(len(c), 1) for c in corners) / 4.0
+                dark = mean < threshold
+                img = invert(buf) if dark else buf
+                rows.append(
+                    {
+                        "path": r["path"],
+                        "page": r["page"],
+                        "image": enhance(img),
+                        "width": r["width"],
+                        "height": r["height"],
+                        "inverted": "true" if dark else "false",
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PREPROCESSED_PAGE_SCHEMA]
+            )
+
+    return pages.mapInPandas(gen, PREPROCESSED_PAGE_SCHEMA)
+
+
+def fake_resize(
+    image: bytes, width: int, height: int, new_width: int, new_height: int
+) -> bytes:
+    """Deterministic stand-in for ``cv2.resize``: scales the byte
+    count by the area ratio (cycling the source bytes), so downstream
+    stages see a genuinely smaller payload."""
+    n = max(1, int(len(image) * (new_width * new_height) / max(width * height, 1)))
+    reps = n // max(len(image), 1) + 1
+    return (image * reps)[:n]
+
+
+def resize_figures(
+    figures: DataFrame,
+    scale_width: float = 0.4,
+    scale_height: float = 0.5,
+    resize: Callable[[bytes, int, int, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """The reference's econ-report figure shrink before chart parsing
+    (``graphData.py:132-142``: width x0.4, height x0.5). Runs on any
+    (path, page, image, width, height) frame; emits the same shape
+    with scaled dimensions and resized bytes.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                nw = int(r["width"] * scale_width)
+                nh = int(r["height"] * scale_height)
+                rows.append(
+                    {
+                        "path": r["path"],
+                        "page": r["page"],
+                        "image": resize(r["image"], r["width"], r["height"], nw, nh),
+                        "width": nw,
+                        "height": nh,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PAGE_SCHEMA])
+
+    return figures.select(
+        "path", "page", "image", "width", "height"
+    ).mapInPandas(gen, PAGE_SCHEMA)
+
+
 OCR_LINE_TYPE = ArrayType(
     StructType(
         [

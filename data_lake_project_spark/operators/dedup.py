@@ -333,6 +333,7 @@ def embedding_neardup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs within blocks.
 
@@ -340,6 +341,14 @@ def embedding_neardup(
     coarse quantizer or LSH bucket) keeps the self-join quadratic only
     within blocks. Dot/norm are computed JVM-side with
     ``aggregate``/``zip_with`` on double-cast arrays.
+
+    ``n_salts``: opt-in skew handling for the one 100 TB risk here —
+    a dominant block (e.g. one language holding half the corpus)
+    turning the block self-join into a single straggler partition.
+    With salting, one side's rows spread across ``n_salts`` shuffle
+    partitions per block and the other side replicates ``n_salts``x
+    (``operators/skew.salted_join``); results are identical (inner
+    join, result-parity tested on a skewed fixture).
     """
     v = emb.select(
         F.col(id_col),
@@ -368,8 +377,14 @@ def embedding_neardup(
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+    if n_salts:
+        from data_lake_project_spark.operators.skew import salted_join
+
+        joined = salted_join(a, b, "__blk", n_salts=n_salts)
+    else:
+        joined = a.join(b, "__blk")
     return (
-        a.join(b, "__blk")
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)

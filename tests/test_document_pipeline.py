@@ -257,3 +257,62 @@ def test_multimodal_pipeline_end_to_end(spark):
     recovered = grid["cell_text"].str.extract(r"cell_(\d+)_(\d+)_")
     assert (recovered[0].astype(int) == grid["row_idx"]).all()
     assert (recovered[1].astype(int) == grid["col_idx"]).all()
+
+
+# --------------------------------------------------------------------------
+# page preprocessing (inversion gate + enhance + figure resize)
+# --------------------------------------------------------------------------
+
+
+def test_preprocess_pages_bright_vs_dark_paths(spark):
+    from data_lake_project_spark.multimodal import (
+        fake_enhance,
+        fake_invert,
+        preprocess_pages,
+    )
+
+    bright = bytes([200] * 64)
+    dark = bytes([20] * 64)
+    pages = spark.createDataFrame(
+        [("a.pdf", 1, bright, 10, 10), ("a.pdf", 2, dark, 10, 10)],
+        "path string, page int, image binary, width int, height int",
+    )
+    out = {r.page: r for r in preprocess_pages(pages, threshold=100.0).collect()}
+    # bright page: NOT inverted, but enhanced (ocr.py:42-44 runs the
+    # enhance chain on every page, inversion only on dark ones)
+    assert out[1].inverted == "false"
+    assert bytes(out[1].image) == fake_enhance(bright)
+    # dark page: inverted THEN enhanced
+    assert out[2].inverted == "true"
+    assert bytes(out[2].image) == fake_enhance(fake_invert(dark))
+    # inversion is an involution, like cv2.bitwise_not
+    assert fake_invert(fake_invert(dark)) == dark
+
+
+def test_preprocess_then_ocr_composes(spark):
+    from data_lake_project_spark.multimodal import (
+        explode_pages,
+        ocr_pages,
+        preprocess_pages,
+    )
+
+    docs = spark.createDataFrame(
+        [("a.pdf", b"doc-one-bytes")], "path string, content binary"
+    )
+    pre = preprocess_pages(explode_pages(docs)).drop("inverted")
+    lines = ocr_pages(pre).toPandas()
+    assert len(lines) > 0 and {"x1", "y1", "x2", "y2", "text"} <= set(lines.columns)
+
+
+def test_resize_figures_scales_04_05(spark):
+    from data_lake_project_spark.multimodal import resize_figures
+
+    figs = spark.createDataFrame(
+        [("a.pdf", 1, bytes(range(100)) * 10, 200, 100)],
+        "path string, page int, image binary, width int, height int",
+    )
+    out = resize_figures(figs).first()
+    # graphData.py:132-142: width x0.4, height x0.5
+    assert out.width == 80 and out.height == 50
+    # payload shrinks by roughly the area ratio (0.4 * 0.5 = 0.2)
+    assert len(out.image) == int(1000 * (80 * 50) / (200 * 100))

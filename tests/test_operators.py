@@ -259,6 +259,34 @@ def test_lsh_planted_clusters_high_recall(spark):
     assert recall >= 0.9, f"LSH clustered recall too low: {recall}"
 
 
+def test_embedding_neardup_salted_parity_on_skewed_blocks(spark):
+    """Opt-in salting must return exactly the plain result on a
+    fixture where one block dominates (the skew case it exists for)."""
+    import math
+
+    rows = []
+    # hot block: 40 vectors on a shared direction (many near-dup pairs)
+    for i in range(40):
+        ang = 0.01 * (i % 4)
+        rows.append((i, "hot", [math.cos(ang), math.sin(ang), 0.0]))
+    # cold blocks: 2 vectors each
+    for b in range(5):
+        rows.append((100 + 2 * b, f"c{b}", [1.0, 0.0, 0.0]))
+        rows.append((101 + 2 * b, f"c{b}", [0.99, 0.14, 0.0]))
+    emb = spark.createDataFrame(
+        rows, "vec_id int, label string, embedding array<double>"
+    )
+    plain = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in D.embedding_neardup(emb, threshold=0.9).collect()
+    }
+    salted = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in D.embedding_neardup(emb, threshold=0.9, n_salts=4).collect()
+    }
+    assert plain == salted and len(plain) > 100
+
+
 def test_split_sentences_reference_boundaries(spark):
     """custom_seg semantics (texteExtract.py:10-23): boundaries only
     after . .. ... ! ? tokens; decimals never split."""
