@@ -128,9 +128,12 @@ def lsh_bucketed_topk(
             else -1.0
         )
 
-    flat = F.array(
-        *[
-            F.lit(plane_val(t, b, d))
+    # F.lit(list) builds ONE ArrayType literal node — a CreateArray of
+    # n_tables*bits*dim child literals made the plan (and codegen) big
+    # enough to dominate cold runs.
+    flat = F.lit(
+        [
+            plane_val(t, b, d)
             for t in range(n_tables)
             for b in range(bits)
             for d in range(dim)
@@ -288,9 +291,10 @@ def ivf_topk(
     # ONE flat literal array of all centroid components (+ a norms
     # array) sliced per centroid inside transform() — a per-centroid
     # literal-array tree was ~n_centroids x bigger and dominated plan
-    # compile time.
-    flat = F.array(*[F.lit(x) for _, v in cents for x in v])
-    norms = F.array(*[F.lit(n) for n in cnorms])
+    # compile time. F.lit(list) keeps it a single ArrayType literal
+    # node rather than a CreateArray with n_centroids*dim children.
+    flat = F.lit([x for _, v in cents for x in v])
+    norms = F.lit(list(cnorms))
 
     def sims_array(vcol, vnorm):
         """Array of (cosine-to-centroid, centroid_idx) structs.
