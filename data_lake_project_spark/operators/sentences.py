@@ -55,34 +55,49 @@ def split_sentences(
 
     ``sent_idx`` is 0-based document order; ``sentence`` keeps its
     boundary punctuation token (as spaCy's ``sent.text`` does).
+
+    Scale: ZERO shuffles. Everything happens inside the row — boundary
+    positions via ``filter(transform(sequence))``, per-sentence token
+    slices via ``zip_with(starts, ends)`` — then one ``posexplode``.
+    (The first cut posexploded tokens and reassembled sentences with a
+    window + groupBy: two full shuffles of every token in the corpus,
+    exactly the plan you can't afford at 100 TB.)
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(tokens(spacyish(F.col(text_col)))).alias("pos", "tok"),
+    d = docs.select(
+        F.col(id_col), tokens(spacyish(F.col(text_col))).alias("__toks")
     )
-    # sentence of a token = number of boundary tokens strictly before
-    # it (custom_seg: the boundary token itself ends its sentence)
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    sent = toks.withColumn(
-        "sent_idx",
-        F.coalesce(
-            F.sum(F.col("tok").rlike(BOUNDARY_TOKEN_RE).cast("int")).over(w),
-            F.lit(0),
-        ).cast("int"),
-    )
-    return sent.groupBy(id_col, "sent_idx").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s.getField("tok"),
+    n = F.size("__toks")
+    # 1-based positions of boundary tokens within the token array
+    bidx = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(
+                F.element_at("__toks", i).rlike(BOUNDARY_TOKEN_RE), i
             ),
-        ).alias("sentence")
+        ),
+        lambda x: x.isNotNull(),
     )
+    d = d.withColumn("__b", bidx)
+    # sentence k spans tokens [start_k, end_k] inclusive, where the
+    # boundary token ends its own sentence (custom_seg semantics)
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform("__b", lambda p: p + 1)
+    )
+    ends = F.concat(F.col("__b"), F.array(n))
+    sentences = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.when(
+            e >= s, F.array_join(F.slice("__toks", s, e - s + 1), " ")
+        ),
+    )
+    out = d.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(sentences, lambda x: x.isNotNull() & (x != ""))
+        ).alias("sent_idx", "sentence"),
+    )
+    return out
 
 
 def keyword_sentence(

@@ -143,6 +143,34 @@ def fingerprint(
     return docs.select(F.col(id_col), F.md5(norm).alias("fp"))
 
 
+def term_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary: (token, tf, df_docs) — term frequency and
+    document frequency per lowercased whitespace token.
+
+    Scale: two-level aggregation keeps every shuffle partial-agg'd —
+    (token, doc) counts combine map-side first, then the (token) roll
+    -up ships one row per (token, partition). A naive
+    ``countDistinct(doc)`` would shuffle the raw exploded token
+    stream. The vocabulary (output) is the only thing that grows with
+    corpus breadth, not corpus size.
+    """
+    toks = (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    per_doc = toks.groupBy("tok", id_col).agg(F.count("*").alias("c"))
+    return per_doc.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("tf"),
+        F.count("*").cast("long").alias("df_docs"),
+    )
+
+
 # Character-trigram profiles per language (top distinctive trigrams;
 # deterministic, tiny). The n-gram path is robust where stopword LID
 # fails (no spaces, short docs); both heuristics compose.

@@ -666,6 +666,35 @@ def q39_sentence_facts(spark, sf):
     )
 
 
+def q40_term_frequency(spark, sf):
+    """Corpus vocabulary (term + document frequency, two-level
+    partial-agg'd rollup), top 50 by tf — the vocabulary-building pass
+    of a training-data pipeline."""
+    from data_lake_project_spark.operators.text import term_stats
+
+    d = load_table(spark, sf, "documents")
+    return (
+        term_stats(d)
+        .orderBy(F.col("tf").desc(), F.col("tok"))
+        .limit(50)
+    )
+
+
+def q41_hash_split(spark, sf):
+    """Deterministic md5 train/val/test split (80/10/10) over
+    documents: same doc_id → same split on any engine or cluster —
+    the leakage-proof dataset-split pass of a training pipeline."""
+    from data_lake_project_spark.operators.dataset import hash_split
+
+    d = load_table(spark, sf, "documents")
+    return (
+        hash_split(d, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -712,6 +741,8 @@ QUERIES: dict[str, QueryFn] = {
     "q37_ivf_topk": q37_ivf_topk,
     "q38_language_id_ngram": q38_language_id_ngram,
     "q39_sentence_facts": q39_sentence_facts,
+    "q40_term_frequency": q40_term_frequency,
+    "q41_hash_split": q41_hash_split,
 }
 
 _SHINGLE_CTE = """
@@ -1265,6 +1296,36 @@ ORACLE: dict[str, str] = {
         FROM pages
         WHERE contains(lower(text), 'vector')
         GROUP BY doc ORDER BY doc
+    """,
+    "q40_term_frequency": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT tok, doc_id, count(*) AS c
+            FROM toks WHERE tok <> '' GROUP BY tok, doc_id
+        )
+        SELECT tok, sum(c)::BIGINT AS tf, count(*)::BIGINT AS df_docs
+        FROM per_doc GROUP BY tok
+        ORDER BY tf DESC, tok LIMIT 50
+    """,
+    # q41: cumulative thresholds as zero-padded hex of floor(w * 16^8):
+    # 0.8 -> cccccccc, 0.9 -> e6666666 (lexicographic compare on the
+    # first 8 md5 hex chars == numeric compare of the 32-bit value).
+    "q41_hash_split": """
+        WITH s AS (
+            SELECT CASE
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                    THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                    THEN 'val'
+                ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT split, count(*)::BIGINT AS n_docs
+        FROM s GROUP BY split ORDER BY split
     """,
     # q39: sentence segmentation (punct-separating normalization, the
     # reference boundary token set), first keyword sentence, 3-words-

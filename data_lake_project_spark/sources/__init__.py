@@ -76,6 +76,19 @@ def write_kafka(
     )
 
 
+def delta_available() -> bool:
+    """True when the delta-spark package (and so the Delta jars) can
+    load. In this environment it returns False (verified: no jars);
+    on a cluster image with the 'delta' extra the MERGE paths below
+    switch to native ``MERGE INTO`` automatically."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 class KeyedTable:
     """S4/S5 analog: a keyed lakehouse table with idempotent upsert.
 
@@ -105,11 +118,23 @@ class KeyedTable:
         path: str,
         key_col: str = "key",
         n_buckets: int = 16,
+        table_format: str = "auto",
     ):
+        """``table_format``: 'auto' picks Delta when the jars are on
+        the classpath (``delta_available``), else the bucketed-parquet
+        protocol; 'parquet' / 'delta' force a choice. The public
+        surface (exists/read/append/upsert) is identical either way —
+        the format is the config flip, not an API change."""
         self.spark = spark
         self.path = path.rstrip("/")
         self.key_col = key_col
+        if table_format == "auto":
+            table_format = "delta" if delta_available() else "parquet"
+        if table_format not in ("parquet", "delta"):
+            raise ValueError(f"unknown table_format {table_format!r}")
+        self.table_format = table_format
         self._buckets = f"{self.path}/buckets"
+        self._delta = f"{self.path}/delta"
         self._meta = f"{self.path}/_keyed_meta.json"
         if fs.exists(spark, self._meta):
             # the table's recorded bucketing wins over the argument —
@@ -136,12 +161,19 @@ class KeyedTable:
         )
 
     def exists(self) -> bool:
+        if self.table_format == "delta":
+            return fs.exists(self.spark, f"{self._delta}/_delta_log")
         return fs.exists(self.spark, self._meta)
 
     def read(self) -> DataFrame:
+        if self.table_format == "delta":
+            return self.spark.read.format("delta").load(self._delta)
         return self.spark.read.parquet(self._buckets).drop("__kbucket")
 
     def append(self, df: DataFrame) -> None:
+        if self.table_format == "delta":
+            df.write.format("delta").mode("append").save(self._delta)
+            return
         self._with_bucket(df).write.mode("append").partitionBy(
             "__kbucket"
         ).parquet(self._buckets)
@@ -157,7 +189,14 @@ class KeyedTable:
         entry breaks ties by the batch's row order (deterministic for
         a deterministically-ordered update source — pass a real
         version column when you have one).
+
+        Delta format: the same contract via native ``MERGE INTO``
+        (file-level pruning plays the role of bucket scoping; the
+        transaction log replaces the rename swap).
         """
+        if self.table_format == "delta":
+            self._upsert_delta(updates, version_col)
+            return
         seq = (
             F.col(version_col)
             if version_col
@@ -209,6 +248,35 @@ class KeyedTable:
             fs.rename(self.spark, f"{tmp}/__kbucket={b}", live)
             fs.delete(self.spark, old)
         fs.delete(self.spark, tmp)
+
+    def _upsert_delta(
+        self, updates: DataFrame, version_col: str | None
+    ) -> None:  # pragma: no cover - delta jars absent in this env
+        from delta.tables import DeltaTable
+
+        seq = (
+            F.col(version_col)
+            if version_col
+            else F.monotonically_increasing_id()
+        )
+        u = updates.withColumn("__seq", seq)
+        w = Window.partitionBy(self.key_col).orderBy(F.col("__seq").desc())
+        u = (
+            u.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__seq")
+        )
+        if not self.exists():
+            u.write.format("delta").save(self._delta)
+            return
+        t = DeltaTable.forPath(self.spark, self._delta)
+        (
+            t.alias("t")
+            .merge(u.alias("u"), f"t.{self.key_col} = u.{self.key_col}")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
 
     def _dedup(self, tagged: DataFrame) -> DataFrame:
         w = Window.partitionBy(self.key_col).orderBy(

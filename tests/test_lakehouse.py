@@ -174,6 +174,25 @@ def test_keyed_table_upsert_is_bucket_scoped(spark, tmp_path):
     assert out["key7"] == 700 and len(out) == 64
 
 
+def test_keyed_table_format_flip_is_config(spark, tmp_path):
+    """The Delta flip is configuration, not an API change: 'auto'
+    resolves to parquet here (no jars — delta_available() False), and
+    the delta branch is reachable purely by constructor argument."""
+    import pytest
+
+    from data_lake_project_spark.sources import delta_available
+
+    assert delta_available() is False  # this env has no Delta jars
+    t = KeyedTable(spark, str(tmp_path / "ktf"), key_col="k")
+    assert t.table_format == "parquet"
+    td = KeyedTable(
+        spark, str(tmp_path / "ktd"), key_col="k", table_format="delta"
+    )
+    assert td.table_format == "delta"
+    with pytest.raises(ValueError):
+        KeyedTable(spark, str(tmp_path / "ktx"), table_format="orc")
+
+
 def test_fs_helpers_roundtrip_via_uri(spark, tmp_path):
     """The marker/manifest/compaction side-ops must work through the
     Hadoop FileSystem API on an explicit file:// URI — proving no

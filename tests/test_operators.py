@@ -259,6 +259,43 @@ def test_lsh_planted_clusters_high_recall(spark):
     assert recall >= 0.9, f"LSH clustered recall too low: {recall}"
 
 
+def test_term_stats_counts(spark):
+    from data_lake_project_spark.operators.text import term_stats
+
+    d = spark.createDataFrame(
+        [(1, "le chat et le chien"), (2, "le chien dort")],
+        "doc_id int, text string",
+    )
+    out = {r.tok: (r.tf, r.df_docs) for r in term_stats(d).collect()}
+    assert out["le"] == (3, 2)      # 2 in doc1 + 1 in doc2, both docs
+    assert out["chien"] == (2, 2)
+    assert out["chat"] == (1, 1)
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    from data_lake_project_spark.operators.dataset import hash_split
+
+    d = spark.range(0, 2000).selectExpr("id AS doc_id")
+    a = {r.doc_id: r.split for r in hash_split(d, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(d.repartition(13), "doc_id").collect()
+    }
+    assert a == b  # assignment is a pure function of the key
+    from collections import Counter
+
+    frac = Counter(a.values())
+    assert 0.75 < frac["train"] / 2000 < 0.85
+    assert 0.07 < frac["val"] / 2000 < 0.13
+    assert 0.07 < frac["test"] / 2000 < 0.13
+    # a different seed draws a different (still deterministic) split
+    c = {
+        r.doc_id: r.split
+        for r in hash_split(d, "doc_id", seed="exp2").collect()
+    }
+    assert c != a and len(c) == 2000
+
+
 def test_embedding_neardup_salted_parity_on_skewed_blocks(spark):
     """Opt-in salting must return exactly the plain result on a
     fixture where one block dominates (the skew case it exists for)."""
