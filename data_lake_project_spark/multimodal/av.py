@@ -1,0 +1,171 @@
+"""Audio/video as opaque binary columns (north star: multimodal).
+
+Same design as the PDF/image path (``multimodal/__init__.py``): the
+codec layer is a pluggable callable — deterministic fakes here (the
+container ships no ffmpeg/librosa), real decoders on a cluster image —
+while the Spark-side contract is real and tested: Arrow-batched
+``mapInPandas``, UDTF-shaped explosion (one blob → many frames),
+bounded memory (batch size × frames per blob), blobs never on the
+driver.
+
+Scale notes: frame sampling is a map-only pass over ``binaryFile``
+splits; downstream per-frame ops (feature extract, dedup hashing)
+compose with the image operators since a frame row has the exact
+(path, page→frame, image, width, height) page shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("frame", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("image", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def fake_decode_frames(
+    content: bytes, every_ms: int = 1000
+) -> list[tuple[int, int, bytes, int, int]]:
+    """Deterministic stand-in for an ffmpeg frame sampler: clip
+    duration and frame pixels derive from the blob hash. Returns
+    [(frame_idx, ts_ms, jpeg_bytes, width, height)] at ``every_ms``
+    spacing."""
+    h = hashlib.md5(content).digest()
+    duration_ms = 1000 * (1 + h[0] % 8)
+    w, hgt = 160 + h[1] % 64, 90 + h[2] % 64
+    frames = []
+    for i, ts in enumerate(range(0, duration_ms, every_ms)):
+        pix = hashlib.md5(content + struct.pack("<q", ts)).digest() * 4
+        frames.append((i, ts, pix, w, hgt))
+    return frames
+
+
+def real_decode_frames(
+    content: bytes, every_ms: int = 1000
+):  # pragma: no cover - ffmpeg absent in this env
+    """Real decoder (ffmpeg/pyav). Same signature as the fake."""
+    raise NotImplementedError(
+        "pyav/ffmpeg not available; inject fake_decode_frames or "
+        "install the 'av' extra on the cluster image"
+    )
+
+
+def sample_frames(
+    videos: DataFrame,
+    every_ms: int = 1000,
+    decoder: Callable[[bytes, int], list] = fake_decode_frames,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Video blobs → one row per sampled frame (UDTF shape, like
+    ``explode_pages``). Frames come out in the page-image shape, so
+    the whole image operator family (preprocess, resize, OCR, detect)
+    composes downstream unchanged."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for idx, ts, img, w, h in decoder(r[content_col], every_ms):
+                    rows.append(
+                        {
+                            "path": r[path_col],
+                            "frame": idx,
+                            "ts_ms": ts,
+                            "image": img,
+                            "width": w,
+                            "height": h,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA]
+            )
+
+    return videos.select(path_col, content_col).mapInPandas(gen, FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def fake_audio_features(content: bytes, n_mels: int = 16) -> tuple[int, list[float]]:
+    """Deterministic stand-in for a mel-spectrogram summary (librosa):
+    (duration_ms, n_mels-dim feature vector) from the blob hash."""
+    h = hashlib.md5(content).digest()
+    duration_ms = 500 * (1 + h[0] % 20)
+    feats = [
+        round(int.from_bytes(
+            hashlib.md5(content + struct.pack("<i", i)).digest()[:4], "big"
+        ) / 2**32, 6)
+        for i in range(n_mels)
+    ]
+    return duration_ms, feats
+
+
+def real_audio_features(
+    content: bytes, n_mels: int = 16
+):  # pragma: no cover - librosa absent in this env
+    raise NotImplementedError(
+        "librosa not available; inject fake_audio_features or install "
+        "the 'av' extra on the cluster image"
+    )
+
+
+def audio_features(
+    audios: DataFrame,
+    extractor: Callable[[bytes], tuple] = fake_audio_features,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Audio blobs → (path, duration_ms, features array<double>).
+
+    The feature column is embedding-shaped, so the similarity / dedup
+    operator family (``brute_force_topk``, ``embedding_neardup``)
+    applies to audio directly."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                dur, feats = extractor(r[content_col])
+                rows.append(
+                    {
+                        "path": r[path_col],
+                        "duration_ms": dur,
+                        "features": feats,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA]
+            )
+
+    return audios.select(path_col, content_col).mapInPandas(
+        gen, AUDIO_FEATURE_SCHEMA
+    )

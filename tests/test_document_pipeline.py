@@ -316,3 +316,64 @@ def test_resize_figures_scales_04_05(spark):
     assert out.width == 80 and out.height == 50
     # payload shrinks by roughly the area ratio (0.4 * 0.5 = 0.2)
     assert len(out.image) == int(1000 * (80 * 50) / (200 * 100))
+
+
+# --------------------------------------------------------------------------
+# audio/video multimodal columns
+# --------------------------------------------------------------------------
+
+
+def test_sample_frames_udtf_shape(spark):
+    from data_lake_project_spark.multimodal.av import (
+        fake_decode_frames,
+        sample_frames,
+    )
+
+    vids = spark.createDataFrame(
+        [("a.mp4", b"clip-one"), ("b.mp4", b"clip-two-longer")],
+        "path string, content binary",
+    )
+    out = sample_frames(vids, every_ms=1000).toPandas()
+    expected = {
+        p: len(fake_decode_frames(c))
+        for p, c in [("a.mp4", b"clip-one"), ("b.mp4", b"clip-two-longer")]
+    }
+    assert out.groupby("path").size().to_dict() == expected
+    # frame timestamps are the sampling grid
+    a = out[out.path == "a.mp4"].sort_values("frame")
+    assert list(a.ts_ms) == [1000 * i for i in range(len(a))]
+    # frames carry the page-image shape -> image ops compose
+    assert {"image", "width", "height"} <= set(out.columns)
+
+
+def test_frames_compose_with_image_preprocess(spark):
+    from data_lake_project_spark.multimodal import preprocess_pages
+    from data_lake_project_spark.multimodal.av import sample_frames
+
+    vids = spark.createDataFrame(
+        [("a.mp4", b"clip-one")], "path string, content binary"
+    )
+    frames = sample_frames(vids).withColumnRenamed("frame", "page")
+    pre = preprocess_pages(frames.select("path", "page", "image", "width", "height"))
+    assert pre.count() > 0 and "inverted" in pre.columns
+
+
+def test_audio_features_embedding_shaped(spark):
+    from data_lake_project_spark.multimodal.av import audio_features
+    from data_lake_project_spark.operators.similarity import brute_force_topk
+
+    auds = spark.createDataFrame(
+        [(f"{i}.wav", f"audio-{i}".encode()) for i in range(6)],
+        "path string, content binary",
+    )
+    feats = audio_features(auds)
+    rows = feats.collect()
+    assert all(len(r.features) == 16 for r in rows)
+    # deterministic: same blob, same vector
+    again = {r.path: r.features for r in audio_features(auds).collect()}
+    assert all(again[r.path] == r.features for r in rows)
+    # the similarity family applies directly to the feature column
+    corpus = feats.selectExpr("path AS vec_id", "features AS embedding")
+    probes = corpus.limit(1).selectExpr("vec_id AS probe_id", "embedding")
+    top = brute_force_topk(corpus, probes, k=3)
+    assert top.count() == 3

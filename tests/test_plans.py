@@ -91,3 +91,35 @@ def test_exact_dedup_single_shuffle(spark):
 
     d = load_table(spark, SF_DIR, "documents")
     assert P.exchange_count(exact_dedup(d)) <= 2  # content-hash window (+spread)
+
+
+def test_split_sentences_is_narrow(spark):
+    """Sentence segmentation must be a pure map (HOF slicing + one
+    posexplode) — zero exchanges at any corpus size."""
+    from data_lake_project_spark.operators.sentences import split_sentences
+
+    d = load_table(spark, SF_DIR, "documents")
+    assert P.exchange_count(split_sentences(d)) == 0, P.explain_str(
+        split_sentences(d)
+    )
+
+
+def test_hash_split_is_pure_map(spark):
+    """Dataset split assignment shuffles nothing: the split column is
+    a deterministic expression on the key."""
+    from data_lake_project_spark.operators.dataset import hash_split
+
+    d = load_table(spark, SF_DIR, "documents")
+    assert P.exchange_count(hash_split(d, "doc_id")) == 0
+
+
+def test_term_stats_partial_aggregated(spark):
+    """Vocabulary rollup: two grouping levels collapse into hash
+    aggregates around (tok[, doc])-keyed exchanges — the exploded
+    token stream itself must not be what crosses the network twice."""
+    from data_lake_project_spark.operators.text import term_stats
+
+    d = load_table(spark, SF_DIR, "documents")
+    # spread() may add one round-robin exchange on the single-file
+    # local fixture; the aggregation itself contributes at most two.
+    assert P.exchange_count(term_stats(d)) <= 3
