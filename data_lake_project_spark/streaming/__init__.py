@@ -12,6 +12,7 @@ from data_lake_project_spark.streaming.pipeline import (
     file_stream_source,
     kafka_source,
     parse_events,
+    read_sink,
     write_idempotent_foreach_batch,
 )
 from data_lake_project_spark.streaming.stateful import running_totals
@@ -27,6 +28,7 @@ __all__ = [
     "kafka_source",
     "file_stream_source",
     "parse_events",
+    "read_sink",
     "write_idempotent_foreach_batch",
     "tumbling_agg",
     "sliding_agg",
