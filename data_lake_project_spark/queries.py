@@ -695,6 +695,51 @@ def q41_hash_split(spark, sf):
     )
 
 
+def q42_time_bucket(spark, sf):
+    """Tumbling 1-hour window aggregation in BATCH mode — the exact
+    expression the streaming pipeline uses (``streaming/windows.py``
+    St1), here pinned against a ``date_trunc`` oracle. Validates the
+    window-bucketing semantics the stream=batch equivalence tests
+    assume."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            pround(dec_sum(F.col("value")), 2).alias("sum_value"),
+        )
+        .select(
+            _ts(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+def q43_sessionize(spark, sf):
+    """Batch session-ization with a 30-minute inactivity gap via
+    ``session_window`` (St2's expression in batch mode), checked
+    against the classic gaps-and-islands SQL derivation (lag →
+    new-session flag → cumulative sum → group)."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            pround(dec_sum(F.col("value")), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            _ts(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -743,6 +788,8 @@ QUERIES: dict[str, QueryFn] = {
     "q39_sentence_facts": q39_sentence_facts,
     "q40_term_frequency": q40_term_frequency,
     "q41_hash_split": q41_hash_split,
+    "q42_time_bucket": q42_time_bucket,
+    "q43_sessionize": q43_sessionize,
 }
 
 _SHINGLE_CTE = """
@@ -1326,6 +1373,44 @@ ORACLE: dict[str, str] = {
         )
         SELECT split, count(*)::BIGINT AS n_docs
         FROM s GROUP BY split ORDER BY split
+    """,
+    "q42_time_bucket": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               event_type,
+               count(*)::BIGINT AS n,
+               floor(sum(CAST(value AS DECIMAL(27,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # q43: Spark's session_window(gap=30min) closes a session at
+    # last_event + gap (exclusive), so the islands flag is
+    # diff >= 30 minutes; both windows order by (ts, event_id) so
+    # timestamp ties resolve identically.
+    "q43_sessionize": """
+        WITH o AS (
+            SELECT user_id, ts, event_id, value,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM o
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*)::BIGINT AS n_events,
+               floor(sum(CAST(value AS DECIMAL(27,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_value
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
     """,
     # q39: sentence segmentation (punct-separating normalization, the
     # reference boundary token set), first keyword sentence, 3-words-
