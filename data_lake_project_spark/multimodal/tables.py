@@ -68,17 +68,37 @@ def fake_table_detect(image: bytes, width: int, height: int):
 def detect_tables(
     pages: DataFrame,
     detector: Callable[[bytes, int, int], list] = fake_table_detect,
+    detector_loader: Callable[[], Callable] | None = None,
 ) -> DataFrame:
     """P5: run the detector per page image, project each detection to
-    a row (long form). Model handle loads once per executor process —
-    the ``detector`` closure is pickled once and reused per batch."""
+    a row (long form).
+
+    Two backends: ``detector`` — a light callable pickled with the
+    plan (fakes, pure functions); ``detector_loader`` — the
+    heavy-model path, resolved through the per-process registry
+    (``models.get_model``), so a real YOLO handle loads once per
+    Python worker process and is reused across batches and tasks
+    (pinned by ``test_model_loads_once_per_worker_process``).
+    """
+    loader_key = (
+        f"table-detector:{detector_loader.__module__}."
+        f"{detector_loader.__qualname__}"
+        if detector_loader is not None
+        else None
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if detector_loader is not None:
+            from data_lake_project_spark.multimodal.models import get_model
+
+            det = get_model(loader_key, detector_loader)
+        else:
+            det = detector
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 for i, (cx, cy, bw, bh, conf, cls) in enumerate(
-                    detector(r["image"], r["width"], r["height"])
+                    det(r["image"], r["width"], r["height"])
                 ):
                     rows.append(
                         {

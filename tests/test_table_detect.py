@@ -90,3 +90,46 @@ def test_corner_brightness_deterministic_flag(spark):
     assert set(out.needs_inversion) <= {"true", "false"}
     # threshold semantics: flag iff brightness < threshold
     assert ((out.brightness < 100.0) == (out.needs_inversion == "true")).all()
+
+
+def test_model_loads_once_per_worker_process(spark, tmp_path):
+    """The heavy-model contract: a detector_loader runs AT MOST once
+    per Python worker process, never per batch or per row. The loader
+    appends its pid to a shared file; distinct pids must equal total
+    loads (and be far fewer than rows)."""
+    import os
+
+    from data_lake_project_spark.multimodal.tables import detect_tables
+
+    marker = str(tmp_path / "loads.txt")
+
+    def loader():
+        with open(marker, "a") as fh:
+            fh.write(f"{os.getpid()}\n")
+        from data_lake_project_spark.multimodal.tables import (
+            fake_table_detect,
+        )
+
+        return fake_table_detect
+
+    pages = spark.range(0, 64).selectExpr(
+        "concat('p', id) AS path",
+        "CAST(id AS INT) AS page",
+        "CAST(concat('img', id) AS BINARY) AS image",
+        "100 AS width",
+        "140 AS height",
+    ).repartition(16)
+
+    out = detect_tables(pages, detector_loader=loader)
+    n_dets = out.count()
+
+    with open(marker) as fh:
+        loads = [ln.strip() for ln in fh if ln.strip()]
+    assert loads, "loader never ran"
+    # once per process: every load line is a distinct worker pid
+    assert len(loads) == len(set(loads)), loads
+    # and loading is per-process, not per-row/partition
+    assert len(loads) < 64
+    # same results as the plain pickled-callable path
+    plain = detect_tables(pages).count()
+    assert n_dets == plain
