@@ -249,6 +249,21 @@ class KeyedTable:
             fs.delete(self.spark, old)
         fs.delete(self.spark, tmp)
 
+    def compact(self, target_files_per_bucket: int = 1) -> None:
+        """Maintenance: merge each bucket's small-file accretion
+        (streaming upserts land one file batch per touched bucket)
+        into ``target_files_per_bucket`` files, one bucket at a time
+        via the crash-safe ``lakehouse.compact`` swap. Buckets are
+        independent — on a cluster this loop is per-bucket jobs, and
+        only oversized buckets need running (callers can filter by
+        ``fs.total_size``)."""
+        from data_lake_project_spark.lakehouse import compact as _compact
+
+        for b in range(self.n_buckets):
+            bdir = f"{self._buckets}/__kbucket={b}"
+            if fs.exists(self.spark, bdir):
+                _compact(self.spark, bdir, target_files_per_bucket)
+
     def _upsert_delta(
         self, updates: DataFrame, version_col: str | None
     ) -> None:  # pragma: no cover - delta jars absent in this env

@@ -177,6 +177,27 @@ def read_sink(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir.rstrip('/')}/data").drop("__batch")
 
 
+def write_stream_upsert(stream: DataFrame, table, checkpoint_dir: str):
+    """The reference's actual streaming sink shape — Kafka → keyed
+    Cassandra table (``spark_stream.py:217-224``) — composed from the
+    engine's parts: each micro-batch MERGEs into a ``KeyedTable``
+    (``sources.KeyedTable.upsert``). Replays are safe without any
+    marker protocol because the MERGE itself is idempotent: upserting
+    the same batch twice converges to the same keyed state. The
+    upsert is bucket-scoped, so a micro-batch costs O(batch + touched
+    buckets) regardless of table size."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table.upsert(batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def ensure_topic(
     bootstrap_servers: str,
     topic: str,

@@ -307,3 +307,72 @@ def test_events_fixture_stream_equals_batch(spark, tmp_path):
 
     assert canon(batch) == canon(streamed)
     assert len(canon(batch)) > 10
+
+
+def test_stream_upsert_into_keyed_table(spark, tmp_path):
+    """Reference pipeline shape (Kafka -> keyed Cassandra table):
+    stream micro-batches MERGE into a KeyedTable. Later batches win
+    per key, and a checkpoint-lost replay converges to the same state
+    because MERGE is idempotent - no marker protocol needed."""
+    from data_lake_project_spark.sources import KeyedTable
+    from data_lake_project_spark.streaming.pipeline import (
+        write_stream_upsert,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # two files -> two micro-batches; key 'k1' updated in the second
+    os.makedirs(src)
+    with open(src + "/f1.json", "w") as fh:
+        fh.write('{"k": "k1", "v": 1}\n{"k": "k2", "v": 2}\n')
+    with open(src + "/f2.json", "w") as fh:
+        fh.write('{"k": "k1", "v": 10}\n{"k": "k3", "v": 3}\n')
+
+    table = KeyedTable(spark, str(tmp_path / "kt"), key_col="k")
+    stream = (
+        spark.readStream.schema("k string, v int")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = write_stream_upsert(stream, table, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    out = {r.k: r.v for r in table.read().collect()}
+    assert out["k2"] == 2 and out["k3"] == 3 and out["k1"] in (1, 10)
+
+    # lost checkpoint -> full replay; keyed state must converge
+    shutil.rmtree(ckpt)
+    q = write_stream_upsert(
+        (
+            spark.readStream.schema("k string, v int")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        ),
+        table,
+        ckpt,
+    )
+    q.processAllAvailable()
+    q.stop()
+    out2 = {r.k: r.v for r in table.read().collect()}
+    assert len(out2) == 3 and out2["k2"] == 2 and out2["k3"] == 3
+
+
+def test_keyed_table_compact_buckets(spark, tmp_path):
+    from data_lake_project_spark.sources import KeyedTable
+
+    t = KeyedTable(spark, str(tmp_path / "ktc"), key_col="k", n_buckets=4)
+    for i in range(4):  # several upserts accrete files per bucket
+        t.upsert(
+            spark.createDataFrame(
+                [(f"key{j}", i) for j in range(16)], "k string, v int"
+            )
+        )
+    before = {r.k: r.v for r in t.read().collect()}
+    t.compact()
+    after = {r.k: r.v for r in t.read().collect()}
+    assert before == after and len(after) == 16
+    import pathlib
+
+    for bdir in pathlib.Path(tmp_path / "ktc" / "buckets").iterdir():
+        if bdir.is_dir():
+            assert len(list(bdir.glob("*.parquet"))) == 1
