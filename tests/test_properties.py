@@ -149,3 +149,54 @@ def test_iou_join_equals_cross_join_reference(spark, cell_rects, box_rects):
         for r in cells.crossJoin(boxes).filter(iou("c_", "b_") > 0.09).collect()
     }
     assert fast == slow
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation invariants
+# ---------------------------------------------------------------------------
+
+# words over a small alphabet, with sentence punctuation appearing both
+# attached ("mot.") and standalone (".") plus decimals that must never split
+_sentence_words = st.lists(
+    st.one_of(
+        st.text("abc", min_size=1, max_size=4),
+        st.text("abc", min_size=1, max_size=3).map(lambda w: w + "."),
+        st.sampled_from([".", "!", "?", "...", "3.5", "1,2%", "a!b"]),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@SPARK_SETTINGS
+@given(_sentence_words)
+def test_split_sentences_invariants(spark, words):
+    """For ANY text: (1) sentence tokens concatenate back to the
+    punct-separated token stream (nothing lost or duplicated), (2)
+    boundary tokens appear only at sentence ends, (3) sent_idx is
+    dense from 0 in document order."""
+    import re
+
+    from data_lake_project_spark.operators.sentences import (
+        BOUNDARY_TOKEN_RE,
+        split_sentences,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    out = sorted(
+        (r.sent_idx, r.sentence) for r in split_sentences(df).collect()
+    )
+    # dense 0-based indices
+    assert [i for i, _ in out] == list(range(len(out)))
+    # reconstruction: joining all sentences == the normalized stream
+    norm = re.sub(r"([.!?]+)(\s|$)", r" \1\2", text)
+    expected_tokens = norm.split()
+    got_tokens = [t for _, s in out for t in s.split()]
+    assert got_tokens == expected_tokens
+    # boundary tokens only in final position of their sentence
+    bre = re.compile(BOUNDARY_TOKEN_RE)
+    for _, s in out:
+        toks = s.split()
+        for t in toks[:-1]:
+            assert not bre.match(t), (s, t)
