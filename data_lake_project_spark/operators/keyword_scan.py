@@ -64,3 +64,44 @@ def find_first_page_per_doc(
             F.col("hit").getField(text_col).alias(text_col),
         )
     )
+
+
+def find_first_page_per_doc_multi(
+    pages: DataFrame,
+    keywords: list[str],
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    page_col: str = "page",
+    reverse: bool = False,
+) -> DataFrame:
+    """Multi-keyword scan in ONE corpus pass.
+
+    The reference loops ``for keyword in keywords`` and re-runs the
+    whole PDF scan (and OCR!) per keyword (``rapport_eco.py:59-85``)
+    — K full passes. Here the tiny keyword list explodes against each
+    page row (a literal-array explode, no join, no broadcast needed),
+    the containment filter prunes immediately, and one grouped min/max
+    per (doc, keyword) finds every keyword's first page in a single
+    scan. Output: (doc, keyword, page, text).
+    """
+    kws = F.explode(
+        F.array(*[F.lit(k) for k in keywords])
+    ).alias("keyword")
+    tagged = pages.select(doc_col, page_col, text_col, kws).filter(
+        contains_ci(F.col(text_col), F.col("keyword"))
+    )
+    agg = (
+        F.max_by(F.struct(page_col, text_col), F.col(page_col))
+        if reverse
+        else F.min_by(F.struct(page_col, text_col), F.col(page_col))
+    )
+    return (
+        tagged.groupBy(doc_col, "keyword")
+        .agg(agg.alias("hit"))
+        .select(
+            doc_col,
+            "keyword",
+            F.col("hit").getField(page_col).alias(page_col),
+            F.col("hit").getField(text_col).alias(text_col),
+        )
+    )

@@ -113,16 +113,70 @@ def extract_text_facts(
     keyword: str,
     rasterize: Callable = fake_rasterize,
     ocr: Callable = fake_ocr_lines,
+    sentence_scope: bool = True,
 ) -> DataFrame:
     """Corpus-wide numeric-fact extraction: first page per document
-    containing ``keyword`` → value/year/sign facts from its text.
+    containing ``keyword`` → facts from that page.
+
+    ``sentence_scope=True`` (default) is the reference's actual
+    behavior (``texteExtract.py:60-80``): segment the page, take the
+    FIRST sentence containing the keyword, trim 3 words before it,
+    run the value/year/sign matcher on that sentence only.
+    ``sentence_scope=False`` keeps the round-1 whole-page scope.
 
     Output: (doc_id=path, year, signed_value, v_pos).
     """
     pages = explode_pages(docs, rasterize=rasterize)
     texts = _page_text(ocr_pages(pages, ocr=ocr))
     hits = find_first_page_per_doc(texts, keyword, doc_col="path")
-    return extract_facts(hits.select("path", "text"), id_col="path")
+    page_docs = hits.select("path", "text")
+    if sentence_scope:
+        from data_lake_project_spark.operators.sentences import (
+            sentence_scoped_facts,
+        )
+
+        return sentence_scoped_facts(page_docs, keyword, id_col="path")
+    return extract_facts(page_docs, id_col="path")
+
+
+def extract_text_facts_multi(
+    docs: DataFrame,
+    keywords: list[str],
+    rasterize: Callable = fake_rasterize,
+    ocr: Callable = fake_ocr_lines,
+) -> DataFrame:
+    """The reference's multi-keyword report extraction
+    (``rapport_eco.py:73-85``: ``for keyword in keywords`` → extract →
+    concat with a keyword index) in ONE corpus pass: the reference
+    re-rasterizes and re-OCRs the whole PDF once per keyword; here
+    pages render once and every keyword's first page falls out of a
+    single grouped scan (``find_first_page_per_doc_multi``), then the
+    sentence-scoped matcher runs per (doc, keyword) hit.
+
+    Output: (keyword, path, year, signed_value, v_pos).
+    """
+    from data_lake_project_spark.operators.keyword_scan import (
+        find_first_page_per_doc_multi,
+    )
+    from data_lake_project_spark.operators.sentences import (
+        sentence_scoped_facts,
+    )
+
+    pages = explode_pages(docs, rasterize=rasterize)
+    texts = _page_text(ocr_pages(pages, ocr=ocr))
+    hits = find_first_page_per_doc_multi(texts, keywords, doc_col="path")
+    out = None
+    for kw in keywords:
+        # per-keyword trim/matcher on the (already-found) hit pages —
+        # the keyword literal drives the trim, so this loop builds one
+        # UNION plan over tiny hit sets, not K corpus scans
+        part = sentence_scoped_facts(
+            hits.filter(F.col("keyword") == kw).select("path", "text"),
+            kw,
+            id_col="path",
+        ).withColumn("keyword", F.lit(kw))
+        out = part if out is None else out.unionByName(part)
+    return out.select("keyword", "path", "year", "signed_value", "v_pos")
 
 
 def extract_figures(

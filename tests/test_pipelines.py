@@ -63,3 +63,83 @@ def test_figure_blocks_score_floor(spark):
     lay = detect_layout(pages)
     kept = figure_blocks(lay, min_conf=0.99).toPandas()
     assert (kept.conf >= 0.99).all()
+
+
+def test_extract_text_facts_sentence_scope_differs_from_whole_page(spark):
+    """The sentence-scoped default must reproduce texteExtract's
+    behavior: only the first keyword sentence (3-words-before trimmed)
+    feeds the matcher, so facts in other sentences are excluded and a
+    sign word outside the trim window is dropped."""
+    from data_lake_project_spark.operators.keyword_scan import (
+        find_first_page_per_doc,
+    )
+    from data_lake_project_spark.operators.sentences import (
+        sentence_scoped_facts,
+    )
+    from data_lake_project_spark.operators.textfacts import extract_facts
+
+    page_text = (
+        "hausse un deux trois de production de 34% en 2015. "
+        "un solde de 9% en 1999."
+    )
+    docs = spark.createDataFrame(
+        [("a.pdf", page_text)], "path string, text string"
+    )
+    scoped = sentence_scoped_facts(docs, "production", id_col="path").collect()
+    whole = extract_facts(docs, id_col="path").collect()
+    # whole-page extraction can't even see "2015." as a year (trailing
+    # punctuation sticks to the token) — the sentence path separates
+    # punctuation like spaCy, finds the fact, trims the sign word away
+    # (outside the 3-word window), and excludes the later sentence
+    assert {(r.year, r.signed_value) for r in whole} == set()
+    assert {(r.year, r.signed_value) for r in scoped} == {("2015", "34%")}
+    assert find_first_page_per_doc  # referenced by the full pipeline
+
+
+def test_extract_text_facts_multi_single_pass(spark):
+    from data_lake_project_spark.pipelines import extract_text_facts_multi
+
+    out = extract_text_facts_multi(
+        _docs(spark), keywords=["cell_", "jamais-la"]
+    )
+    assert out.columns == ["keyword", "path", "year", "signed_value", "v_pos"]
+    # fake OCR text has no numeric facts; the plan must still be valid
+    # for both keywords (present and absent)
+    assert out.count() == 0
+
+
+def test_find_first_page_per_doc_multi_one_scan(spark):
+    from data_lake_project_spark import plans as P
+    from data_lake_project_spark.operators.keyword_scan import (
+        find_first_page_per_doc,
+        find_first_page_per_doc_multi,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (1, 1, "rien ici"),
+            (1, 2, "le budget annuel"),
+            (1, 3, "budget et production"),
+            (2, 1, "production seulement"),
+        ],
+        "doc_id int, page int, text string",
+    )
+    multi = find_first_page_per_doc_multi(pages, ["budget", "production"])
+    got = {(r.doc_id, r.keyword): r.page for r in multi.collect()}
+    assert got == {
+        (1, "budget"): 2,
+        (1, "production"): 3,
+        (2, "production"): 1,
+    }
+    # matches K single-keyword scans
+    for kw in ("budget", "production"):
+        single = {
+            r.doc_id: r.page
+            for r in find_first_page_per_doc(pages, kw).collect()
+        }
+        assert single == {
+            d: p for (d, k), p in got.items() if k == kw
+        }
+    # one aggregation pass: a single pair of exchanges (partial/final
+    # agg), never one scan per keyword
+    assert P.exchange_count(multi) <= 1, P.explain_str(multi)
