@@ -740,6 +740,38 @@ def q43_sessionize(spark, sf):
     )
 
 
+def q44_top_supplier_per_nation(spark, sf):
+    """TPC-H Q15-flavored argmax-per-group across a multiway join:
+    revenue per supplier (fact⋈broadcast-dim, decimal-stable sum),
+    top supplier per nation via window rank with deterministic ties,
+    names joined back. Completes coverage of the supplier table."""
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name", "s_nationkey")
+        .agg(
+            pround(
+                dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("revenue").desc(), F.col("s_suppkey")
+    )
+    top = (
+        rev.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    return (
+        top.join(F.broadcast(n), top.s_nationkey == n.n_nationkey)
+        .select("n_name", "s_suppkey", "s_name", "revenue")
+        .orderBy("n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -790,6 +822,7 @@ QUERIES: dict[str, QueryFn] = {
     "q41_hash_split": q41_hash_split,
     "q42_time_bucket": q42_time_bucket,
     "q43_sessionize": q43_sessionize,
+    "q44_top_supplier_per_nation": q44_top_supplier_per_nation,
 }
 
 _SHINGLE_CTE = """
@@ -1373,6 +1406,22 @@ ORACLE: dict[str, str] = {
         )
         SELECT split, count(*)::BIGINT AS n_docs
         FROM s GROUP BY split ORDER BY split
+    """,
+    "q44_top_supplier_per_nation": """
+        WITH rev AS (
+            SELECT s_suppkey, s_name, s_nationkey,
+                   floor(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY s_nationkey
+                       ORDER BY revenue DESC, s_suppkey) AS rk
+            FROM rev
+        )
+        SELECT n_name, s_suppkey, s_name, revenue
+        FROM ranked JOIN nation ON s_nationkey = n_nationkey
+        WHERE rk = 1 ORDER BY n_name
     """,
     "q42_time_bucket": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
