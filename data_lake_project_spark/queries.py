@@ -701,15 +701,22 @@ def q42_time_bucket(spark, sf):
     St1), here pinned against a ``date_trunc`` oracle. Validates the
     window-bucketing semantics the stream=batch equivalence tests
     assume."""
+    from data_lake_project_spark.streaming.windows import tumbling_agg
+
     e = load_table(spark, sf, "events")
     return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            pround(dec_sum(F.col("value")), 2).alias("sum_value"),
+        tumbling_agg(
+            e,
+            "ts",
+            "1 hour",
+            agg_exprs=[
+                F.count("*").cast("long").alias("n"),
+                pround(dec_sum(F.col("value")), 2).alias("sum_value"),
+            ],
+            keys=["event_type"],
         )
         .select(
-            _ts(F.col("w.start")).alias("bucket_start"),
+            _ts(F.col("win.start")).alias("bucket_start"),
             "event_type",
             "n",
             "sum_value",
@@ -723,16 +730,23 @@ def q43_sessionize(spark, sf):
     ``session_window`` (St2's expression in batch mode), checked
     against the classic gaps-and-islands SQL derivation (lag →
     new-session flag → cumulative sum → group)."""
+    from data_lake_project_spark.streaming.windows import session_agg
+
     e = load_table(spark, sf, "events")
     return (
-        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(
-            F.count("*").cast("long").alias("n_events"),
-            pround(dec_sum(F.col("value")), 2).alias("sum_value"),
+        session_agg(
+            e,
+            "ts",
+            "30 minutes",
+            agg_exprs=[
+                F.count("*").cast("long").alias("n_events"),
+                pround(dec_sum(F.col("value")), 2).alias("sum_value"),
+            ],
+            keys=["user_id"],
         )
         .select(
             "user_id",
-            _ts(F.col("w.start")).alias("session_start"),
+            _ts(F.col("win.start")).alias("session_start"),
             "n_events",
             "sum_value",
         )
