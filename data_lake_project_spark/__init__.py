@@ -25,15 +25,23 @@ __version__ = "0.1.0"
 from data_lake_project_spark.lakehouse import (
     BucketedCatalog,
     Lakehouse,
+    compact,
     with_ingest_metadata,
 )
+from data_lake_project_spark.operators.dataset import hash_split
 from data_lake_project_spark.pipelines import (
     extract_figures,
     extract_tables,
     extract_text_facts,
+    extract_text_facts_multi,
 )
 from data_lake_project_spark.session import get_spark
-from data_lake_project_spark.sources import KeyedTable, read_csv, write_csv
+from data_lake_project_spark.sources import (
+    KeyedTable,
+    delta_available,
+    read_csv,
+    write_csv,
+)
 from data_lake_project_spark.tables import TABLES, load_table
 
 __all__ = [
@@ -42,12 +50,16 @@ __all__ = [
     "TABLES",
     "Lakehouse",
     "BucketedCatalog",
+    "compact",
     "with_ingest_metadata",
     "KeyedTable",
+    "delta_available",
     "read_csv",
     "write_csv",
+    "hash_split",
     "extract_tables",
     "extract_text_facts",
+    "extract_text_facts_multi",
     "extract_figures",
     "__version__",
 ]
