@@ -15,7 +15,7 @@ md5-capable engine (DuckDB oracle included).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,3 +69,113 @@ def hash_split(
     """
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     return df.withColumn(out_col, split_column(F.col(key_col), weights, seed))
+
+
+def rate_threshold_hex(rate: float) -> str | None:
+    """8-hex-char upper bound for a keep-rate in [0, 1]; ``None``
+    means keep everything (rate >= 1 would need 9 hex digits)."""
+    if rate >= 1.0:
+        return None
+    return format(max(int(rate * 16**8), 0), "08x")
+
+
+def sample_column(key: Column, rate: float, seed: str = "") -> Column:
+    """Boolean keep-expression: deterministic Bernoulli(rate) drawn
+    from ``md5(seed || key)`` — same key, same verdict, any engine."""
+    thr = rate_threshold_hex(rate)
+    if thr is None:
+        return F.lit(True)
+    hex8 = F.substring(
+        F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 8
+    )
+    return hex8 < F.lit(thr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Mixture/quota sampling: keep each row with a per-stratum rate
+    (e.g. upsample a curated source, downsample a crawl dump) —
+    THE re-weighting pass of a training-data mixture.
+
+    The hash key is ``seed || stratum || ':' || key`` so (a) the draw
+    decorrelates from :func:`hash_split`'s train/val/test draw on the
+    same key and (b) changing one stratum's rate never perturbs
+    another stratum's sample. Pure map: zero shuffle, no RNG state,
+    stable under re-ingestion and cluster resizing at any scale.
+    """
+    key = F.concat(
+        F.col(strata_col).cast("string"), F.lit(":"), F.col(key_col).cast("string")
+    )
+    keep = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == F.lit(stratum)
+        branch = sample_column(key, rate, seed)
+        keep = F.when(cond, branch) if keep is None else keep.when(cond, branch)
+    keep = (
+        F.lit(False)
+        if keep is None
+        else keep.otherwise(sample_column(key, default_rate, seed))
+    )
+    return df.filter(keep)
+
+
+def quota_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    order_by: list[Column],
+) -> DataFrame:
+    """Cap each stratum at its k best rows (per-source/domain quota
+    balancing): rank within the stratum by ``order_by`` (callers MUST
+    end it with a unique id for a deterministic cut) and keep rank
+    <= k.
+
+    One shuffle on the stratum key. Skew note: a stratum with 10^9
+    rows makes one giant window partition; at that scale pre-filter
+    with an approximate per-stratum score threshold (quantile sketch)
+    before the exact window — the quota cut only needs the top-k
+    neighborhood, not a full sort of the stratum.
+    """
+    w = Window.partitionBy(strata_col).orderBy(*order_by)
+    return (
+        df.withColumn("__qrk", F.row_number().over(w))
+        .filter(F.col("__qrk") <= k)
+        .drop("__qrk")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    shard_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Concatenate-then-split sequence packing: within each shard,
+    documents are laid end-to-end in ``order_col`` order and cut into
+    fixed token-budget bins — the packing strategy GPT-style
+    pretraining uses (bin = which budget-window the document's first
+    token falls in).
+
+    Adds ``bin`` (0-based within shard) + ``tok_offset`` (document's
+    first-token position in the shard stream). The cumulative sum
+    windows per SHARD, so parallelism = number of shards and no
+    global total order is ever materialized; one shuffle on the shard
+    key. At 100 TB: shard by hash-bucket (thousands of shards), each
+    window partition stays executor-sized.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("long")
+    return df.withColumn("tok_offset", offset).withColumn(
+        "bin", F.floor(F.col("tok_offset") / F.lit(budget)).cast("long")
+    )

@@ -390,3 +390,78 @@ def embedding_neardup(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", pround(F.col("cosine"), 4).alias("cosine"))
     )
+
+
+def normalized_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fuzzy-exact dedup on the canonical text form (lowercase,
+    punctuation-stripped, whitespace-collapsed — see
+    :func:`~data_lake_project_spark.operators.text.canonicalize`):
+    keep the lowest-id row per canonical hash, count the family size.
+
+    Sits between md5-exact (:func:`exact_dedup`) and MinHash in a
+    training-data dedup ladder: catches reformatting dups at exact-
+    dedup cost — one shuffle on the 128-bit canonical hash, uniform
+    key, no skew at any corpus size.
+
+    Output: (id, canon_hash, n_dups).
+    """
+    from data_lake_project_spark.operators.text import canonicalize
+
+    w = Window.partitionBy("canon_hash").orderBy(id_col)
+    return (
+        docs.withColumn("canon_hash", F.md5(canonicalize(F.col(text_col))))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count("*").over(Window.partitionBy("canon_hash")).cast("long"))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), "canon_hash", "n_dups")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document that
+    shares at least one word ``k``-gram with the probe (eval-set)
+    corpus — the n-gram-overlap contamination rule used for LLM
+    training corpora.
+
+    Plan: both sides reduce to DISTINCT shingles (narrow, per-row —
+    :func:`shingle_sets`); the probe shingle set is tiny relative to
+    the corpus (eval benchmarks are MBs, corpora are TBs), so the
+    match is a LEFT ANTI join against the BROADCAST probe shingles —
+    the corpus never shuffles. A contaminated doc matches on its
+    first shingle; dedup via the anti-join semantics directly (anti
+    drops a left row on ANY match, so the exploded corpus side must
+    re-aggregate: we anti-join the exploded (id, shingle) stream and
+    keep ids whose shingle count survived intact — cheaper: semi-join
+    to find contaminated ids, then anti-join ids). Output: the clean
+    documents, original schema.
+    """
+    corpus_sh = shingles(docs, text_col, id_col, k)
+    # Probes need no id column: tag rows with a synthetic one (value
+    # irrelevant — only the DISTINCT shingle set survives).
+    probe_sh = (
+        shingles(
+            probes.withColumn("__pid", F.monotonically_increasing_id()),
+            probe_text_col,
+            "__pid",
+            k,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        corpus_sh.join(
+            F.broadcast(probe_sh), "shingle", "left_semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(contaminated, id_col, "left_anti")

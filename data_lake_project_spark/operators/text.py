@@ -15,7 +15,7 @@ operator returns scalar columns so results are oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_lake_project_spark.functions import NUMERIC_FACT_RE, pround, spread, tokens
@@ -224,4 +224,78 @@ def language_id_ngram(
         F.col(id_col),
         best.getField("l").alias("pred_lang_ng"),
         best.getField("s").cast("int").alias("ng_score"),
+    )
+
+
+def canonicalize(col: Column) -> Column:
+    """Canonical text form for fuzzy-exact dedup: lowercase, strip
+    everything but word chars and spaces, collapse runs of whitespace,
+    trim. Catches the near-universal crawl dups that differ only in
+    case/punctuation/spacing without paying for MinHash."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\w\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k most distinctive terms per document by tf-idf.
+
+    idf is the BM25-style RATIONAL weight ``(N - df + 0.5) /
+    (df + 0.5)`` — deliberately no logarithm: +,-,*,/ are IEEE-exact
+    and bit-identical on every engine, while ``ln``/``log`` go through
+    libm and may differ in the last ulp between JVMs and C engines,
+    which would poison a value-hash oracle. Monotone in the same
+    direction as log-idf, so rankings agree.
+
+    Plan shape: one exploded (tok, doc) partial-agg'd count, a tok
+    roll-up for df (vocabulary-sized), df broadcast-joined back onto
+    per-doc counts, then a per-doc top-k window. The only shuffles are
+    keyed on tok (uniform) and doc (uniform); the df side is
+    vocabulary-sized — small enough to broadcast at any corpus size
+    with a bounded vocabulary.
+
+    Output: (id, tok, tf_d, df_docs, tfidf) — tfidf rounded to 4dp
+    and ranked (tfidf desc, tok) so float ties cut deterministically.
+    """
+    toks = (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    per_doc = toks.groupBy(id_col, "tok").agg(
+        F.count("*").cast("long").alias("tf_d")
+    )
+    df_docs = per_doc.groupBy("tok").agg(
+        F.count("*").cast("long").alias("df_docs")
+    )
+    n_docs = docs.agg(F.count("*").cast("double").alias("__n"))
+    scored = (
+        per_doc.join(F.broadcast(df_docs), "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            pround(
+                F.col("tf_d")
+                * (F.col("__n") - F.col("df_docs") + F.lit(0.5))
+                / (F.col("df_docs") + F.lit(0.5)),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(id_col, "tok", "tf_d", "df_docs", "tfidf")
     )

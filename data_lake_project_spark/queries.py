@@ -786,6 +786,100 @@ def q44_top_supplier_per_nation(spark, sf):
     )
 
 
+def q45_tfidf_topterms(spark, sf):
+    """Top-3 distinctive terms per document by tf-idf (rational
+    BM25-style idf — see ``operators/text.tfidf_top_terms`` for why
+    there is deliberately no logarithm in an oracle-checked score)."""
+    d = load_table(spark, sf, "documents")
+    return TX.tfidf_top_terms(d, k=3).orderBy(
+        "doc_id", F.col("tfidf").desc(), "tok"
+    )
+
+
+def q46_stratified_sample(spark, sf):
+    """Deterministic mixture sampling: keep src0 fully, downsample
+    src1 to 50%, src2 to 25%, everything else to 10% — the
+    re-weighting pass of a training-data mixture, reproducible from
+    the row alone (pure map, no RNG state, zero shuffle)."""
+    from data_lake_project_spark.operators.dataset import stratified_sample
+
+    d = load_table(spark, sf, "documents")
+    return (
+        stratified_sample(
+            d,
+            "doc_id",
+            "source",
+            {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+            default_rate=0.1,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q47_normalized_dedup(spark, sf):
+    """Fuzzy-exact dedup on canonicalized text (lowercase, strip
+    punctuation, collapse whitespace): lowest-id survivor per
+    canonical hash + family size."""
+    d = load_table(spark, sf, "documents")
+    return D.normalized_dedup(d).orderBy("doc_id")
+
+
+def q48_source_quota(spark, sf):
+    """Per-source quota balancing: keep each source's 10 best
+    documents by the q30 quality score (deterministic
+    quality-desc/doc_id cut) — caps any one domain's contribution to
+    the training mixture."""
+    from data_lake_project_spark.operators.dataset import quota_per_stratum
+
+    d = load_table(spark, sf, "documents")
+    scored = TX.quality_score(d).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        quota_per_stratum(
+            scored,
+            "source",
+            10,
+            [F.col("quality").desc(), F.col("doc_id")],
+        )
+        .select("source", "doc_id", "quality")
+        .orderBy("source", F.col("quality").desc(), "doc_id")
+    )
+
+
+def q49_decontaminate(spark, sf):
+    """Benchmark decontamination: drop every document sharing a word
+    3-gram with the probe set (docs with ``doc_id % 97 == 0`` stand in
+    for an eval benchmark). Corpus side never shuffles — the distinct
+    probe shingles broadcast into a semi-join."""
+    d = load_table(spark, sf, "documents")
+    probes = d.filter(F.col("doc_id") % 97 == 0).select("text")
+    return (
+        D.decontaminate(d, probes, k=3)
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+def q50_pack_sequences(spark, sf):
+    """Concatenate-then-split sequence packing (budget 200 tokens)
+    within per-source shards — the GPT-style pretraining packing
+    layout, windowed per shard so no global order materializes."""
+    from data_lake_project_spark.operators.dataset import pack_sequences
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    return (
+        pack_sequences(d, "n_toks", 200, "source", "doc_id")
+        .select("doc_id", "source", "n_toks", "tok_offset", "bin")
+        .orderBy("source", "doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -837,6 +931,12 @@ QUERIES: dict[str, QueryFn] = {
     "q42_time_bucket": q42_time_bucket,
     "q43_sessionize": q43_sessionize,
     "q44_top_supplier_per_nation": q44_top_supplier_per_nation,
+    "q45_tfidf_topterms": q45_tfidf_topterms,
+    "q46_stratified_sample": q46_stratified_sample,
+    "q47_normalized_dedup": q47_normalized_dedup,
+    "q48_source_quota": q48_source_quota,
+    "q49_decontaminate": q49_decontaminate,
+    "q50_pack_sequences": q50_pack_sequences,
 }
 
 _SHINGLE_CTE = """
@@ -1595,5 +1695,157 @@ ORACLE: dict[str, str] = {
                coalesce(sign, '') || value_text AS signed_value,
                CAST(v_pos AS BIGINT) AS v_pos
         FROM signed ORDER BY doc_id, v_pos
+    """,
+    "q45_tfidf_topterms": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id, tok, count(*)::BIGINT AS tf_d
+            FROM toks WHERE tok <> '' GROUP BY 1, 2
+        ),
+        dfd AS (
+            SELECT tok, count(*)::BIGINT AS df_docs FROM per_doc GROUP BY tok
+        ),
+        n AS (SELECT count(*)::DOUBLE AS nn FROM documents),
+        scored AS (
+            SELECT doc_id, p.tok, tf_d, df_docs,
+                   floor(tf_d * (nn - df_docs + 0.5) / (df_docs + 0.5)
+                         * 10000.0 + 0.5) / 10000.0 AS tfidf
+            FROM per_doc p JOIN dfd USING (tok) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, tok) AS rk
+            FROM scored
+        )
+        SELECT doc_id, tok, tf_d, df_docs, tfidf
+        FROM ranked WHERE rk <= 3 ORDER BY doc_id, tfidf DESC, tok
+    """,
+    # q46 thresholds: first 8 md5 hex chars of 'source:doc_id' vs
+    # floor(rate * 16^8) as zero-padded hex — 0.5 -> 80000000,
+    # 0.25 -> 40000000, 0.1 -> 19999999; rate 1.0 keeps everything.
+    "q46_stratified_sample": """
+        WITH h AS (
+            SELECT doc_id, source,
+                   substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS hex8
+            FROM documents
+        )
+        SELECT doc_id, source FROM h
+        WHERE CASE source
+                  WHEN 'src0' THEN TRUE
+                  WHEN 'src1' THEN hex8 < '80000000'
+                  WHEN 'src2' THEN hex8 < '40000000'
+                  ELSE hex8 < '19999999' END
+        ORDER BY doc_id
+    """,
+    "q47_normalized_dedup": """
+        WITH c AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS canon_hash
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, canon_hash,
+                   row_number() OVER (PARTITION BY canon_hash
+                                      ORDER BY doc_id) AS rn,
+                   count(*) OVER (PARTITION BY canon_hash) AS n_dups
+            FROM c
+        )
+        SELECT doc_id, canon_hash, n_dups::BIGINT AS n_dups
+        FROM h WHERE rn = 1 ORDER BY doc_id
+    """,
+    "q48_source_quota": """
+        WITH t AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   length(text) AS n_chars_m,
+                   text
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, source, n_chars_m,
+                   len(toks) AS n_tokens,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                   len(list_filter(list_transform(toks, x -> lower(x)),
+                       x -> list_contains(
+                           ['the','a','of','and','to','in','is',
+                            'le','la','et','les','des','un','une',
+                            'el','y','los','de','una',
+                            'der','die','das','und','ein','zu','von',
+                            'de5','shi4','le5','zai4','he2','you3','wo3'], x)))
+                       AS n_stop
+            FROM t
+        ),
+        r AS (
+            SELECT doc_id, source,
+                   floor(n_punct / greatest(n_chars_m, 1)::DOUBLE * 10000.0 + 0.5)
+                       / 10000.0 AS punct_ratio,
+                   floor(n_stop / greatest(n_tokens, 1)::DOUBLE * 10000.0 + 0.5)
+                       / 10000.0 AS stop_ratio,
+                   least(n_tokens::DOUBLE / 100.0, 1.0) AS length_term
+            FROM s
+        ),
+        q AS (
+            SELECT doc_id, source,
+                   floor((0.5 * length_term + 0.3 * (1.0 - punct_ratio)
+                         + 0.2 * stop_ratio) * 10000.0 + 0.5) / 10000.0 AS quality
+            FROM r
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY source
+                       ORDER BY quality DESC, doc_id) AS rk
+            FROM q
+        )
+        SELECT source, doc_id, quality FROM ranked
+        WHERE rk <= 10 ORDER BY source, quality DESC, doc_id
+    """,
+    "q49_decontaminate": """
+        WITH d AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        sh0 AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(len(toks) - 2),
+                               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                          ELSE [array_to_string(toks, ' ')] END) AS shingle
+            FROM d
+        ),
+        sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle <> ''),
+        probe AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+        ),
+        contam AS (
+            SELECT DISTINCT doc_id FROM sh
+            WHERE shingle IN (SELECT shingle FROM probe)
+        )
+        SELECT doc_id, n_chars::BIGINT AS n_chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        ORDER BY doc_id
+    """,
+    "q50_pack_sequences": """
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                       AS n_toks
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, source, n_toks,
+                   (sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_toks)::BIGINT
+                       AS tok_offset
+            FROM t
+        )
+        SELECT doc_id, source, n_toks, tok_offset,
+               (tok_offset // 200)::BIGINT AS bin
+        FROM w ORDER BY source, doc_id
     """,
 }

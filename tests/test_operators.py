@@ -10,6 +10,9 @@ from data_lake_project_spark.operators import dedup as D
 from data_lake_project_spark.operators.asof import asof_join
 from data_lake_project_spark.operators.interval import iou_join
 from data_lake_project_spark.operators.similarity import brute_force_topk
+from data_lake_project_spark.tables import load_table
+
+from conftest import SF_DIR
 
 
 def test_parse_number_decimal_comma(spark):
@@ -429,3 +432,113 @@ def test_language_id_ngram_four_languages(spark):
     out = {r.doc_id: r.pred_lang_ng for r in language_id_ngram(df).collect()}
     assert out[1] == "en" and out[2] == "fr" and out[3] == "de" and out[4] == "es"
     assert out[5] == "en"  # zero scores everywhere -> first profile wins
+
+
+def test_pack_sequences_bin_boundaries(spark):
+    """Golden: concatenate-then-split packing cuts exactly at the
+    budget boundary (doc straddling a cut belongs to the bin its
+    FIRST token falls in)."""
+    from data_lake_project_spark.operators.dataset import pack_sequences
+
+    rows = [(1, "a", 120), (2, "a", 120), (3, "a", 50), (4, "b", 500)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_toks long")
+    out = {
+        r["doc_id"]: (r["tok_offset"], r["bin"])
+        for r in pack_sequences(df, "n_toks", 200, "shard", "doc_id").collect()
+    }
+    # shard a: offsets 0,120,240 -> bins 0,0,1; shard b independent.
+    assert out == {1: (0, 0), 2: (120, 0), 3: (240, 1), 4: (0, 0)}
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """Two invocations agree row-for-row; realized rates sit near the
+    requested ones; rate 1.0 keeps every row, rate 0.0 keeps none."""
+    from data_lake_project_spark.operators.dataset import stratified_sample
+
+    d = load_table(spark, SF_DIR, "documents")
+    rates = {"src0": 1.0, "src1": 0.0}
+    a = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            d, "doc_id", "source", rates, default_rate=0.5
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            d, "doc_id", "source", rates, default_rate=0.5
+        ).collect()
+    )
+    assert a == b
+    by_src = (
+        stratified_sample(d, "doc_id", "source", rates, default_rate=0.5)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    counts = {r["source"]: r["count"] for r in by_src}
+    total = {
+        r["source"]: r["count"] for r in d.groupBy("source").count().collect()
+    }
+    assert counts["src0"] == total["src0"]
+    assert "src1" not in counts
+    others = sum(v for k, v in counts.items() if k not in ("src0", "src1"))
+    others_total = sum(
+        v for k, v in total.items() if k not in ("src0", "src1")
+    )
+    assert 0.3 < others / others_total < 0.7
+
+
+def test_normalized_dedup_catches_reformatting(spark):
+    """Case/punctuation/whitespace variants collapse to one survivor
+    (lowest id) with the right family size; distinct content stays."""
+    from data_lake_project_spark.operators.dedup import normalized_dedup
+
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello   world"),
+        (3, "HELLO WORLD."),
+        (4, "another document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_dups"] for r in normalized_dedup(df).collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_decontaminate_removes_only_overlapping_docs(spark):
+    """A doc sharing any word 3-gram with a probe is dropped; disjoint
+    docs survive untouched."""
+    from data_lake_project_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "completely different content here"),
+            (3, "quick brown fox runs away"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [("benchmark says quick brown fox",)], "text string"
+    )
+    kept = sorted(r["doc_id"] for r in decontaminate(docs, probes).collect())
+    assert kept == [2]
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    """A term unique to one doc must outscore a corpus-wide term in
+    that doc's top list."""
+    from data_lake_project_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common common common"),
+            (3, "common word word"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=1).collect()
+    top = {r["doc_id"]: r["tok"] for r in out}
+    assert top[1] == "zebra"
+    assert top[3] == "word"

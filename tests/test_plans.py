@@ -123,3 +123,43 @@ def test_term_stats_partial_aggregated(spark):
     # spread() may add one round-robin exchange on the single-file
     # local fixture; the aggregation itself contributes at most two.
     assert P.exchange_count(term_stats(d)) <= 3
+
+
+def test_stratified_sample_is_pure_map(spark):
+    """Mixture sampling is a filter on a hash expression — zero
+    exchanges, so it composes with any downstream plan for free."""
+    from data_lake_project_spark.operators.dataset import stratified_sample
+
+    d = load_table(spark, SF_DIR, "documents")
+    out = stratified_sample(
+        d, "doc_id", "source", {"src0": 1.0, "src1": 0.5}, default_rate=0.1
+    )
+    assert P.exchange_count(out) == 0
+
+
+def test_decontaminate_broadcasts_probes(spark):
+    """The corpus side of decontamination must never shuffle: probe
+    shingles broadcast into the semi-join (benchmarks are MBs,
+    corpora are TBs)."""
+    from data_lake_project_spark.operators.dedup import decontaminate
+
+    d = load_table(spark, SF_DIR, "documents")
+    probes = d.filter(F.col("doc_id") % 97 == 0).select("text")
+    out = decontaminate(d, probes)
+    strategies = P.join_strategies(out)
+    assert strategies, "expected joins in decontaminate plan"
+    assert all("Broadcast" in s for s in strategies), strategies
+    P.assert_no_cartesian(out)
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """Packing windows per shard: exactly the shard-key exchange(s),
+    never a global single-partition sort."""
+    from data_lake_project_spark.operators.dataset import pack_sequences
+
+    d = load_table(spark, SF_DIR, "documents").selectExpr(
+        "doc_id", "source", "n_chars AS n_toks"
+    )
+    out = pack_sequences(d, "n_toks", 200, "source", "doc_id")
+    plan = P.explain_str(out)
+    assert "SinglePartition" not in plan, plan
