@@ -465,3 +465,72 @@ def decontaminate(
         .distinct()
     )
     return docs.join(contaminated, id_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph: the
+    cluster-formation step that turns pairwise near-dup matches
+    (MinHash/LSH candidates, verified Jaccard pairs) into dup
+    FAMILIES — near-duplication is transitive in practice (A~B, B~C
+    usually means A, B, C are one family even when A~C missed the
+    similarity cut), so keep-one-per-family needs components, not
+    pairs.
+
+    Algorithm: deterministic min-label propagation. Each node starts
+    labeled with its own id; every round each node takes the min of
+    its label and its neighbors' labels; fixpoint when no label
+    changes. Rounds needed = graph diameter — dup families are
+    shallow (a hub duplicate links its copies directly), so this
+    converges in a handful of rounds; ``max_iter`` bounds adversarial
+    chains. Each round is one equi-join + one partial-aggregated
+    groupBy on node id — uniform keys, no skew beyond what AQE
+    handles. Lineage is truncated per round with an eager
+    ``localCheckpoint`` (on a cluster, flip to reliable
+    ``checkpoint`` with a checkpoint dir — same call shape);
+    convergence is detected via ``sum(label)``, which strictly
+    decreases while any label still moves (labels only ever
+    decrease), so one cheap scalar action per round replaces a
+    change-count join.
+
+    Only nodes appearing in ``pairs`` are returned: (id, cluster_id,
+    cluster_size), cluster_id = min id in the component.
+    """
+    edges = pairs.select(
+        F.col(left).cast("long").alias("src"),
+        F.col(right).cast("long").alias("dst"),
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("nbr"))
+        .select("id", F.least("id", F.col("nbr")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        labels = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    size_w = Window.partitionBy("label")
+    return labels.select(
+        F.col("id"),
+        F.col("label").alias("cluster_id"),
+        F.count("*").over(size_w).cast("long").alias("cluster_size"),
+    )

@@ -880,6 +880,24 @@ def q50_pack_sequences(spark, sf):
     )
 
 
+def q51_dedup_clusters(spark, sf):
+    """Near-dup cluster formation: verified Jaccard pairs (the q26
+    pipeline) promoted to dup FAMILIES via deterministic min-label
+    connected components — the keep-one-per-family step of a corpus
+    dedup ladder. Oracle: DuckDB recursive-CTE transitive closure
+    over the identical verified pair set."""
+    d = load_table(spark, sf, "documents")
+    sets = D.shingle_sets(d, k=3)
+    sig = D.minhash_sets(sets, num_hashes=8)
+    cand = D.minhash_candidates_sets(sig, band_size=2)
+    pairs = D.jaccard_verify_sets(cand, sets, threshold=0.5)
+    return (
+        D.connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -937,6 +955,7 @@ QUERIES: dict[str, QueryFn] = {
     "q48_source_quota": q48_source_quota,
     "q49_decontaminate": q49_decontaminate,
     "q50_pack_sequences": q50_pack_sequences,
+    "q51_dedup_clusters": q51_dedup_clusters,
 }
 
 _SHINGLE_CTE = """
@@ -1847,5 +1866,36 @@ ORACLE: dict[str, str] = {
         SELECT doc_id, source, n_toks, tok_offset,
                (tok_offset // 200)::BIGINT AS bin
         FROM w ORDER BY source, doc_id
+    """,
+    "q51_dedup_clusters": f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        sets AS (
+            SELECT doc_id, list_sort(list(DISTINCT shingle)) AS shs
+            FROM sh GROUP BY doc_id
+        ),
+        verified AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN sets a ON a.doc_id = c.id_a
+            JOIN sets b ON b.doc_id = c.id_b
+            WHERE len(list_intersect(a.shs, b.shs))::DOUBLE
+                  / (len(a.shs) + len(b.shs)
+                     - len(list_intersect(a.shs, b.shs)))::DOUBLE >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM verified
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM verified
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.src, re.r FROM edges e JOIN reach re ON re.id = e.dst
+        ),
+        comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT id AS doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM comp ORDER BY doc_id
     """,
 }

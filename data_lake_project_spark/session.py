@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            ",".join(_EXCLUDED_RULES),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -65,4 +69,38 @@ def tune_for_determinism(spark: SparkSession) -> SparkSession:
     session): only sets runtime-mutable confs.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+_EXCLUDED_RULES = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+)
+
+
+def tune_for_scale(spark: SparkSession) -> SparkSession:
+    """Runtime-mutable optimizer settings the engine depends on.
+
+    ``InferFiltersFromGenerate`` synthesizes ``size(arr) > 0 AND
+    isnotnull(arr)`` below every ``explode``. When the generator input
+    is a STORED array column that filter is nearly free; in this
+    engine every exploded array is a COMPUTED expression (shingles,
+    band signatures, token arrays), so the inferred filter clones the
+    entire expression tree into a Filter node that predicate pushdown
+    then sinks below the ``spread()`` repartition — the whole
+    tokenize/shingle pipeline re-runs single-threaded at the scan,
+    twice (measured: q49 5.4 s -> 1.7 s warm at sf0.1 with the rule
+    excluded; q25/q26/q29 similar). Excluding the rule never changes
+    results — explode of an empty/NULL array emits no rows either way.
+
+    Merges with (never clobbers) any exclusions already configured.
+    Safe to call repeatedly and on sessions we didn't create.
+    """
+    current = ""
+    try:
+        current = spark.conf.get("spark.sql.optimizer.excludedRules") or ""
+    except Exception:
+        current = ""
+    have = [r for r in current.split(",") if r.strip()]
+    merged = have + [r for r in _EXCLUDED_RULES if r not in have]
+    spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(merged))
     return spark

@@ -40,8 +40,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     compatibility they surface as BIGINT epoch-nanos, which we convert
     to TIMESTAMP_NTZ (integer division keeps full precision; a double
     path would lose sub-second bits above 2^53)."""
+    from data_lake_project_spark.session import tune_for_scale
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tune_for_scale(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for col, is_ns in _nano_columns(path).items():

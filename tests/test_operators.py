@@ -542,3 +542,39 @@ def test_tfidf_rare_term_outranks_common(spark):
     top = {r["doc_id"]: r["tok"] for r in out}
     assert top[1] == "zebra"
     assert top[3] == "word"
+
+
+def test_connected_components_multi_hop_chain(spark):
+    """A~B, B~C with no direct A~C edge must still form ONE family
+    (transitivity is the point of cluster formation); disjoint pairs
+    stay separate; cluster_id is the component min; deterministic
+    across runs."""
+    from data_lake_project_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3, needs >1 propagation round),
+        # island 10-11, self-contained pair 20-21
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["id"]: (r["cluster_id"], r["cluster_size"])
+        for r in connected_components(pairs).collect()
+    }
+    assert out == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 2), 11: (10, 2),
+        20: (20, 2), 21: (20, 2),
+    }
+    again = {
+        r["id"]: (r["cluster_id"], r["cluster_size"])
+        for r in connected_components(pairs).collect()
+    }
+    assert again == out
+
+
+def test_connected_components_empty_pairs(spark):
+    from data_lake_project_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0

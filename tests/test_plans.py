@@ -152,6 +152,25 @@ def test_decontaminate_broadcasts_probes(spark):
     P.assert_no_cartesian(out)
 
 
+def test_no_inferred_filter_clones_generator_input(spark):
+    """InferFiltersFromGenerate must stay excluded (session.py
+    ``tune_for_scale``): it clones the full shingle expression tree
+    into a Filter that pushdown sinks below the spread() repartition,
+    re-running tokenization single-threaded at the scan (measured 3x
+    on q49). A Filter node containing the shingle ``transform(...)``
+    expression in the physical plan means the exclusion regressed."""
+    from data_lake_project_spark.operators.dedup import decontaminate
+
+    d = load_table(spark, SF_DIR, "documents")
+    probes = d.filter(F.col("doc_id") % 97 == 0).select("text")
+    plan = P.explain_str(decontaminate(d, probes))
+    for line in plan.splitlines():
+        if "Condition" in line or "Filter " in line:
+            assert "transform(sequence(" not in line, (
+                "shingle expression cloned into a Filter:\n" + line[:400]
+            )
+
+
 def test_pack_sequences_single_shard_shuffle(spark):
     """Packing windows per shard: exactly the shard-key exchange(s),
     never a global single-partition sort."""
