@@ -327,10 +327,24 @@ def ivf_topk(
         corpus.withColumn("__v", _as_double(vec_col))
         .withColumn("__nrm", _norm(F.col("__v")))
         .withColumn(
+            # coalesce with a non-null literal makes the column
+            # NON-NULLABLE (element_at alone is nullable), so the
+            # bucket equi-join does NOT infer an isnotnull(__bucket)
+            # filter — which would clone this whole centroid-scoring
+            # tree into a scan-side Filter and evaluate it twice per
+            # row (audit_plans.py caught a 23k-char Condition).
+            # Semantically a no-op: the centroid array is a constant,
+            # element_at(.., 1) on it never returns NULL.
             "__bucket",
-            F.element_at(
-                F.reverse(F.array_sort(sims_array(F.col("__v"), F.col("__nrm")))), 1
-            )["i"],
+            F.coalesce(
+                F.element_at(
+                    F.reverse(
+                        F.array_sort(sims_array(F.col("__v"), F.col("__nrm")))
+                    ),
+                    1,
+                )["i"],
+                F.lit(0),
+            ),
         )
     )
     p = (

@@ -11,6 +11,10 @@ operator returns scalar columns so results are oracle-checkable.
                        lexicon (n-gram-free deterministic LID).
 - ``quality_score``  — length / punctuation / stopword-ratio composite.
 - ``fingerprint``    — md5 content fingerprint of normalized text.
+- ``tfidf_top_terms``— per-doc distinctive terms, rational BM25-ish idf.
+- ``repetition_stats`` — intra-doc duplicated k-gram fraction.
+- ``redact_pii``     — email/URL count + masked-text fingerprint.
+- ``posting_lists``  — inverted index: per-term df + bounded postings.
 """
 
 from __future__ import annotations
@@ -298,4 +302,125 @@ def tfidf_top_terms(
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .select(id_col, "tok", "tf_d", "df_docs", "tfidf")
+    )
+
+
+# Deliberately narrow, dialect-portable PII patterns: plain character
+# classes only (no \w, no bounded quantifiers), so the identical
+# string drives Java regex (Spark) and RE2 (DuckDB oracle) alike.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+"
+URL_RE = r"https?://[^ ]+"
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Intra-document repetition (Gopher/FineWeb-style quality
+    signal): the fraction of a document's word ``k``-grams that are
+    duplicates of an earlier k-gram in the SAME document. High values
+    flag boilerplate/spam/generated loops that corpus-level dedup
+    never sees (the doc is globally unique but internally repeated).
+
+    Fully narrow — per-row array expressions, tokenizer hoisted out of
+    the lambda (see :func:`~...dedup.shingle_sets` for why), no
+    shuffle. Output: (id, n_grams, n_distinct, rep_ratio[4dp]).
+    """
+    base = spread(docs).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return base.select(
+        F.col(id_col), grams.alias("__g")
+    ).select(
+        F.col(id_col),
+        F.size("__g").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("__g")).cast("long").alias("n_distinct"),
+        pround(
+            F.lit(1.0)
+            - F.size(F.array_distinct("__g"))
+            / F.size("__g").cast("double"),
+            4,
+        ).alias("rep_ratio"),
+    )
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Count and mask email/URL spans — the scrubbing pass a training
+    corpus runs before packing. Pure per-row regex expressions (counts
+    via ``regexp_extract_all``, masking via two ``regexp_replace``
+    passes); the masked text is fingerprinted (md5) rather than
+    returned, keeping operator output scalar and oracle-hashable.
+
+    Output: (id, n_emails, n_urls, redacted_fp).
+    """
+    t = F.col(text_col)
+    masked = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return spread(docs).select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0))
+        .cast("long")
+        .alias("n_urls"),
+        F.md5(masked).alias("redacted_fp"),
+    )
+
+
+def posting_lists(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_k: int = 20,
+) -> DataFrame:
+    """Inverted index over lowercased whitespace tokens: per term, the
+    document frequency and a bounded, sorted sample of posting ids.
+
+    Scale: distinct (tok, id) pairs, ONE shuffle keyed on tok. A
+    ``collect_set``-then-slice would buffer every id of a hot term in
+    one agg buffer (the classic inverted-index skew point); instead a
+    per-term ``row_number`` window ranks ids and only ranks ≤
+    ``sample_k`` enter ``collect_list`` (nulls skipped), so no array
+    ever exceeds ``sample_k``. df is exact via ``max(rank)``; the
+    groupBy after the window reuses the window's tok partitioning —
+    Catalyst plans a single exchange. A full posting-list export would
+    instead write the exploded (tok, id) pairs as a bucketed table —
+    the bounded sample is the queryable summary.
+
+    Output: (tok, df_docs, postings array<long>).
+    """
+    pairs = (
+        spread(docs)
+        .select(
+            F.explode(
+                F.array_distinct(tokens(F.lower(F.col(text_col))))
+            ).alias("tok"),
+            F.col(id_col),
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("tok").orderBy(id_col)
+    ranked = pairs.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy("tok").agg(
+        F.max("__rn").cast("long").alias("df_docs"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("__rn") <= sample_k, F.col(id_col))
+            )
+        ).alias("postings"),
     )

@@ -898,6 +898,74 @@ def q51_dedup_clusters(spark, sf):
     )
 
 
+def q52_repetition(spark, sf):
+    """Intra-document repetition ratio (duplicated word 3-gram
+    fraction) — the Gopher/FineWeb quality signal corpus-level dedup
+    can't see."""
+    from data_lake_project_spark.operators.text import repetition_stats
+
+    d = load_table(spark, sf, "documents")
+    return repetition_stats(d, k=3).orderBy("doc_id")
+
+
+# The oracle must run the byte-identical patterns (see operators.text
+# for the dialect-portability constraints on them).
+_TEXT_EMAIL_RE = TX.EMAIL_RE
+_TEXT_URL_RE = TX.URL_RE
+
+# Deterministic PII-bearing corpus: the synthetic documents carry no
+# emails/URLs, so both engines append the same spans derived from
+# doc_id (same trick as FACTS_CORPUS_EXPR) — the redaction paths are
+# exercised on matching and non-matching rows alike.
+PII_CORPUS_EXPR = """concat(text,
+  CASE WHEN doc_id % 4 = 0
+       THEN concat(' mail user', CAST(doc_id AS STRING), '@example.com')
+       ELSE '' END,
+  CASE WHEN doc_id % 5 = 0
+       THEN concat(' see https://docs.example.org/p/', CAST(doc_id AS STRING))
+       ELSE '' END,
+  CASE WHEN doc_id % 20 = 0 THEN ' cc ops@example.net thanks' ELSE '' END)"""
+
+
+def q53_redact_pii(spark, sf):
+    """Email/URL scrubbing counts + masked-text fingerprint over the
+    synthesized PII corpus."""
+    from data_lake_project_spark.operators.text import redact_pii
+
+    d = load_table(spark, sf, "documents").selectExpr(
+        "doc_id", f"{PII_CORPUS_EXPR} AS text"
+    )
+    return redact_pii(d).orderBy("doc_id")
+
+
+def q54_length_quantiles(spark, sf):
+    """Per-source token-length quantiles (p50/p90/p99) — the length
+    distribution a mixture designer reads before setting packing
+    budgets. EXACT linear-interpolated percentile (same definition as
+    DuckDB ``quantile_cont``), partial-aggregated per group."""
+    d = load_table(spark, sf, "documents").select(
+        "source", F.size(tokens(F.col("text"))).cast("double").alias("n_toks")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            pround(F.expr("percentile(n_toks, 0.5)"), 4).alias("p50"),
+            pround(F.expr("percentile(n_toks, 0.9)"), 4).alias("p90"),
+            pround(F.expr("percentile(n_toks, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("source")
+    )
+
+
+def q55_inverted_index(spark, sf):
+    """Inverted index summary: per-term exact document frequency and
+    the 20 lowest posting ids (bounded, skew-safe)."""
+    from data_lake_project_spark.operators.text import posting_lists
+
+    d = load_table(spark, sf, "documents")
+    return posting_lists(d, sample_k=20).orderBy("tok")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -956,6 +1024,10 @@ QUERIES: dict[str, QueryFn] = {
     "q49_decontaminate": q49_decontaminate,
     "q50_pack_sequences": q50_pack_sequences,
     "q51_dedup_clusters": q51_dedup_clusters,
+    "q52_repetition": q52_repetition,
+    "q53_redact_pii": q53_redact_pii,
+    "q54_length_quantiles": q54_length_quantiles,
+    "q55_inverted_index": q55_inverted_index,
 }
 
 _SHINGLE_CTE = """
@@ -1897,5 +1969,66 @@ ORACLE: dict[str, str] = {
         SELECT id AS doc_id, cluster_id,
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM comp ORDER BY doc_id
+    """,
+    "q52_repetition": """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(len(toks) - 2),
+                             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                        ELSE [array_to_string(toks, ' ')] END AS grams
+            FROM t
+        )
+        SELECT doc_id,
+               len(grams)::BIGINT AS n_grams,
+               len(list_distinct(grams))::BIGINT AS n_distinct,
+               floor((1.0 - len(list_distinct(grams))::DOUBLE
+                      / len(grams)::DOUBLE) * 10000.0 + 0.5) / 10000.0
+                   AS rep_ratio
+        FROM g ORDER BY doc_id
+    """,
+    "q53_redact_pii": f"""
+        WITH d2 AS (
+            SELECT doc_id, {PII_CORPUS_EXPR} AS text FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '{_TEXT_EMAIL_RE}'))::BIGINT AS n_emails,
+               len(regexp_extract_all(text,
+                   '{_TEXT_URL_RE}'))::BIGINT AS n_urls,
+               md5(regexp_replace(
+                       regexp_replace(text, '{_TEXT_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_TEXT_URL_RE}', '<URL>', 'g')) AS redacted_fp
+        FROM d2 ORDER BY doc_id
+    """,
+    "q54_length_quantiles": """
+        WITH t AS (
+            SELECT source,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE
+                       AS n_toks
+            FROM documents
+        )
+        SELECT source,
+               floor(quantile_cont(n_toks, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+               floor(quantile_cont(n_toks, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90,
+               floor(quantile_cont(n_toks, 0.99) * 10000.0 + 0.5) / 10000.0 AS p99
+        FROM t GROUP BY source ORDER BY source
+    """,
+    "q55_inverted_index": """
+        WITH pairs AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       regexp_split_to_array(trim(lower(text)), '\\s+')))
+                       AS tok
+            FROM documents
+        )
+        SELECT tok, count(*)::BIGINT AS df_docs,
+               list_sort(list(doc_id))[1:20] AS postings
+        FROM pairs WHERE tok <> ''
+        GROUP BY tok ORDER BY tok
     """,
 }

@@ -1,0 +1,90 @@
+"""Sweep every declared query's physical plan for scale red flags.
+
+Complements tests/test_plans.py (which pins specific per-operator
+plan properties): this is the whole-surface dragnet run after adding
+or refactoring queries. Red flags, each of which has bitten a round:
+
+- CartesianProduct / BroadcastNestedLoopJoin — O(n*m) degeneration.
+- A Filter whose condition exceeds a size threshold — usually an
+  optimizer rule cloning a computed expression tree (the
+  InferFiltersFromGenerate incident, SCALE.md §7).
+- More than MAX_EXCHANGES data shuffles — a query suddenly picking
+  up exchanges it didn't have.
+- Python eval nodes (BatchEvalPython / ArrowEvalPython) — a Python
+  UDF slipped into a hot path that should be JVM-only.
+
+Usage: python scripts/audit_plans.py [sf_dir]   (exit 1 on any flag)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from data_lake_project_spark.plans import explain_str  # noqa: E402
+from data_lake_project_spark.queries import QUERIES  # noqa: E402
+from data_lake_project_spark.session import get_spark  # noqa: E402
+
+MAX_FILTER_CHARS = 1500
+MAX_EXCHANGES = 6
+
+# Queries where a flagged pattern is expected and understood
+# (document the reason when adding one).
+FILTER_WIDTH_ALLOWED: set[str] = set()
+BNLJ_ALLOWED: set[str] = {
+    # Brute-force scoring IS a deliberate broadcast cross product:
+    # every probe against every corpus vector, probe side tiny.
+    "q22_similarity_topk",
+    # 1-row corpus-count literal joined onto per-doc tf counts.
+    "q45_tfidf_topterms",
+}
+
+
+def audit(name: str, plan: str) -> list[str]:
+    flags = []
+    if "CartesianProduct" in plan:
+        flags.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+        flags.append("BroadcastNestedLoopJoin")
+    if re.search(r"BatchEvalPython|ArrowEvalPython", plan):
+        flags.append("python-udf-node")
+    n_ex = len(re.findall(r"\bExchange (hash|range)partitioning", plan))
+    if n_ex > MAX_EXCHANGES:
+        flags.append(f"exchanges={n_ex}>{MAX_EXCHANGES}")
+    if name not in FILTER_WIDTH_ALLOWED:
+        for m in re.finditer(r"Condition : (.+)", plan):
+            if len(m.group(1)) > MAX_FILTER_CHARS:
+                flags.append(
+                    f"filter-condition {len(m.group(1))} chars "
+                    "(cloned expression tree?)"
+                )
+                break
+    return flags
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    bad = 0
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            plan = explain_str(fn(spark, sf))
+        except Exception as e:  # noqa: BLE001
+            print(f"FLAG {name}: explain failed: {e}")
+            bad += 1
+            continue
+        flags = audit(name, plan)
+        if flags:
+            bad += 1
+            print(f"FLAG {name}: {', '.join(flags)}")
+        else:
+            print(f"ok   {name}")
+    print(f"\n{len(QUERIES) - bad} clean, {bad} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -578,3 +578,57 @@ def test_connected_components_empty_pairs(spark):
 
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_repetition_stats_duplicated_grams(spark):
+    """'a b c' repeated 3x: 7 rolling 3-grams, 3 distinct -> ratio
+    1 - 3/7; short docs degenerate to one whole-text gram, ratio 0."""
+    from data_lake_project_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "x y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs, k=3).collect()}
+    assert (out[1]["n_grams"], out[1]["n_distinct"]) == (7, 3)
+    assert out[1]["rep_ratio"] == round((1 - 3 / 7) * 10000) / 10000
+    assert (out[2]["n_grams"], out[2]["n_distinct"], out[2]["rep_ratio"]) == (
+        1, 1, 0.0,
+    )
+
+
+def test_redact_pii_masks_and_counts(spark):
+    import hashlib
+
+    from data_lake_project_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write to a.b@x.org or c@y.net via https://x.org/z now"),
+            (2, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_urls"]) == (2, 1)
+    expected = hashlib.md5(
+        b"write to <EMAIL> or <EMAIL> via <URL> now"
+    ).hexdigest()
+    assert out[1]["redacted_fp"] == expected
+    assert (out[2]["n_emails"], out[2]["n_urls"]) == (0, 0)
+    assert out[2]["redacted_fp"] == hashlib.md5(b"no pii here").hexdigest()
+
+
+def test_posting_lists_bounded_and_sorted(spark):
+    """df stays exact while postings cap at sample_k lowest ids."""
+    from data_lake_project_spark.operators.text import posting_lists
+
+    docs = spark.createDataFrame(
+        [(i, "hot " + ("rare" if i == 7 else "filler")) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = {r["tok"]: r for r in posting_lists(docs, sample_k=2).collect()}
+    assert out["hot"]["df_docs"] == 10
+    assert out["hot"]["postings"] == [0, 1]
+    assert out["rare"]["df_docs"] == 1
+    assert out["rare"]["postings"] == [7]
