@@ -38,6 +38,7 @@ def asof_join(
     right_values: list[str],
     strict: bool = False,
     right_tiebreak: str | None = None,
+    within=None,
 ) -> DataFrame:
     """Left as-of join.
 
@@ -50,6 +51,14 @@ def asof_join(
     orderable type. ``right_tiebreak`` (a right column, e.g. a unique
     event id) makes the choice among equal-time right rows
     deterministic: the largest tiebreak wins.
+
+    ``within`` (optional): ``(left_time_col, matched_right_time_col)
+    -> BooleanColumn`` tolerance predicate — pandas ``merge_asof
+    (tolerance=...)`` semantics. The as-of match is still the LATEST
+    eligible right row; if that row falls outside the tolerance the
+    annotation is nulled (an older row can only be further away, so
+    no second lookup is needed). Evaluated per already-matched row —
+    zero extra shuffles.
     """
     # Markers order ties: right-before-left for <=, left-before-right for <.
     right_marker, left_marker = (0, 1) if not strict else (1, 0)
@@ -80,9 +89,23 @@ def asof_join(
     unioned = r.unionByName(l).withColumn(
         "__last_rv", F.last("__rv", ignorenulls=True).over(w)
     )
+    rv = F.col("__last_rv")
+    if within is not None:
+        unioned = unioned.withColumn(
+            "__last_t",
+            F.last(
+                F.when(F.col("__m") == right_marker, F.col("__t")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        rv = F.when(
+            F.col("__last_t").isNotNull()
+            & within(F.col("__t"), F.col("__last_t")),
+            F.col("__last_rv"),
+        )
 
     out = unioned.filter(F.col("__m") == left_marker).select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-        *[F.col("__last_rv").getField(c).alias(c) for c in right_values],
+        *[rv.getField(c).alias(c) for c in right_values],
     )
     return out

@@ -966,6 +966,84 @@ def q55_inverted_index(spark, sf):
     return posting_lists(d, sample_k=20).orderBy("tok")
 
 
+def q56_asof_tolerance(spark, sf):
+    """As-of join with a tolerance horizon (pandas ``merge_asof
+    (tolerance=...)`` semantics): the latest event at or before each
+    order still wins the match, but annotations older than 30 days
+    are nulled — the staleness cutoff every feature-store lookup
+    needs. Same one-shuffle union+window plan as q07; the tolerance
+    is a per-row predicate, no extra join."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    e = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    horizon = 30 * 86400
+    joined = asof_join(
+        o,
+        e.withColumnRenamed("user_id", "o_custkey"),
+        on="o_custkey",
+        left_time="o_orderdate",
+        right_time="ts",
+        right_values=["ts", "event_type"],
+        right_tiebreak="event_id",
+        within=lambda lt, rt: (
+            lt.cast("timestamp").cast("long")
+            - rt.cast("timestamp").cast("long")
+        )
+        <= horizon,
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        _ts(F.col("o_orderdate")).alias("order_ts"),
+        _ts(F.col("ts")).alias("event_ts"),
+        "event_type",
+    ).orderBy("o_orderkey")
+
+
+def q57_cube(spark, sf):
+    """CUBE grouping sets (all four priority×status marginals) with
+    grouping_id — the remaining grouping-set shape q10's ROLLUP
+    doesn't cover. Spark expands grouping sets in a single
+    partial-agg'd pass, not one scan per set."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            pround(dec_sum(F.col("o_totalprice")), 2).alias("sum_price"),
+            F.count("*").alias("cnt"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy("gid", "o_orderpriority", "o_orderstatus")
+    )
+
+
+def q58_pivot(spark, sf):
+    """Pivot: order counts per year spread across status columns.
+    With the pivot values DECLARED (not discovered), this compiles to
+    one conditional-aggregation pass — no extra job to enumerate
+    values, no second shuffle."""
+    o = load_table(spark, sf, "orders").select(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_orderstatus",
+    )
+    return (
+        o.groupBy("order_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+        .select(
+            "order_year",
+            F.col("O").cast("long").alias("n_open"),
+            F.col("F").cast("long").alias("n_filled"),
+            F.col("P").cast("long").alias("n_pending"),
+        )
+        .orderBy("order_year")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -1028,6 +1106,9 @@ QUERIES: dict[str, QueryFn] = {
     "q53_redact_pii": q53_redact_pii,
     "q54_length_quantiles": q54_length_quantiles,
     "q55_inverted_index": q55_inverted_index,
+    "q56_asof_tolerance": q56_asof_tolerance,
+    "q57_cube": q57_cube,
+    "q58_pivot": q58_pivot,
 }
 
 _SHINGLE_CTE = """
@@ -2030,5 +2111,41 @@ ORACLE: dict[str, str] = {
                list_sort(list(doc_id))[1:20] AS postings
         FROM pairs WHERE tok <> ''
         GROUP BY tok ORDER BY tok
+    """,
+    "q56_asof_tolerance": """
+        WITH ranked AS (
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, e.ts, e.event_type,
+                   row_number() OVER (
+                       PARTITION BY o.o_orderkey
+                       ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST
+                   ) AS rn
+            FROM orders o
+            LEFT JOIN events e
+              ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        )
+        SELECT o_orderkey, o_custkey,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+               CASE WHEN ts IS NOT NULL
+                         AND epoch(o_orderdate) - epoch(ts) <= 30 * 86400
+                    THEN strftime(ts, '%Y-%m-%d %H:%M:%S') END AS event_ts,
+               CASE WHEN ts IS NOT NULL
+                         AND epoch(o_orderdate) - epoch(ts) <= 30 * 86400
+                    THEN event_type END AS event_type
+        FROM ranked WHERE rn = 1 ORDER BY o_orderkey
+    """,
+    "q57_cube": """
+        SELECT o_orderpriority, o_orderstatus,
+               floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))::DOUBLE * 100.0 + 0.5) / 100.0 AS sum_price,
+               count(*)::BIGINT AS cnt,
+               GROUPING(o_orderpriority, o_orderstatus)::BIGINT AS gid
+        FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    "q58_pivot": """
+        SELECT year(o_orderdate)::BIGINT AS order_year,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_open,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_filled,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_pending
+        FROM orders GROUP BY year(o_orderdate) ORDER BY order_year
     """,
 }

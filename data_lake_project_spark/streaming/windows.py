@@ -85,3 +85,44 @@ def stream_dedup(
     if ts_col is not None:
         return with_watermark(df, ts_col, watermark).dropDuplicates(key_cols)
     return df.dropDuplicates(key_cols)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    horizon: str = "1 hour",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join with a bounded time-range
+    condition: each left row pairs with right rows for the same key
+    whose time falls in ``[left_ts - horizon, left_ts]``.
+
+    This is THE canonical Structured Streaming two-stream join shape:
+    without both the watermark and the range bound, each side would
+    have to buffer the other's entire history; with them, join state
+    is evicted once the watermark passes ``horizon``, so state size
+    is O(rate × (horizon + watermark)) per key — independent of
+    stream length, which is what makes it runnable forever at 100 TB/
+    day. On batch DataFrames the same call degrades to a plain range
+    join (unified API), which the equivalence test exploits.
+
+    ``left_ts`` / ``right_ts`` must be distinct column names; the key
+    column ``on`` is equality-joined and emitted once.
+    """
+    l = with_watermark(left, left_ts, watermark).alias("__l")
+    r = with_watermark(right, right_ts, watermark).alias("__r")
+    lc, rc = F.col(f"__l.{left_ts}"), F.col(f"__r.{right_ts}")
+    cond = (
+        (F.col(f"__l.{on}") == F.col(f"__r.{on}"))
+        & (rc >= lc - F.expr(f"INTERVAL {horizon}"))
+        & (rc <= lc)
+    )
+    joined = l.join(r, cond, how)
+    keep = [F.col(f"__l.{on}").alias(on)]
+    keep += [F.col(f"__l.{c}") for c in left.columns if c != on]
+    keep += [F.col(f"__r.{c}") for c in right.columns if c != on]
+    return joined.select(*keep)

@@ -632,3 +632,32 @@ def test_posting_lists_bounded_and_sorted(spark):
     assert out["hot"]["postings"] == [0, 1]
     assert out["rare"]["df_docs"] == 1
     assert out["rare"]["postings"] == [7]
+
+
+def test_asof_join_tolerance_nulls_stale_match(spark):
+    """merge_asof(tolerance=...) semantics: the latest eligible right
+    row still wins, but a match older than the horizon is nulled —
+    and left rows keep flowing either way."""
+    from data_lake_project_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 50)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 95, "fresh"), (1, 90, "older"), (2, 10, "stale")],
+        "k long, rt long, v string",
+    )
+    out = asof_join(
+        left,
+        right,
+        on="k",
+        left_time="t",
+        right_time="rt",
+        right_values=["v"],
+        within=lambda lt, rt: (lt - rt) <= 20,
+    )
+    got = {(r["k"], r["t"]): r["v"] for r in out.collect()}
+    # (1,100): latest is rt=95, within 20 -> fresh
+    # (1,200): latest is rt=95, 105 away -> nulled (NOT rt=90)
+    # (2,50): latest is rt=10, 40 away -> nulled
+    assert got == {(1, 100): "fresh", (1, 200): None, (2, 50): None}
