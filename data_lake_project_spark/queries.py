@@ -1003,6 +1003,63 @@ def q56_asof_tolerance(spark, sf):
     ).orderBy("o_orderkey")
 
 
+def q59_integrity_checks(spark, sf):
+    """Deequ-style data-quality suite as ONE relational result:
+    referential integrity (orphan facts), key uniqueness, and
+    completeness, each a partial-agg'd or anti-join count — the
+    validation pass a lakehouse runs after every load. Checks union
+    into a (check, violations) report; each leg is independently
+    scannable and the dims broadcast."""
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    c = load_table(spark, sf, "customer")
+
+    orphan_lineitem = (
+        l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("lineitem.orderkey_fk").alias("check_name"), "violations")
+    )
+    orphan_orders = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("orders.custkey_fk").alias("check_name"), "violations")
+    )
+    dup_orderkeys = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("violations")
+    ).select(F.lit("orders.orderkey_unique").alias("check_name"), "violations")
+    null_custkey = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("violations")
+    ).select(F.lit("orders.custkey_complete").alias("check_name"), "violations")
+
+    return (
+        orphan_lineitem.unionByName(orphan_orders)
+        .unionByName(dup_orderkeys)
+        .unionByName(null_custkey)
+        .select("check_name", F.col("violations").cast("long").alias("violations"))
+        .orderBy("check_name")
+    )
+
+
+def q60_histogram(spark, sf):
+    """Fixed-width histogram of document token lengths (10 buckets of
+    20 tokens, top bucket open) — the length-distribution readout a
+    curation pass plots before choosing packing budgets. One
+    partial-agg'd shuffle on the bucket id."""
+    d = load_table(spark, sf, "documents").select(
+        F.size(tokens(F.col("text"))).alias("n_toks")
+    )
+    return (
+        d.select(
+            F.least(F.floor(F.col("n_toks") / 20), F.lit(9))
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
 def q57_cube(spark, sf):
     """CUBE grouping sets (all four priority×status marginals) with
     grouping_id — the remaining grouping-set shape q10's ROLLUP
@@ -1109,6 +1166,8 @@ QUERIES: dict[str, QueryFn] = {
     "q56_asof_tolerance": q56_asof_tolerance,
     "q57_cube": q57_cube,
     "q58_pivot": q58_pivot,
+    "q59_integrity_checks": q59_integrity_checks,
+    "q60_histogram": q60_histogram,
 }
 
 _SHINGLE_CTE = """
@@ -2147,5 +2206,34 @@ ORACLE: dict[str, str] = {
                sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_filled,
                sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_pending
         FROM orders GROUP BY year(o_orderdate) ORDER BY order_year
+    """,
+    "q59_integrity_checks": """
+        WITH checks AS (
+            SELECT 'lineitem.orderkey_fk' AS check_name,
+                   count(*)::BIGINT AS violations
+            FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)
+            UNION ALL
+            SELECT 'orders.custkey_fk', count(*)::BIGINT
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'orders.orderkey_unique',
+                   (count(*) - count(DISTINCT o_orderkey))::BIGINT
+            FROM orders
+            UNION ALL
+            SELECT 'orders.custkey_complete',
+                   count(CASE WHEN o_custkey IS NULL THEN 1 END)::BIGINT
+            FROM orders
+        )
+        SELECT check_name, violations FROM checks ORDER BY check_name
+    """,
+    "q60_histogram": """
+        SELECT least(floor(len(regexp_split_to_array(trim(text), '\\s+')) / 20),
+                     9)::BIGINT AS bucket,
+               count(*)::BIGINT AS n_docs
+        FROM documents GROUP BY 1 ORDER BY bucket
     """,
 }
