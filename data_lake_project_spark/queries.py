@@ -1101,6 +1101,98 @@ def q58_pivot(spark, sf):
     )
 
 
+def q61_exists_subquery(spark, sf):
+    """Correlated EXISTS subquery (TPC-H Q4 shape): orders with at
+    least one late-shipping lineitem, counted by priority. Written as
+    SQL so Catalyst's decorrelation path is exercised — RewriteSubquery
+    turns the EXISTS into a LEFT SEMI join on l_orderkey with the
+    correlated l_shipdate > o_orderdate predicate as the join
+    condition; one shuffle, no per-row subquery execution."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("q61_orders")
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("q61_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM q61_orders o
+        WHERE EXISTS (SELECT 1 FROM q61_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+def q62_scalar_subquery(spark, sf):
+    """Correlated scalar subquery (TPC-H Q17 shape): revenue from
+    small-quantity lineitems of one brand, threshold = 0.2 x the
+    part's average quantity. Catalyst decorrelates the scalar agg into
+    a grouped aggregate joined back on l_partkey (one extra shuffle on
+    the correlation key — the plan a hand-written pre-agg + join would
+    produce). The threshold is derived from an exact DECIMAL sum so
+    both engines agree bit-for-bit at the comparison boundary
+    (double-sum partial-agg ordering must never decide row
+    membership)."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("q62_lineitem")
+    load_table(spark, sf, "part").createOrReplaceTempView("q62_part")
+    return spark.sql(
+        """
+        SELECT CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6)))
+                               AS DOUBLE) / 7.0 * 100.0 + 0.5) / 100.0
+                    AS DOUBLE) AS avg_yearly
+        FROM q62_lineitem l JOIN q62_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity <
+              (SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2)))
+                                  AS DOUBLE) / count(*))
+               FROM q62_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+def q63_grouped_median(spark, sf):
+    """Exact-median + filtered-count aggregates per group
+    (``median``/``count_if`` surface). Spark's MEDIAN is exact
+    percentile(0.5) — an in-group sort, not a sketch; the filtered
+    count stays a partial-agg'd conditional. Group cardinality is tiny
+    (returnflag), so the single shuffle moves only per-group state."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.median("l_quantity").alias("med_qty"),
+            F.count(F.when(F.col("l_discount") > 0.05, 1))
+            .cast("long")
+            .alias("n_discounted"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q64_distribution_windows(spark, sf):
+    """Distribution window functions: NTILE quartiles, PERCENT_RANK,
+    CUME_DIST over order value within each priority. The window order
+    key includes o_orderkey so NTILE's row-position semantics are
+    deterministic under value ties; rank-based PERCENT_RANK/CUME_DIST
+    are exact small-integer ratios (identical across engines). One
+    shuffle on the partition key, one in-partition sort."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -1168,6 +1260,10 @@ QUERIES: dict[str, QueryFn] = {
     "q58_pivot": q58_pivot,
     "q59_integrity_checks": q59_integrity_checks,
     "q60_histogram": q60_histogram,
+    "q61_exists_subquery": q61_exists_subquery,
+    "q62_scalar_subquery": q62_scalar_subquery,
+    "q63_grouped_median": q63_grouped_median,
+    "q64_distribution_windows": q64_distribution_windows,
 }
 
 _SHINGLE_CTE = """
@@ -2235,5 +2331,43 @@ ORACLE: dict[str, str] = {
                      9)::BIGINT AS bucket,
                count(*)::BIGINT AS n_docs
         FROM documents GROUP BY 1 ORDER BY bucket
+    """,
+    "q61_exists_subquery": """
+        SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q62_scalar_subquery": """
+        SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6)))
+                          AS DOUBLE) / 7.0 * 100.0 + 0.5) / 100.0
+               AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity <
+              (SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2)))
+                                  AS DOUBLE) / count(*))
+               FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    "q63_grouped_median": """
+        SELECT l_returnflag,
+               median(l_quantity) AS med_qty,
+               count(*) FILTER (WHERE l_discount > 0.05)::BIGINT
+                   AS n_discounted,
+               count(*)::BIGINT AS n_items
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "q64_distribution_windows": """
+        SELECT o_orderkey, o_orderpriority,
+               ntile(4) OVER w::BIGINT AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey
     """,
 }
