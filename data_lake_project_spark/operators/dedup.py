@@ -504,9 +504,15 @@ def connected_components(
         F.col(left).cast("long").alias("src"),
         F.col(right).cast("long").alias("dst"),
     )
+    # The edge set joins against labels EVERY round; without its own
+    # checkpoint each round's join (plus the convergence action)
+    # re-derives sym from its full upstream lineage — for near-dup
+    # clustering that upstream is the whole shingle -> minhash ->
+    # band-join -> verify pipeline, recomputed diameter-many times.
+    # One eager materialization caps that at exactly one evaluation.
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         sym.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("nbr"))

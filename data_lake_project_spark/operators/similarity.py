@@ -106,14 +106,19 @@ def lsh_bucketed_topk(
       L-fold index space any multi-table LSH pays); expected scanned
       fraction is ~``L*(bits+1)/2^bits`` of the corpus.
 
-    ``dim`` (embedding dimensionality) should be passed by callers who
-    know it; when omitted it is read from the *probe* side — always a
-    handful of rows — never by scanning the corpus.
+    ``dim`` (embedding dimensionality) is REQUIRED: Spark array columns
+    carry no length in the schema, so discovering it would cost a
+    hidden ``.first()`` Spark job before the index pass. Callers know
+    their embedding width — pass it.
     """
     import hashlib
 
     if dim is None:
-        dim = len(probes.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_bucketed_topk requires dim (embedding width): array "
+            "columns carry no length in the schema and probing for it "
+            "would run an extra Spark job per call"
+        )
 
     # ONE flat literal array of every hyperplane component, indexed by
     # (table*bits + bit)*dim, sliced inside the lambdas below — the

@@ -486,9 +486,9 @@ def q33_lsh_topk(spark, sf):
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return SIM.lsh_bucketed_topk(e, probes, k=10, bits=6, n_tables=4).orderBy(
-        "probe_id", "vec_id"
-    )
+    return SIM.lsh_bucketed_topk(
+        e, probes, k=10, bits=6, n_tables=4, dim=64
+    ).orderBy("probe_id", "vec_id")
 
 
 def q38_language_id_ngram(spark, sf):
@@ -1019,22 +1019,31 @@ def q59_integrity_checks(spark, sf):
         .agg(F.count("*").alias("violations"))
         .select(F.lit("lineitem.orderkey_fk").alias("check_name"), "violations")
     )
-    orphan_orders = (
-        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
-        .agg(F.count("*").alias("violations"))
-        .select(F.lit("orders.custkey_fk").alias("check_name"), "violations")
+    # The three orders-side checks share ONE scan: a broadcast left
+    # join against the (distinct) customer keys marks FK orphans
+    # (__ck NULL == NOT EXISTS, including NULL custkeys, matching
+    # anti-join semantics), and uniqueness + completeness ride the
+    # same multi-agg. Orders is read twice in the whole suite (here +
+    # as the lineitem leg's pruned build side), down from round 2's
+    # three scans.
+    ckeys = c.select(F.col("c_custkey").alias("__ck")).distinct()
+    orders_checks = (
+        o.join(F.broadcast(ckeys), o.o_custkey == F.col("__ck"), "left")
+        .agg(
+            F.count(F.when(F.col("__ck").isNull(), 1)).alias("orphans"),
+            (F.count("*") - F.countDistinct("o_orderkey")).alias("dup"),
+            F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("nulls"),
+        )
+        .selectExpr(
+            "stack(3, 'orders.custkey_fk', orphans,"
+            "         'orders.orderkey_unique', dup,"
+            "         'orders.custkey_complete', nulls)"
+            " AS (check_name, violations)"
+        )
     )
-    dup_orderkeys = o.agg(
-        (F.count("*") - F.countDistinct("o_orderkey")).alias("violations")
-    ).select(F.lit("orders.orderkey_unique").alias("check_name"), "violations")
-    null_custkey = o.agg(
-        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("violations")
-    ).select(F.lit("orders.custkey_complete").alias("check_name"), "violations")
 
     return (
-        orphan_lineitem.unionByName(orphan_orders)
-        .unionByName(dup_orderkeys)
-        .unionByName(null_custkey)
+        orphan_lineitem.unionByName(orders_checks)
         .select("check_name", F.col("violations").cast("long").alias("violations"))
         .orderBy("check_name")
     )
@@ -2228,18 +2237,28 @@ ORACLE: dict[str, str] = {
         FROM g ORDER BY doc_id
     """,
     "q53_redact_pii": f"""
+        -- Same sentinel algorithm as the operator: spans collapse to
+        -- single PUA chars (chr(57344)=U+E000 email, chr(57345)=U+E001
+        -- url), counts are length arithmetic, mask tokens are literal
+        -- replaces. Two regex passes total, like the Spark side.
         WITH d2 AS (
             SELECT doc_id, {PII_CORPUS_EXPR} AS text FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text, '{_TEXT_EMAIL_RE}',
+                                      chr(57344), 'g'),
+                       '{_TEXT_URL_RE}', chr(57345), 'g') AS mt
+            FROM d2
         )
         SELECT doc_id,
-               len(regexp_extract_all(text,
-                   '{_TEXT_EMAIL_RE}'))::BIGINT AS n_emails,
-               len(regexp_extract_all(text,
-                   '{_TEXT_URL_RE}'))::BIGINT AS n_urls,
-               md5(regexp_replace(
-                       regexp_replace(text, '{_TEXT_EMAIL_RE}', '<EMAIL>', 'g'),
-                       '{_TEXT_URL_RE}', '<URL>', 'g')) AS redacted_fp
-        FROM d2 ORDER BY doc_id
+               (length(mt) - length(replace(mt, chr(57344), '')))::BIGINT
+                   AS n_emails,
+               (length(mt) - length(replace(mt, chr(57345), '')))::BIGINT
+                   AS n_urls,
+               md5(replace(replace(mt, chr(57344), '<EMAIL>'),
+                           chr(57345), '<URL>')) AS redacted_fp
+        FROM m ORDER BY doc_id
     """,
     "q54_length_quantiles": """
         WITH t AS (

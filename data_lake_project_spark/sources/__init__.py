@@ -184,11 +184,18 @@ class KeyedTable:
         """MERGE on key, scoped to the touched buckets.
 
         New rows win over existing rows. Within the update batch the
-        row with the highest ``version_col`` wins; without one, a
-        sequence captured via ``monotonically_increasing_id`` at batch
-        entry breaks ties by the batch's row order (deterministic for
-        a deterministically-ordered update source — pass a real
-        version column when you have one).
+        row with the highest ``version_col`` wins; without one, the
+        tie-break is a CONTENT hash of the full row (``xxhash64`` over
+        every column) — deterministic regardless of the batch's
+        partition layout, so upserting the same (even shuffled) batch
+        twice always yields identical table state. Which of two
+        same-key-different-content rows wins is then arbitrary but
+        stable; pass a real version column when "latest" must mean
+        something.
+
+        (Round 2 used ``monotonically_increasing_id`` here, whose
+        ordering depends on partition layout — a repartitioned batch
+        could flip winners between runs.)
 
         Delta format: the same contract via native ``MERGE INTO``
         (file-level pruning plays the role of bucket scoping; the
@@ -197,13 +204,9 @@ class KeyedTable:
         if self.table_format == "delta":
             self._upsert_delta(updates, version_col)
             return
-        seq = (
-            F.col(version_col)
-            if version_col
-            else F.monotonically_increasing_id()
-        )
         u = self._with_bucket(
-            updates.withColumn("__seq", seq).withColumn("__prio", F.lit(0))
+            updates.withColumn("__seq", self._batch_seq(updates, version_col))
+            .withColumn("__prio", F.lit(0))
         )
         if not self.exists():
             first = self._dedup(u).drop("__prio", "__seq")
@@ -264,17 +267,22 @@ class KeyedTable:
             if fs.exists(self.spark, bdir):
                 _compact(self.spark, bdir, target_files_per_bucket)
 
-    def _upsert_delta(
-        self, updates: DataFrame, version_col: str | None
-    ) -> None:  # pragma: no cover - delta jars absent in this env
+    @staticmethod
+    def _batch_seq(updates: DataFrame, version_col: str | None):
+        """Intra-batch winner ordering: the version column when given,
+        else a content hash over every column — partition-layout-
+        independent, so the merge outcome is a pure function of the
+        batch's ROWS, not of how Spark happened to split them."""
+        if version_col:
+            return F.col(version_col)
+        return F.xxhash64(*[F.col(c) for c in updates.columns])
+
+    def _upsert_delta(self, updates: DataFrame, version_col: str | None) -> None:
         from delta.tables import DeltaTable
 
-        seq = (
-            F.col(version_col)
-            if version_col
-            else F.monotonically_increasing_id()
+        u = updates.withColumn(
+            "__seq", self._batch_seq(updates, version_col)
         )
-        u = updates.withColumn("__seq", seq)
         w = Window.partitionBy(self.key_col).orderBy(F.col("__seq").desc())
         u = (
             u.withColumn("__rn", F.row_number().over(w))

@@ -137,6 +137,24 @@ def test_keyed_table_intra_batch_version_wins(spark, tmp_path):
     assert {r.k: r.v for r in t.read().collect()}["a"] == 99
 
 
+def test_keyed_table_upsert_versionless_is_layout_independent(spark, tmp_path):
+    """Without a version column the intra-batch winner is a CONTENT
+    hash, not partition order: the same batch — however repartitioned
+    or shuffled — must produce identical table state every time.
+    (Round 2 used monotonically_increasing_id, which a repartition
+    could flip.)"""
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 7), ("b", 8)]
+    batch = spark.createDataFrame(rows, "k string, v int")
+    states = []
+    for n_parts in (1, 3, 5):
+        t = KeyedTable(spark, str(tmp_path / f"ktd{n_parts}"), key_col="k")
+        t.upsert(batch.repartition(n_parts))
+        t.upsert(batch.repartition(n_parts).orderBy(F.col("v").desc()))
+        states.append(sorted((r.k, r.v) for r in t.read().collect()))
+    assert states[0] == states[1] == states[2]
+    assert len(states[0]) == 2  # one survivor per key
+
+
 def test_keyed_table_upsert_is_bucket_scoped(spark, tmp_path):
     """The O(delta) contract: an upsert touching one key must leave
     every other bucket's files untouched on disk (same path, same

@@ -208,7 +208,7 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     probes = e.filter("vec_id < 5").selectExpr("vec_id as probe_id", "embedding")
     exact = brute_force_topk(e, probes, k=10)
-    approx = lsh_bucketed_topk(e, probes, k=10, bits=6, n_tables=4)
+    approx = lsh_bucketed_topk(e, probes, k=10, bits=6, n_tables=4, dim=64)
     exact_pairs = {(r.probe_id, r.vec_id) for r in exact.collect()}
     approx_rows = approx.collect()
     approx_pairs = {(r.probe_id, r.vec_id) for r in approx_rows}
@@ -217,7 +217,9 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     # determinism: hyperplanes are md5-derived constants
     again = {
         (r.probe_id, r.vec_id)
-        for r in lsh_bucketed_topk(e, probes, k=10, bits=6, n_tables=4).collect()
+        for r in lsh_bucketed_topk(
+            e, probes, k=10, bits=6, n_tables=4, dim=64
+        ).collect()
     }
     assert approx_pairs == again
     # LSH prunes candidates but never changes the metric: every shared
@@ -229,6 +231,20 @@ def test_lsh_topk_recall_vs_brute_force(spark):
             shared += 1
             assert abs(exact_sims[(r.probe_id, r.vec_id)] - r.cosine) < 1e-9
     assert shared > 0
+
+
+def test_lsh_topk_requires_dim(spark):
+    """Omitting dim must raise — the old fallback silently ran a
+    ``.first()`` Spark job per call to discover the embedding width
+    before the index pass even started."""
+    import pytest
+
+    from data_lake_project_spark.operators.similarity import lsh_bucketed_topk
+
+    corpus = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
+    probes = spark.createDataFrame([Row(probe_id=9, embedding=[0.0, 1.0])])
+    with pytest.raises(ValueError, match="dim"):
+        lsh_bucketed_topk(corpus, probes, k=1)
 
 
 def test_lsh_planted_clusters_high_recall(spark):
@@ -255,7 +271,7 @@ def test_lsh_planted_clusters_high_recall(spark):
         "vec_id as probe_id", "embedding"
     )
     exact = brute_force_topk(corpus, probes, k=5)
-    approx = lsh_bucketed_topk(corpus, probes, k=5, bits=8, n_tables=2)
+    approx = lsh_bucketed_topk(corpus, probes, k=5, bits=8, n_tables=2, dim=16)
     exact_pairs = {(r.probe_id, r.vec_id) for r in exact.collect()}
     approx_pairs = {(r.probe_id, r.vec_id) for r in approx.collect()}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
@@ -571,6 +587,37 @@ def test_connected_components_multi_hop_chain(spark):
         for r in connected_components(pairs).collect()
     }
     assert again == out
+
+
+def test_connected_components_evaluates_edges_once(spark):
+    """The pair graph's upstream lineage must be evaluated exactly once
+    (the eager checkpoint on the symmetrized edge set), not once per
+    propagation round — in q51 that upstream is the whole
+    shingle->minhash->band-join->verify pipeline.
+
+    An accumulator-counting UDF upstream of ``pairs`` observes every
+    evaluation: the union with the swapped copy reads the source twice,
+    so one materialization counts 2*n rows; per-round recomputation on
+    this diameter-3 chain would count >= 3x that."""
+    from pyspark.sql.types import LongType
+
+    from data_lake_project_spark.operators.dedup import connected_components
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(x):
+        acc.add(1)
+        return x
+
+    count_udf = F.udf(counted, LongType())
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4)], "raw_a long, raw_b long"
+    ).select(
+        count_udf("raw_a").alias("id_a"), F.col("raw_b").alias("id_b")
+    )
+    out = connected_components(pairs).collect()
+    assert len(out) == 4
+    assert acc.value <= 2 * 3  # one pass through union(edges, swapped)
 
 
 def test_connected_components_empty_pairs(spark):
