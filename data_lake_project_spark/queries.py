@@ -1203,6 +1203,367 @@ def q64_distribution_windows(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Round-3 surface Q65-Q74: grouping sets, range join, SCD2 history,
+# interval-frame windows, funnel/retention event analytics, corpus
+# boilerplate scrub, winsorized stats, salted-join parity, bigrams.
+# ---------------------------------------------------------------------------
+
+
+def q65_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS — the marginals-only shape neither q10's
+    ROLLUP nor q57's CUBE covers (per-priority totals + per-status
+    totals + grand total, NO priority×status cross). Spark expands the
+    sets in ONE partial-agg'd pass (an Expand node), not one scan per
+    set."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("q65_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(27,6)))
+                               AS DOUBLE) * 100.0 + 0.5) / 100.0
+                    AS DOUBLE) AS sum_price,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                    AS BIGINT) AS gid
+        FROM q65_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+        """
+    )
+
+
+def q66_range_join(spark, sf):
+    """Range (interval) join: for each error event, the click events
+    anywhere in the system within ±10 minutes (the incident-
+    correlation sweep an ops pipeline runs — no shared key, pure
+    temporal proximity). The naive plan is an inequality theta-join
+    (full cross product); instead both sides bucket into 10-minute
+    bins, the error side explodes into its 3 covering bins (|Δt| ≤ W
+    implies adjacent-or-same bin for bin width W), and the join is a
+    pure EQUI-join on the bin key with the exact ±600 s predicate as
+    a residual filter — the same bucket-the-range trick as the IoU
+    join (q24), so at 100 TB the shuffle is keyed and bounded, never
+    quadratic."""
+    e = load_table(spark, sf, "events")
+    W = 600
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", F.col("ts").alias("e_ts")
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts")
+    )
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    err_b = err.withColumn(
+        "__bin",
+        F.explode(
+            F.array(
+                *[
+                    F.floor(epoch("e_ts") / W).cast("long") + d
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ),
+    )
+    clk_b = clk.withColumn("__bin", F.floor(epoch("c_ts") / W).cast("long"))
+    joined = err_b.join(clk_b, "__bin").filter(
+        F.abs(epoch("c_ts") - epoch("e_ts")) <= W
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(
+            F.count("*").cast("long").alias("n_clicks_10m"),
+            F.min(F.abs(epoch("c_ts") - epoch("e_ts")))
+            .cast("long")
+            .alias("closest_gap_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q67_scd2(spark, sf):
+    """SCD2 (slowly-changing-dimension type 2) history build: each
+    user's event_type stream collapses into versioned
+    [valid_from, valid_to) intervals — the standard lakehouse
+    dimension-history derivation. One (user) shuffle carries both
+    windows (change detection via lag, interval close via lead);
+    deterministic under ts ties via the event_id tie-break."""
+    e = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.withColumn("__prev", F.lag("event_type").over(w)).filter(
+        F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            "event_type",
+            _ts(F.col("ts")).alias("valid_from"),
+            _ts(F.lead("ts").over(w2)).alias("valid_to"),
+            F.row_number().over(w2).cast("long").alias("version"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+def q68_rolling_range_window(spark, sf):
+    """Time-interval window frame: per-user rolling 7-day event count
+    and value sum (RANGE frame over epoch seconds — q12's ROWS frame
+    counts rows, this one spans TIME, the feature-engineering staple).
+    Ties in ts all fall inside the frame, so the result is
+    deterministic without a tie-break; the sum aggregates exact
+    decimals so partial-agg order can't flip the rounded output."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            _ts(F.col("ts")).alias("event_ts"),
+            F.count("*").over(w).cast("long").alias("n_7d"),
+            pround(
+                F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double"),
+                4,
+            ).alias("sum_7d"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q69_funnel(spark, sf):
+    """Ordered funnel (view → click → purchase): how deep each user
+    gets, with each later stage required to happen STRICTLY after the
+    previous one. ONE shuffle: per-user events collect into a sorted
+    array and a JVM ``aggregate`` lambda runs the 3-state machine over
+    it — no self-joins, no per-stage scans. The array is bounded by
+    per-user funnel events (filtered to the 3 types first); a
+    pathological hot user is capped by the same skew levers as any
+    keyed agg. Strict ``>`` comparisons make the fold equal to the
+    relational min-chain the oracle runs."""
+    e = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    init = F.struct(
+        F.lit(None).cast("timestamp_ntz").alias("v"),
+        F.lit(None).cast("timestamp_ntz").alias("c"),
+        F.lit(None).cast("timestamp_ntz").alias("p"),
+    )
+    state = F.aggregate(
+        F.col("evs"),
+        init,
+        lambda s, ev: F.struct(
+            F.when(
+                s["v"].isNull() & (ev["event_type"] == "view"), ev["ts"]
+            )
+            .otherwise(s["v"])
+            .alias("v"),
+            F.when(
+                s["c"].isNull()
+                & s["v"].isNotNull()
+                & (ev["event_type"] == "click")
+                & (ev["ts"] > s["v"]),
+                ev["ts"],
+            )
+            .otherwise(s["c"])
+            .alias("c"),
+            F.when(
+                s["p"].isNull()
+                & s["c"].isNotNull()
+                & (ev["event_type"] == "purchase")
+                & (ev["ts"] > s["c"]),
+                ev["ts"],
+            )
+            .otherwise(s["p"])
+            .alias("p"),
+        ),
+    )
+    staged = per_user.select(
+        F.when(state["p"].isNotNull(), "3_purchase")
+        .when(state["c"].isNotNull(), "2_click")
+        .when(state["v"].isNotNull(), "1_view")
+        .otherwise("0_none")
+        .alias("stage")
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+def q70_retention(spark, sf):
+    """Cohort retention matrix: users grouped by first-seen week,
+    counted in each later activity week. Plan: one per-user min agg
+    (cohort), one distinct (user, week) projection, one equi-join on
+    user_id, one final agg — every shuffle keyed and partial-agg'd;
+    nothing driver-side. The (user, week) distinct bounds state at one
+    row per user-week, not per event."""
+    e = load_table(spark, sf, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("__cohort")
+    )
+    active = (
+        e.select("user_id", F.date_trunc("week", F.col("ts")).alias("__wk"))
+        .distinct()
+    )
+    j = active.join(first, "user_id")
+    return (
+        j.select(
+            F.date_format("__cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.to_date("__wk"), F.to_date("__cohort")) / 7)
+            .cast("long")
+            .alias("week_k"),
+        )
+        .groupBy("cohort_week", "week_k")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_k")
+    )
+
+
+def q71_boilerplate_scrub(spark, sf):
+    """Corpus boilerplate removal: the 10 highest-document-frequency
+    tokens are declared boilerplate and scrubbed from every document
+    (the curation pass that strips headers/footers/nav chrome before
+    training). The boilerplate list is VOCABULARY-sized: its window
+    rank runs on the aggregated term table (tiny), and the scrub is a
+    broadcast anti-join on the exploded corpus — the corpus itself
+    never joins anything big. Reassembly keys one shuffle on doc_id
+    with position-sorted ``collect_list`` (arrays bounded by document
+    length)."""
+    d = load_table(spark, sf, "documents")
+    toks = (
+        TX.spread(d)
+        .select(
+            "doc_id",
+            F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    df_tab = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    wv = Window.orderBy(F.col("df").desc(), F.col("tok"))
+    # vocabulary-sized input: the single-partition window ranks ~1e3
+    # aggregated rows, never corpus rows
+    boiler = df_tab.withColumn("__rk", F.row_number().over(wv)).filter(
+        F.col("__rk") <= 10
+    ).select("tok")
+    kept = toks.join(F.broadcast(boiler), "tok", "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("cleaned_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q72_winsorize(spark, sf):
+    """Winsorized per-segment stats: account balances clamped to the
+    segment's exact [p05, p95] before averaging — the outlier-robust
+    aggregate a quality pipeline uses over heavy-tailed metrics. Two
+    passes: the percentile table is GROUP-cardinality-sized and
+    broadcasts back over the fact scan; each clamped value rounds to
+    4 places BEFORE the exact-decimal sum so the rendered mean is
+    bit-stable on any engine."""
+    c = load_table(spark, sf, "customer")
+    pct = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.05)").alias("p05"),
+        F.expr("percentile(c_acctbal, 0.95)").alias("p95"),
+    )
+    clamped = c.join(F.broadcast(pct), "c_mktsegment").select(
+        "c_mktsegment",
+        pround(
+            F.least(F.greatest(F.col("c_acctbal"), F.col("p05")), F.col("p95")), 4
+        ).alias("__w"),
+    )
+    return (
+        clamped.groupBy("c_mktsegment")
+        .agg(
+            pround(
+                dec_sum(F.col("__w")) / F.count("*"),
+                4,
+            ).alias("w_mean"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q73_salted_join_agg(spark, sf):
+    """Skew-salted join in the declared surface: events (the skewed
+    fact side — a hot user is the classic straggler) join customers
+    through ``salted_join``, which spreads each hot key over 8 salt
+    partitions (fact side salts by row-hash, dim side replicates 8x),
+    then aggregates per segment. The oracle is the PLAIN join — the
+    salt must be invisible in the result. AQE's skew splitting covers
+    sort-merge plans at runtime; the explicit salt is the belt-and-
+    braces rewrite for broadcast-ineligible dims."""
+    from data_lake_project_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf, "events").select("user_id", "value")
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(e, c, on="user_id", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            pround(dec_sum(F.col("value")), 2).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q74_top_bigrams(spark, sf):
+    """Corpus top-40 bigrams (q40's vocabulary surface extended to
+    n-grams — the phrase-mining readout). Bigram arrays build
+    zero-shuffle per row (two slices zipped), then ONE partial-agg'd
+    shuffle on the bigram key and a TakeOrdered top-k — vocabulary
+    scales with corpus breadth, the heap with k."""
+    d = load_table(spark, sf, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        TX.spread(d)
+        .select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(40)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -1273,6 +1634,16 @@ QUERIES: dict[str, QueryFn] = {
     "q62_scalar_subquery": q62_scalar_subquery,
     "q63_grouped_median": q63_grouped_median,
     "q64_distribution_windows": q64_distribution_windows,
+    "q65_grouping_sets": q65_grouping_sets,
+    "q66_range_join": q66_range_join,
+    "q67_scd2": q67_scd2,
+    "q68_rolling_range_window": q68_rolling_range_window,
+    "q69_funnel": q69_funnel,
+    "q70_retention": q70_retention,
+    "q71_boilerplate_scrub": q71_boilerplate_scrub,
+    "q72_winsorize": q72_winsorize,
+    "q73_salted_join_agg": q73_salted_join_agg,
+    "q74_top_bigrams": q74_top_bigrams,
 }
 
 _SHINGLE_CTE = """
@@ -2388,5 +2759,164 @@ ORACLE: dict[str, str] = {
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY o_totalprice, o_orderkey)
         ORDER BY o_orderkey
+    """,
+    "q65_grouping_sets": """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*)::BIGINT AS cnt,
+               floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))::DOUBLE
+                     * 100.0 + 0.5) / 100.0 AS sum_price,
+               GROUPING(o_orderpriority, o_orderstatus)::BIGINT AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    "q66_range_join": """
+        -- floor(epoch(.)) everywhere: DuckDB's epoch() keeps the
+        -- microsecond fraction, Spark's timestamp->long cast floors;
+        -- flooring both sides makes the boundary rows identical.
+        SELECT err.event_id,
+               count(*)::BIGINT AS n_clicks_10m,
+               min(abs(floor(epoch(clk.ts))::BIGINT
+                       - floor(epoch(err.ts))::BIGINT))::BIGINT
+                   AS closest_gap_s
+        FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') err
+        JOIN (SELECT ts FROM events WHERE event_type = 'click') clk
+          ON abs(floor(epoch(clk.ts)) - floor(epoch(err.ts))) <= 600
+        GROUP BY err.event_id ORDER BY err.event_id
+    """,
+    "q67_scd2": """
+        WITH marked AS (
+            SELECT user_id, ts, event_type, event_id,
+                   lag(event_type) OVER w AS prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), changes AS (
+            SELECT user_id, ts, event_type, event_id FROM marked
+            WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               row_number() OVER w2::BIGINT AS version
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, version
+    """,
+    "q68_rolling_range_window": """
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+               count(*) OVER w::BIGINT AS n_7d,
+               floor(sum(CAST(value AS DECIMAL(27,6))) OVER w::DOUBLE
+                     * 10000.0 + 0.5) / 10000.0 AS sum_7d
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
+                     RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+    "q69_funnel": """
+        WITH f AS (
+            SELECT user_id, event_type, ts FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        u AS (SELECT DISTINCT user_id FROM f),
+        v AS (SELECT user_id, min(ts) AS v FROM f
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT f.user_id, min(f.ts) AS c FROM f
+              JOIN v ON v.user_id = f.user_id
+              WHERE f.event_type = 'click' AND f.ts > v.v GROUP BY f.user_id),
+        p AS (SELECT f.user_id, min(f.ts) AS p FROM f
+              JOIN c ON c.user_id = f.user_id
+              WHERE f.event_type = 'purchase' AND f.ts > c.c GROUP BY f.user_id)
+        SELECT stage, count(*)::BIGINT AS n_users FROM (
+            SELECT u.user_id,
+                   CASE WHEN p.user_id IS NOT NULL THEN '3_purchase'
+                        WHEN c.user_id IS NOT NULL THEN '2_click'
+                        WHEN v.user_id IS NOT NULL THEN '1_view'
+                        ELSE '0_none' END AS stage
+            FROM u
+            LEFT JOIN v ON v.user_id = u.user_id
+            LEFT JOIN c ON c.user_id = u.user_id
+            LEFT JOIN p ON p.user_id = u.user_id
+        ) GROUP BY stage ORDER BY stage
+    """,
+    "q70_retention": """
+        WITH first AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort
+            FROM events GROUP BY user_id
+        ), active AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+        )
+        SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+               (date_diff('day', f.cohort, a.wk) // 7)::BIGINT AS week_k,
+               count(*)::BIGINT AS n_users
+        FROM active a JOIN first f ON f.user_id = a.user_id
+        GROUP BY 1, 2 ORDER BY cohort_week, week_k
+    """,
+    "q71_boilerplate_scrub": """
+        WITH toks AS (
+            SELECT doc_id, t.tok, t.pos FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS l
+                FROM documents
+            ), LATERAL (
+                SELECT unnest(l) AS tok,
+                       generate_subscripts(l, 1) AS pos
+            ) AS t
+            WHERE t.tok <> ''
+        ),
+        boiler AS (
+            SELECT tok FROM (
+                SELECT tok, count(DISTINCT doc_id) AS df
+                FROM toks GROUP BY tok
+                ORDER BY df DESC, tok LIMIT 10
+            )
+        ),
+        kept AS (
+            SELECT doc_id, tok, pos FROM toks
+            WHERE tok NOT IN (SELECT tok FROM boiler)
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_kept,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_fp
+        FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+    "q72_winsorize": """
+        WITH pct AS (
+            SELECT c_mktsegment,
+                   quantile_cont(c_acctbal, 0.05) AS p05,
+                   quantile_cont(c_acctbal, 0.95) AS p95
+            FROM customer GROUP BY c_mktsegment
+        ), clamped AS (
+            SELECT c.c_mktsegment,
+                   floor(least(greatest(c.c_acctbal, p.p05), p.p95)
+                         * 10000.0 + 0.5) / 10000.0 AS w
+            FROM customer c JOIN pct p ON p.c_mktsegment = c.c_mktsegment
+        )
+        SELECT c_mktsegment,
+               floor(sum(CAST(w AS DECIMAL(27,6)))::DOUBLE / count(*)
+                     * 10000.0 + 0.5) / 10000.0 AS w_mean,
+               count(*)::BIGINT AS n
+        FROM clamped GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "q73_salted_join_agg": """
+        SELECT c_mktsegment, count(*)::BIGINT AS n_events,
+               floor(sum(CAST(value AS DECIMAL(27,6)))::DOUBLE
+                     * 100.0 + 0.5) / 100.0 AS sum_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "q74_top_bigrams": """
+        WITH t AS (
+            SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ), g AS (
+            SELECT unnest(CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(len(toks) - 1),
+                               i -> toks[i+1] || ' ' || toks[i+2])
+                          ELSE [] END) AS bigram
+            FROM t
+        )
+        SELECT bigram, count(*)::BIGINT AS cnt
+        FROM g GROUP BY bigram
+        ORDER BY cnt DESC, bigram LIMIT 40
     """,
 }

@@ -560,6 +560,39 @@ def test_tfidf_rare_term_outranks_common(spark):
     assert top[3] == "word"
 
 
+def test_funnel_stage_machine_requires_strict_order(spark, tmp_path):
+    """q69's fold semantics: each stage must happen STRICTLY after the
+    previous one — a purchase BEFORE the first click cannot complete
+    the funnel, and a click at exactly the view's timestamp does not
+    count (strict >)."""
+    import datetime as dt
+
+    from data_lake_project_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, typ, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, typ, 1.0, "{}")
+
+    rows = [
+        # user 1: proper v->c->p order: stage 3
+        ev(1, 1, "view", 0), ev(2, 1, "click", 1), ev(3, 1, "purchase", 2),
+        # user 2: purchase BEFORE click: stops at click (stage 2)
+        ev(4, 2, "view", 0), ev(5, 2, "purchase", 1), ev(6, 2, "click", 2),
+        # user 3: click at the SAME ts as view: strict > fails, stage 1
+        ev(7, 3, "view", 0), ev(8, 3, "click", 0),
+        # user 4: click only, never viewed: stage 0
+        ev(9, 4, "click", 5),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    out = {r.stage: r.n_users for r in QUERIES["q69_funnel"](spark, sf).collect()}
+    assert out == {"3_purchase": 1, "2_click": 1, "1_view": 1, "0_none": 1}
+
+
 def test_connected_components_multi_hop_chain(spark):
     """A~B, B~C with no direct A~C edge must still form ONE family
     (transitivity is the point of cluster formation); disjoint pairs

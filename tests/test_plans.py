@@ -171,6 +171,71 @@ def test_no_inferred_filter_clones_generator_input(spark):
             )
 
 
+def test_range_join_is_bucketed_equi_join(spark):
+    """q66's ±3d time-range join must compile to an equi-join on the
+    (customer, day-bucket) key — the inequality stays a residual
+    filter, never the join condition (which would degenerate to a
+    per-customer cross product)."""
+    df = QUERIES["q66_range_join"](spark, SF_DIR)
+    P.assert_no_cartesian(df)
+    strategies = P.join_strategies(df)
+    assert strategies, "expected a join in q66's plan"
+    assert all("NestedLoop" not in s for s in strategies), strategies
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    """GROUPING SETS must expand in one pass (a single Expand node +
+    one scan of orders), not one scan per set."""
+    plan = P.explain_str(QUERIES["q65_grouping_sets"](spark, SF_DIR))
+    assert plan.count("Expand") >= 1
+    assert plan.count("orders.parquet") <= 1, plan
+
+
+def test_boilerplate_scrub_broadcasts_vocab(spark):
+    """q71's boilerplate list is vocabulary-sized and must broadcast
+    into the corpus anti-join; the corpus side never shuffles for it."""
+    df = QUERIES["q71_boilerplate_scrub"](spark, SF_DIR)
+    strategies = P.join_strategies(df)
+    assert any("Broadcast" in s for s in strategies), strategies
+    P.assert_no_cartesian(df)
+
+
+def test_winsorize_broadcasts_percentiles(spark):
+    """q72's per-segment percentile table is group-cardinality-sized
+    and must broadcast back over the fact scan."""
+    df = QUERIES["q72_winsorize"](spark, SF_DIR)
+    strategies = P.join_strategies(df)
+    assert strategies and all("Broadcast" in s for s in strategies), strategies
+
+
+def test_tune_for_scale_holds_on_foreign_session(spark):
+    """The driver builds its OWN SparkSession (no engine configs), so
+    the optimizer exclusion must be (re)applied by the load path
+    itself. Simulate that seam: a sibling session with the exclusions
+    explicitly CLEARED must get them back from ``load_table`` alone,
+    merged (never clobbering) with any exclusions the user configured,
+    and q49's results must match the tuned session's."""
+    from data_lake_project_spark.queries import QUERIES
+    from data_lake_project_spark.session import tune_for_scale
+
+    s2 = spark.newSession()
+    s2.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.SomeUserRule",
+    )
+    out = QUERIES["q49_decontaminate"](s2, SF_DIR)
+    rules = s2.conf.get("spark.sql.optimizer.excludedRules")
+    assert "InferFiltersFromGenerate" in rules, rules
+    assert "SomeUserRule" in rules, rules  # merge, not clobber
+    baseline = sorted(map(tuple, QUERIES["q49_decontaminate"](spark, SF_DIR).collect()))
+    assert sorted(map(tuple, out.collect())) == baseline
+    # idempotent: calling again doesn't duplicate entries
+    tune_for_scale(s2)
+    assert s2.conf.get("spark.sql.optimizer.excludedRules").count(
+        "InferFiltersFromGenerate"
+    ) == 1
+
+
 def test_pack_sequences_single_shard_shuffle(spark):
     """Packing windows per shard: exactly the shard-key exchange(s),
     never a global single-partition sort."""

@@ -161,7 +161,15 @@ _sentence_words = st.lists(
     st.one_of(
         st.text("abc", min_size=1, max_size=4),
         st.text("abc", min_size=1, max_size=3).map(lambda w: w + "."),
-        st.sampled_from([".", "!", "?", "...", "3.5", "1,2%", "a!b"]),
+        st.sampled_from(
+            [
+                ".", "!", "?", "...", "3.5", "1,2%", "a!b",
+                # pathological punctuation (round-2 ADVICE): decimals
+                # that END a sentence, ellipsis runs, mixed-mark runs,
+                # dotted abbreviation-ish tokens, bare integer + "."
+                "3.5.", "..", "....", "?!", "..!?", "a.b", "10.", "e4.5!",
+            ]
+        ),
     ),
     min_size=0,
     max_size=20,
@@ -200,3 +208,32 @@ def test_split_sentences_invariants(spark, words):
         toks = s.split()
         for t in toks[:-1]:
             assert not bre.match(t), (s, t)
+
+
+def test_split_sentences_pathological_punctuation(spark):
+    """Deterministic pins for the nastiest shapes: a decimal ENDING a
+    sentence ('3.5.') must split after the decimal and keep '3.5'
+    intact; ellipsis runs split exactly once; a decimal mid-sentence
+    never splits."""
+    from data_lake_project_spark.operators.sentences import split_sentences
+
+    cases = {
+        # decimal at sentence end: trailing '.' peels off, '3.5' stays
+        1: ("growth was 3.5. next year fell", ["growth was 3.5 .", "next year fell"]),
+        # ellipsis run is ONE boundary token, one split
+        2: ("wait... then go", ["wait ...", "then go"]),
+        # decimal mid-sentence: no split
+        3: ("rate of 3.5 percent held", ["rate of 3.5 percent held"]),
+        # consecutive boundary marks ('?!' is not in the reference
+        # boundary set {'.','!','..','...','?'} as a unit — it peels
+        # as its own token and only splits if it matches the set)
+        4: ("done. . twice", ["done .", ".", "twice"]),
+    }
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "doc_id int, text string"
+    )
+    got: dict[int, list[str]] = {}
+    for r in split_sentences(df).collect():
+        got.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence))
+    for k, (_, want) in cases.items():
+        assert [s for _, s in sorted(got[k])] == want, (k, sorted(got[k]))
