@@ -1563,6 +1563,111 @@ def q74_top_bigrams(spark, sf):
     )
 
 
+def q75_full_outer_join(spark, sf):
+    """FULL OUTER join — the one join type q04/q06/q06b leave
+    undeclared. Positive-balance customers vs per-customer 'F'-order
+    aggregates, so all three regions populate: matched, left-only
+    (customers with no finished orders), right-only (finished orders
+    of negative-balance customers). Shuffle-hash/SMJ on the key; the
+    aggregate side is pre-grouped so the join moves one row per
+    customer, not one per order."""
+    c = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_acctbal") >= 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    o = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_f_orders"),
+            pround(dec_sum(F.col("o_totalprice")), 2).alias("f_total"),
+        )
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        "c_mktsegment",
+        F.coalesce(F.col("n_f_orders"), F.lit(0)).cast("long").alias("n_f_orders"),
+        F.coalesce(F.col("f_total"), F.lit(0.0)).alias("f_total"),
+    ).orderBy("custkey")
+
+
+def q76_column_profile(spark, sf):
+    """Ingest-time column profile (bronze data-quality summary): one
+    multi-agg pass computes rows/nulls/min/max for every orders
+    column, pivoted long-form. The single driver action collects ONE
+    row of scalars (bounded by column count); the scan itself is one
+    partial-agg'd pass — the exact shape a 100 TB load audit runs.
+    The approx-ndv leg of ``column_profile`` is engine-specific
+    (HLL++) and stays under its own tolerance tests; this declared
+    query keeps the oracle-checkable fields."""
+    from data_lake_project_spark.operators.sketches import column_profile
+
+    o = load_table(spark, sf, "orders")
+    return (
+        column_profile(o)
+        .drop("approx_ndv")
+        .orderBy("column")
+    )
+
+
+def q77_label_centroids(spark, sf):
+    """Per-label embedding centroids in long form (label, dim,
+    centroid) — the class-prototype computation behind centroid
+    classifiers and diversity-aware sampling. One narrow posexplode
+    (no data movement), ONE partial-agg'd shuffle on (label, dim) —
+    at 100 TB the shuffle carries one partial sum per (label, dim,
+    partition), never raw vectors. Each float is widened to double
+    (exact) and summed as a decimal so partial order can't move the
+    rounded centroid."""
+    e = load_table(spark, sf, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("dim", "__x")
+    )
+    return (
+        exploded.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            pround(
+                dec_sum(F.col("__x").cast("double")) / F.count("*"), 4
+            ).alias("centroid"),
+            F.count("*").cast("long").alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+def q78_resample_zero_fill(spark, sf):
+    """Per-user daily resample with gap days zero-filled between the
+    user's first and last active day — the densification step before
+    any per-entity time-series model. The calendar explodes from each
+    user's OWN [min_day, max_day] span (bounded by the span, never a
+    global calendar cross-join); the day counts pre-aggregate before
+    the join, so the final equi-join moves one row per (user, day)."""
+    e = load_table(spark, sf, "events")
+    daily = (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("__d0"), F.max("day").alias("__d1")
+    )
+    calendar = spans.select(
+        "user_id", F.explode(F.expr("sequence(__d0, __d1)")).alias("day")
+    )
+    return (
+        calendar.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -1644,6 +1749,10 @@ QUERIES: dict[str, QueryFn] = {
     "q72_winsorize": q72_winsorize,
     "q73_salted_join_agg": q73_salted_join_agg,
     "q74_top_bigrams": q74_top_bigrams,
+    "q75_full_outer_join": q75_full_outer_join,
+    "q76_column_profile": q76_column_profile,
+    "q77_label_centroids": q77_label_centroids,
+    "q78_resample_zero_fill": q78_resample_zero_fill,
 }
 
 _SHINGLE_CTE = """
@@ -2918,5 +3027,78 @@ ORACLE: dict[str, str] = {
         SELECT bigram, count(*)::BIGINT AS cnt
         FROM g GROUP BY bigram
         ORDER BY cnt DESC, bigram LIMIT 40
+    """,
+    "q75_full_outer_join": """
+        WITH c AS (
+            SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal >= 0
+        ), o AS (
+            SELECT o_custkey, count(*)::BIGINT AS n_f_orders,
+                   floor(sum(CAST(o_totalprice AS DECIMAL(27,6)))::DOUBLE
+                         * 100.0 + 0.5) / 100.0 AS f_total
+            FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+        )
+        SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+               c.c_mktsegment,
+               coalesce(o.n_f_orders, 0)::BIGINT AS n_f_orders,
+               coalesce(o.f_total, 0.0) AS f_total
+        FROM c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey
+        ORDER BY custkey
+    """,
+    "q76_column_profile": """
+        WITH p AS (
+            SELECT count(*) AS n, sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nul1,
+                   min(CAST(o_orderkey AS VARCHAR)) AS mn1, max(CAST(o_orderkey AS VARCHAR)) AS mx1,
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nul2,
+                   min(CAST(o_custkey AS VARCHAR)) AS mn2, max(CAST(o_custkey AS VARCHAR)) AS mx2,
+                   sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nul3,
+                   min(CAST(o_orderstatus AS VARCHAR)) AS mn3, max(CAST(o_orderstatus AS VARCHAR)) AS mx3,
+                   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nul4,
+                   min(CAST(o_totalprice AS VARCHAR)) AS mn4, max(CAST(o_totalprice AS VARCHAR)) AS mx4,
+                   sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nul5,
+                   min(CAST(o_orderdate AS VARCHAR)) AS mn5, max(CAST(o_orderdate AS VARCHAR)) AS mx5,
+                   sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nul6,
+                   min(CAST(o_orderpriority AS VARCHAR)) AS mn6, max(CAST(o_orderpriority AS VARCHAR)) AS mx6
+            FROM orders
+        )
+        SELECT 'o_orderkey' AS "column", n::BIGINT AS n_rows, nul1::BIGINT AS n_nulls,
+               mn1 AS min_str, mx1 AS max_str FROM p
+        UNION ALL SELECT 'o_custkey', n::BIGINT, nul2::BIGINT, mn2, mx2 FROM p
+        UNION ALL SELECT 'o_orderstatus', n::BIGINT, nul3::BIGINT, mn3, mx3 FROM p
+        UNION ALL SELECT 'o_totalprice', n::BIGINT, nul4::BIGINT, mn4, mx4 FROM p
+        UNION ALL SELECT 'o_orderdate', n::BIGINT, nul5::BIGINT, mn5, mx5 FROM p
+        UNION ALL SELECT 'o_orderpriority', n::BIGINT, nul6::BIGINT, mn6, mx6 FROM p
+        ORDER BY "column"
+    """,
+    "q77_label_centroids": """
+        WITH ex AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding) AS x
+            FROM embeddings
+        )
+        SELECT label, dim::BIGINT AS dim,
+               floor(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,6)))::DOUBLE
+                     / count(*) * 10000.0 + 0.5) / 10000.0 AS centroid,
+               count(*)::BIGINT AS n_vecs
+        FROM ex GROUP BY label, dim ORDER BY label, dim
+    """,
+    "q78_resample_zero_fill": """
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ), spans AS (
+            SELECT user_id, min(day) AS d0, max(day) AS d1
+            FROM daily GROUP BY user_id
+        ), cal AS (
+            SELECT user_id,
+                   unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                          INTERVAL 1 DAY))::DATE AS day
+            FROM spans
+        )
+        SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+               coalesce(d.n, 0)::BIGINT AS n_events
+        FROM cal c LEFT JOIN daily d
+          ON d.user_id = c.user_id AND d.day = c.day
+        ORDER BY c.user_id, day
     """,
 }
