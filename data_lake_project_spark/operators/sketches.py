@@ -56,10 +56,19 @@ def frequent_items(
     return out.select(F.explode(F.col(f"{col}_freqItems")).alias(col))
 
 
-def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def column_profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    include_ndv: bool = True,
+) -> DataFrame:
     """One-pass profile per column: rows, nulls, ndv (approx), min,
     max — the bronze-ingest quality summary. Output long form:
-    (column, n_rows, n_nulls, approx_ndv, min_str, max_str)."""
+    (column, n_rows, n_nulls, approx_ndv, min_str, max_str).
+
+    ``include_ndv=False`` drops the HyperLogLog legs (the profile's
+    most expensive aggregates — one sketch buffer per column) for
+    callers that only need the exact fields; ``approx_ndv`` is then
+    NULL rather than absent so the schema stays stable."""
     cols = cols or df.columns
     aggs = []
     for c in cols:
@@ -67,18 +76,19 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             [
                 F.count(F.lit(1)).alias(f"__n_{c}"),
                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nul_{c}"),
-                F.approx_count_distinct(c).alias(f"__ndv_{c}"),
                 F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
                 F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
             ]
         )
+        if include_ndv:
+            aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{c}"))
     row = df.agg(*aggs).first()
     rows = [
         (
             c,
             row[f"__n_{c}"],
             row[f"__nul_{c}"],
-            row[f"__ndv_{c}"],
+            row[f"__ndv_{c}"] if include_ndv else None,
             row[f"__min_{c}"],
             row[f"__max_{c}"],
         )

@@ -1607,7 +1607,7 @@ def q76_column_profile(spark, sf):
 
     o = load_table(spark, sf, "orders")
     return (
-        column_profile(o)
+        column_profile(o, include_ndv=False)
         .drop("approx_ndv")
         .orderBy("column")
     )

@@ -593,6 +593,26 @@ def test_funnel_stage_machine_requires_strict_order(spark, tmp_path):
     assert out == {"3_purchase": 1, "2_click": 1, "1_view": 1, "0_none": 1}
 
 
+def test_retention_week_zero_counts_every_user(spark):
+    """q70 invariant: every user is active in their own cohort week by
+    definition, so the week_k=0 row of each cohort must count exactly
+    the cohort's users, and summing week_k=0 across cohorts equals the
+    distinct user count."""
+    from data_lake_project_spark.queries import QUERIES
+    from data_lake_project_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["q70_retention"](spark, sf).collect()
+    week0 = {r.cohort_week: r.n_users for r in out if r.week_k == 0}
+    total_users = (
+        load_table(spark, sf, "events").select("user_id").distinct().count()
+    )
+    assert sum(week0.values()) == total_users
+    # retention can never exceed the cohort size
+    for r in out:
+        assert r.n_users <= week0[r.cohort_week], r
+
+
 def test_connected_components_multi_hop_chain(spark):
     """A~B, B~C with no direct A~C edge must still form ONE family
     (transitivity is the point of cluster formation); disjoint pairs
