@@ -57,6 +57,46 @@ def _bucketed(df: DataFrame, prefix: str, bucket: float) -> DataFrame:
     )
 
 
+def time_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    within_s: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows whose timestamps lie within ``within_s`` seconds of
+    each other — |l - r| <= W — WITHOUT an inequality theta-join.
+
+    Rewrite: both sides bin into width-W buckets on floor(epoch/W);
+    the left side explodes into its 3 covering bins (|Δt| ≤ W implies
+    the two bins differ by at most 1), and the join is a pure
+    equi-join on the bin key with the exact predicate as a residual
+    filter. Each qualifying pair meets in EXACTLY one bin (the right
+    row's own bin), so no post-join dedup is needed. At scale the
+    shuffle is keyed and bounded — candidate count is |left| x
+    (right density per 3W window), never |left| x |right|.
+
+    Column names must be disjoint across the two inputs (same
+    contract as ``iou_join``). Comparisons use floor-epoch seconds on
+    both sides, matching the engine's timestamp->long cast semantics.
+    Inner-join semantics (pairs only).
+    """
+    if how != "inner":
+        raise ValueError(f"time_range_join supports inner, got {how!r}")
+    w = int(within_s)
+    lsec = F.col(left_ts).cast("timestamp").cast("long")
+    rsec = F.col(right_ts).cast("timestamp").cast("long")
+    lb = left.withColumn(
+        "__bin",
+        F.explode(
+            F.array(*[F.floor(lsec / w).cast("long") + d for d in (-1, 0, 1)])
+        ),
+    )
+    rb = right.withColumn("__bin", F.floor(rsec / w).cast("long"))
+    return lb.join(rb, "__bin").filter(F.abs(rsec - lsec) <= w).drop("__bin")
+
+
 def iou_join(
     cells: DataFrame,
     boxes: DataFrame,

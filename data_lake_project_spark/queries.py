@@ -1253,21 +1253,7 @@ def q66_range_join(spark, sf):
         F.col("ts").alias("c_ts")
     )
     epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
-    err_b = err.withColumn(
-        "__bin",
-        F.explode(
-            F.array(
-                *[
-                    F.floor(epoch("e_ts") / W).cast("long") + d
-                    for d in (-1, 0, 1)
-                ]
-            )
-        ),
-    )
-    clk_b = clk.withColumn("__bin", F.floor(epoch("c_ts") / W).cast("long"))
-    joined = err_b.join(clk_b, "__bin").filter(
-        F.abs(epoch("c_ts") - epoch("e_ts")) <= W
-    )
+    joined = IV.time_range_join(err, clk, "e_ts", "c_ts", within_s=W)
     return (
         joined.groupBy("event_id")
         .agg(

@@ -15,7 +15,10 @@ from data_lake_project_spark.streaming.pipeline import (
     read_sink,
     write_idempotent_foreach_batch,
 )
-from data_lake_project_spark.streaming.stateful import running_totals
+from data_lake_project_spark.streaming.stateful import (
+    funnel_stages,
+    running_totals,
+)
 from data_lake_project_spark.streaming.windows import (
     session_agg,
     sliding_agg,
@@ -35,4 +38,5 @@ __all__ = [
     "session_agg",
     "stream_dedup",
     "running_totals",
+    "funnel_stages",
 ]

@@ -18,6 +18,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -77,4 +78,76 @@ def running_totals(
             outputMode="update",
             timeoutConf=timeout,
         )
+    )
+
+
+def funnel_stages(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming twin of the q69 batch funnel: per-key n-stage state
+    machine carried across micro-batches. Stage i+1 only fires
+    STRICTLY after stage i's recorded timestamp (same strict-``>``
+    contract as the batch fold), so on an in-order stream the final
+    update per key equals the batch result exactly
+    (``test_funnel_stream_equals_batch``).
+
+    State is one epoch-second per stage (-1 = not reached) — O(stages)
+    per key, store-backed on a cluster. Rows inside each micro-batch
+    are processed in (ts, seq) order; cross-batch reordering follows
+    the source's delivery order, the same contract as any
+    non-watermarked stateful op.
+
+    Output (update mode): (key, stage) after every batch that touched
+    the key, where stage is the deepest stage index reached (0 =
+    none). Downstream takes the last update per key for the snapshot.
+    """
+    n = len(stages)
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        ts = list(state.get) if state.exists else [-1] * n
+        # the iterator yields the group's rows as ARBITRARY Arrow
+        # chunks — concatenate before sorting or the fold sees
+        # chunk-local order, not batch order
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            for _, row in batch.sort_values([ts_col, seq_col]).iterrows():
+                i = stage_of.get(row[type_col])
+                if i is None or ts[i] != -1:
+                    continue
+                t = int(row[ts_col])
+                if i == 0 or (ts[i - 1] != -1 and t > ts[i - 1]):
+                    ts[i] = t
+        state.update(tuple(ts))
+        depth = 0
+        for i in range(n):
+            if ts[i] == -1:
+                break
+            depth = i + 1
+        yield pd.DataFrame({"key": [k], "stage": [depth]})
+
+    # epoch MICROS, not seconds: the strict-after comparison must see
+    # the same precision the batch fold sees, or a stage landing in
+    # the same second as its predecessor (later by micros) is lost.
+    filtered = events.filter(F.col(type_col).isin(*stages)).selectExpr(
+        f"CAST({key_col} AS STRING) AS key",
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP)) AS {ts_col}",
+        f"CAST({seq_col} AS LONG) AS {seq_col}",
+        type_col,
+    )
+    return filtered.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType="key string, stage long",
+        stateStructType=", ".join(f"s{i} long" for i in range(n)),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -593,6 +593,29 @@ def test_funnel_stage_machine_requires_strict_order(spark, tmp_path):
     assert out == {"3_purchase": 1, "2_click": 1, "1_view": 1, "0_none": 1}
 
 
+def test_scd2_intervals_partition_each_users_timeline(spark):
+    """q67 invariants per user: versions are dense from 1; intervals
+    are contiguous (version k's valid_to == version k+1's valid_from);
+    only the last interval is open; event_type actually CHANGES at
+    every boundary (no degenerate versions)."""
+    from data_lake_project_spark.queries import QUERIES
+
+    rows = QUERIES["q67_scd2"](spark, "/root/testdata/sf0.001").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.version)
+        assert [r.version for r in ivs] == list(range(1, len(ivs) + 1)), user
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from, (user, a, b)
+            assert a.event_type != b.event_type, (user, a, b)
+        assert ivs[-1].valid_to is None, user
+        for r in ivs[:-1]:
+            assert r.valid_to is not None, (user, r)
+
+
 def test_retention_week_zero_counts_every_user(spark):
     """q70 invariant: every user is active in their own cohort week by
     definition, so the week_k=0 row of each cohort must count exactly

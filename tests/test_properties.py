@@ -151,6 +151,43 @@ def test_iou_join_equals_cross_join_reference(spark, cell_rects, box_rects):
     assert fast == slow
 
 
+@SPARK_SETTINGS
+@given(
+    st.lists(st.integers(0, 5000), min_size=1, max_size=15),
+    st.lists(st.integers(0, 5000), min_size=1, max_size=15),
+    st.sampled_from([60, 600, 3600]),
+)
+def test_time_range_join_equals_cross_join_reference(spark, ls, rs, w):
+    """The bin-explode rewrite must return EXACTLY the pairs a naive
+    cross join with |Δt| ≤ W keeps — including boundary seconds and
+    each pair exactly once (no multi-bin duplicates) — for any epoch
+    spread and any bin width."""
+    import datetime as dt
+
+    from data_lake_project_spark.operators.interval import time_range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=s)) for i, s in enumerate(ls)],
+        "l_id int, l_ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(seconds=s)) for i, s in enumerate(rs)],
+        "r_id int, r_ts timestamp_ntz",
+    )
+    fast = [
+        (r.l_id, r.r_id)
+        for r in time_range_join(left, right, "l_ts", "r_ts", w).collect()
+    ]
+    slow = [
+        (li, ri)
+        for li, l in enumerate(ls)
+        for ri, r in enumerate(rs)
+        if abs(l - r) <= w
+    ]
+    assert sorted(fast) == sorted(slow)  # exact set AND multiplicity
+
+
 # ---------------------------------------------------------------------------
 # sentence segmentation invariants
 # ---------------------------------------------------------------------------

@@ -12,6 +12,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_lake_project_spark.streaming import (
@@ -268,6 +269,74 @@ def test_running_totals_state_carries_across_batches(spark, tmp_path):
     u2 = [r for r in rows if r.key == "u2"]
     assert (u2[-1].total, u2[-1].n, u2[-1].vmax) == (10.0, 1, 10.0)
     assert not any(r.closed for r in rows)
+
+
+def test_funnel_stream_equals_batch(spark, tmp_path):
+    """The streaming funnel's final per-user state must equal the q69
+    batch fold exactly when the stream delivers events in time order —
+    state carries across micro-batches (the fixture splits into 4
+    time-ordered files), and the strict-after rule matches the batch
+    contract."""
+    from data_lake_project_spark.queries import QUERIES
+    from data_lake_project_spark.streaming.stateful import funnel_stages
+    from data_lake_project_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "funnel_src")
+    # 4 contiguous time slices -> 4 micro-batches in global ts order
+    sliced = ev.withColumn(
+        "__slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 5):
+        sliced.filter(F.col("__slice") == i).drop("__slice").coalesce(
+            1
+        ).write.mode("append" if i > 1 else "overwrite").parquet(f"{src}/s{i}")
+    paths = [f"{src}/s{i}" for i in range(1, 5)]
+    merged = str(tmp_path / "funnel_files")
+    os.makedirs(merged)
+    import glob as _glob
+    import shutil as _shutil
+
+    base = 1_700_000_000
+    for i, p in enumerate(paths):
+        for f in sorted(_glob.glob(f"{p}/part-*.parquet")):
+            dst = os.path.join(merged, f"{i:02d}.parquet")
+            _shutil.copy(f, dst)
+            # the file source orders pickup by modification time; the
+            # copies land within one clock tick, so pin distinct
+            # ascending mtimes or batch order (and the test) is flaky
+            os.utime(dst, (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+    )
+    q = (
+        funnel_stages(stream)
+        .writeStream.format("memory")
+        .queryName("mem_funnel")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    updates = spark.table("mem_funnel").collect()
+    # funnel depth is monotone, so the snapshot per key is the MAX
+    # stage across updates (robust to memory-sink row order)
+    final: dict[str, int] = {}
+    for r in updates:
+        final[r.key] = max(final.get(r.key, 0), r.stage)
+    stream_counts: dict[str, int] = {}
+    labels = {0: "0_none", 1: "1_view", 2: "2_click", 3: "3_purchase"}
+    for stage in final.values():
+        lab = labels[stage]
+        stream_counts[lab] = stream_counts.get(lab, 0) + 1
+    batch_counts = {
+        r.stage: r.n_users for r in QUERIES["q69_funnel"](spark, sf).collect()
+    }
+    assert stream_counts == batch_counts
 
 
 def test_events_fixture_stream_equals_batch(spark, tmp_path):
