@@ -29,6 +29,8 @@ from data_lake_project_spark.lakehouse import (
     with_ingest_metadata,
 )
 from data_lake_project_spark.operators.dataset import hash_split
+from data_lake_project_spark.operators.interval import iou_join, time_range_join
+from data_lake_project_spark.operators.skew import salted_join
 from data_lake_project_spark.pipelines import (
     extract_figures,
     extract_tables,
@@ -57,6 +59,9 @@ __all__ = [
     "read_csv",
     "write_csv",
     "hash_split",
+    "iou_join",
+    "time_range_join",
+    "salted_join",
     "extract_tables",
     "extract_text_facts",
     "extract_text_facts_multi",

@@ -334,6 +334,7 @@ def embedding_neardup(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     n_salts: int | None = None,
+    impl: str = "expr",
 ) -> DataFrame:
     """Cosine near-duplicate pairs within blocks.
 
@@ -349,7 +350,23 @@ def embedding_neardup(
     partitions per block and the other side replicates ``n_salts``x
     (``operators/skew.salted_join``); results are identical (inner
     join, result-parity tested on a skewed fixture).
+
+    ``impl``: 'expr' (default) keeps every comparison a JVM
+    expression — bit-exact against the SQL oracle, zero Python in the
+    path. 'arrow' routes each block through ``applyInPandas`` and one
+    BLAS matmul (X·Xᵀ) — ~10x less per-pair cost for dense vectors,
+    the right choice when blocks are large and the 4-decimal rounding
+    boundary is not load-bearing (pair sets are parity-tested against
+    'expr'; individual cosines agree to ~1e-12, so only a pair
+    sitting exactly on the threshold could differ). The arrow path
+    requires each block to fit one executor's memory — compose with a
+    finer ``block_col`` (or IVF bucket) when it doesn't; ``n_salts``
+    doesn't apply (the group-by itself spreads blocks).
     """
+    if impl == "arrow":
+        return _embedding_neardup_arrow(
+            emb, block_col, id_col, vec_col, threshold
+        )
     v = emb.select(
         F.col(id_col),
         F.col(block_col).alias("__blk"),
@@ -389,6 +406,48 @@ def embedding_neardup(
         .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", pround(F.col("cosine"), 4).alias("cosine"))
+    )
+
+
+def _embedding_neardup_arrow(
+    emb: DataFrame,
+    block_col: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Arrow/BLAS twin of the expression path: one ``applyInPandas``
+    per block, one X·Xᵀ matmul, upper-triangle threshold filter.
+    Same output contract: (id_a, id_b, cosine) with id_a < id_b and
+    cosine rounded via the engine's pround formula."""
+    import numpy as np
+    import pandas as pd
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        # sort by id so id_a < id_b falls out of the triangle indices
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (x @ x.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        keep = sims[ia, ib] >= threshold
+        ia, ib = ia[keep], ib[keep]
+        # pround formula: floor(x * 1e4 + 0.5) / 1e4
+        c = np.floor(sims[ia, ib] * 10000.0 + 0.5) / 10000.0
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "cosine": c}
+        )
+
+    return (
+        emb.select(F.col(id_col), F.col(block_col).alias("__blk"), F.col(vec_col))
+        .groupBy("__blk")
+        .applyInPandas(per_block, schema="id_a long, id_b long, cosine double")
     )
 
 

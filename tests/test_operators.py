@@ -560,6 +560,30 @@ def test_tfidf_rare_term_outranks_common(spark):
     assert top[3] == "word"
 
 
+def test_embedding_neardup_arrow_parity_with_expr(spark):
+    """The Arrow/BLAS path must return the SAME pair set as the JVM
+    expression path on the real fixture, with cosines agreeing to
+    1e-9 after rounding (both paths round via the pround formula; only
+    a pair exactly on the threshold could ever differ, and the fixture
+    has none)."""
+    from data_lake_project_spark.operators.dedup import embedding_neardup
+    from data_lake_project_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    expr_rows = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup(e, threshold=0.35).collect()
+    }
+    arrow_rows = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup(e, threshold=0.35, impl="arrow").collect()
+    }
+    assert set(expr_rows) == set(arrow_rows)
+    assert expr_rows, "fixture should produce near-dup pairs"
+    for k, v in expr_rows.items():
+        assert abs(v - arrow_rows[k]) <= 1e-9, (k, v, arrow_rows[k])
+
+
 def test_funnel_stage_machine_requires_strict_order(spark, tmp_path):
     """q69's fold semantics: each stage must happen STRICTLY after the
     previous one — a purchase BEFORE the first click cannot complete
@@ -591,6 +615,16 @@ def test_funnel_stage_machine_requires_strict_order(spark, tmp_path):
     ).write.parquet(f"{sf}/events.parquet")
     out = {r.stage: r.n_users for r in QUERIES["q69_funnel"](spark, sf).collect()}
     assert out == {"3_purchase": 1, "2_click": 1, "1_view": 1, "0_none": 1}
+
+
+def test_queries_accept_trailing_slash_sf_dir(spark):
+    """Driver contract: the driver may pass sf_dir with or without a
+    trailing slash — both must load and agree."""
+    from data_lake_project_spark.queries import QUERIES
+
+    a = QUERIES["q01_scan_project"](spark, "/root/testdata/sf0.001").collect()
+    b = QUERIES["q01_scan_project"](spark, "/root/testdata/sf0.001/").collect()
+    assert a == b and len(a) > 0
 
 
 def test_scd2_intervals_partition_each_users_timeline(spark):
