@@ -233,6 +233,27 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert shared > 0
 
 
+def test_brute_force_topk_arrow_parity_with_expr(spark):
+    """The Arrow/BLAS top-k must return identical (probe, vec) pairs
+    AND identical rounded cosines as the JVM expression path — same
+    ranking contract (rounded desc, id asc), same self-exclusion."""
+    from data_lake_project_spark.operators.similarity import brute_force_topk
+    from data_lake_project_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = e.filter("vec_id < 5").selectExpr("vec_id as probe_id", "embedding")
+    expr_rows = sorted(
+        tuple(r) for r in brute_force_topk(e, probes, k=10).collect()
+    )
+    arrow_rows = sorted(
+        tuple(r)
+        for r in brute_force_topk(e, probes, k=10, impl="arrow").collect()
+    )
+    assert [r[:2] for r in expr_rows] == [r[:2] for r in arrow_rows]
+    for a, b in zip(expr_rows, arrow_rows):
+        assert abs(a[2] - b[2]) <= 1e-9, (a, b)
+
+
 def test_lsh_topk_requires_dim(spark):
     """Omitting dim must raise — the old fallback silently ran a
     ``.first()`` Spark job per call to discover the embedding width
