@@ -1322,15 +1322,18 @@ def q68_rolling_range_window(spark, sf):
 
 
 def q69_funnel(spark, sf):
-    """Ordered funnel (view → click → purchase): how deep each user
-    gets, with each later stage required to happen STRICTLY after the
-    previous one. ONE shuffle: per-user events collect into a sorted
-    array and a JVM ``aggregate`` lambda runs the 3-state machine over
-    it — no self-joins, no per-stage scans. The array is bounded by
-    per-user funnel events (filtered to the 3 types first); a
-    pathological hot user is capped by the same skew levers as any
-    keyed agg. Strict ``>`` comparisons make the fold equal to the
-    relational min-chain the oracle runs."""
+    """Ordered conversion funnel (view → click → purchase): how deep
+    each user gets, each later stage required STRICTLY after the
+    previous one and within a 24-hour window of it (the conversion
+    horizon — without it every active user trivially completes and
+    the funnel measures nothing). ONE shuffle: per-user events
+    collect into a sorted array and a JVM ``aggregate`` lambda runs
+    the 3-state machine over it — no self-joins, no per-stage scans.
+    The array is bounded by per-user funnel events (filtered to the 3
+    types first); a pathological hot user is capped by the same skew
+    levers as any keyed agg. Strict ``>`` + horizon comparisons make
+    the fold equal to the relational min-chain the oracle runs.
+    Streaming twin: ``streaming.stateful.funnel_stages``."""
     e = (
         load_table(spark, sf, "events")
         .filter(F.col("event_type").isin("view", "click", "purchase"))
@@ -1359,7 +1362,8 @@ def q69_funnel(spark, sf):
                 s["c"].isNull()
                 & s["v"].isNotNull()
                 & (ev["event_type"] == "click")
-                & (ev["ts"] > s["v"]),
+                & (ev["ts"] > s["v"])
+                & (ev["ts"] <= s["v"] + F.expr("INTERVAL 24 HOURS")),
                 ev["ts"],
             )
             .otherwise(s["c"])
@@ -1368,7 +1372,8 @@ def q69_funnel(spark, sf):
                 s["p"].isNull()
                 & s["c"].isNotNull()
                 & (ev["event_type"] == "purchase")
-                & (ev["ts"] > s["c"]),
+                & (ev["ts"] > s["c"])
+                & (ev["ts"] <= s["c"] + F.expr("INTERVAL 24 HOURS")),
                 ev["ts"],
             )
             .otherwise(s["p"])
@@ -2918,10 +2923,12 @@ ORACLE: dict[str, str] = {
               WHERE event_type = 'view' GROUP BY user_id),
         c AS (SELECT f.user_id, min(f.ts) AS c FROM f
               JOIN v ON v.user_id = f.user_id
-              WHERE f.event_type = 'click' AND f.ts > v.v GROUP BY f.user_id),
+              WHERE f.event_type = 'click' AND f.ts > v.v
+                AND f.ts <= v.v + INTERVAL 24 HOURS GROUP BY f.user_id),
         p AS (SELECT f.user_id, min(f.ts) AS p FROM f
               JOIN c ON c.user_id = f.user_id
-              WHERE f.event_type = 'purchase' AND f.ts > c.c GROUP BY f.user_id)
+              WHERE f.event_type = 'purchase' AND f.ts > c.c
+                AND f.ts <= c.c + INTERVAL 24 HOURS GROUP BY f.user_id)
         SELECT stage, count(*)::BIGINT AS n_users FROM (
             SELECT u.user_id,
                    CASE WHEN p.user_id IS NOT NULL THEN '3_purchase'

@@ -88,13 +88,15 @@ def funnel_stages(
     type_col: str = "event_type",
     seq_col: str = "event_id",
     stages: tuple[str, ...] = ("view", "click", "purchase"),
+    max_gap_s: int | None = 86400,
 ) -> DataFrame:
     """Streaming twin of the q69 batch funnel: per-key n-stage state
     machine carried across micro-batches. Stage i+1 only fires
-    STRICTLY after stage i's recorded timestamp (same strict-``>``
-    contract as the batch fold), so on an in-order stream the final
-    update per key equals the batch result exactly
-    (``test_funnel_stream_equals_batch``).
+    STRICTLY after stage i's recorded timestamp and (with
+    ``max_gap_s``) within that many seconds of it — the same
+    strict-``>`` + conversion-horizon contract as the batch fold, so
+    on an in-order stream the final update per key equals the batch
+    result exactly (``test_funnel_stream_equals_batch``).
 
     State is one epoch-second per stage (-1 = not reached) — O(stages)
     per key, store-backed on a cluster. Rows inside each micro-batch
@@ -108,6 +110,7 @@ def funnel_stages(
     """
     n = len(stages)
     stage_of = {s: i for i, s in enumerate(stages)}
+    gap_us = max_gap_s * 1_000_000 if max_gap_s else None
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -125,7 +128,11 @@ def funnel_stages(
                 if i is None or ts[i] != -1:
                     continue
                 t = int(row[ts_col])
-                if i == 0 or (ts[i - 1] != -1 and t > ts[i - 1]):
+                if i == 0:
+                    ts[i] = t
+                elif ts[i - 1] != -1 and t > ts[i - 1] and (
+                    gap_us is None or t <= ts[i - 1] + gap_us
+                ):
                     ts[i] = t
         state.update(tuple(ts))
         depth = 0
