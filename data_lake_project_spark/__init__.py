@@ -28,7 +28,7 @@ from data_lake_project_spark.lakehouse import (
     compact,
     with_ingest_metadata,
 )
-from data_lake_project_spark.operators.dataset import hash_split
+from data_lake_project_spark.operators.dataset import curate_corpus, hash_split
 from data_lake_project_spark.operators.interval import iou_join, time_range_join
 from data_lake_project_spark.operators.skew import salted_join
 from data_lake_project_spark.pipelines import (
@@ -59,6 +59,7 @@ __all__ = [
     "read_csv",
     "write_csv",
     "hash_split",
+    "curate_corpus",
     "iou_join",
     "time_range_join",
     "salted_join",

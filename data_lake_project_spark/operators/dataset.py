@@ -179,3 +179,60 @@ def pack_sequences(
     return df.withColumn("tok_offset", offset).withColumn(
         "bin", F.floor(F.col("tok_offset") / F.lit(budget)).cast("long")
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    probes: DataFrame | None = None,
+    min_quality: float = 0.55,
+    quota_k: int = 15,
+    split_weights: dict[str, float] | None = None,
+    split_seed: str = "",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """The full training-data curation ladder as ONE declarative plan:
+
+    1. exact dedup         — lowest-id survivor per md5(text);
+    2. decontamination     — drop docs sharing any word 3-gram with
+                             the probe corpus (default probe set:
+                             survivors with ``id % 97 == 0``, the
+                             q49 benchmark stand-in);
+    3. quality floor       — keep rounded quality >= ``min_quality``
+                             (length / punctuation / stopword
+                             composite, ``text.quality_score``);
+    4. per-source quota    — each source keeps its ``quota_k`` best
+                             docs by (quality desc, id);
+    5. split assignment    — deterministic md5 hash split
+                             (train/val/test by default).
+
+    Output: (id, source, quality, split), one row per surviving doc.
+
+    Scale shape, stage by stage: one content-hash shuffle (1), a
+    broadcast semi-join the corpus never shuffles for (2), a narrow
+    scoring map + one id-keyed join to carry the source column (3),
+    one window shuffle on the source key (4), and a pure map (5) —
+    nothing quadratic, nothing driver-side. Every stage reuses the
+    individually-oracle-checked operator (q21/q49/q30/q48/q41); the
+    composed pipeline is itself oracle-checked end-to-end (q79).
+    """
+    from data_lake_project_spark.operators.dedup import decontaminate, exact_dedup
+    from data_lake_project_spark.operators.text import quality_score
+
+    deduped = exact_dedup(docs, text_col, id_col).drop("content_hash")
+    if probes is None:
+        probes = deduped.filter(F.col(id_col) % 97 == 0).select(text_col)
+    clean = decontaminate(deduped, probes, text_col=text_col, id_col=id_col)
+    scored = quality_score(clean, text_col, id_col).select(
+        F.col(id_col), F.col("quality")
+    )
+    keep = scored.filter(F.col("quality") >= min_quality).join(
+        clean.select(F.col(id_col), F.col(source_col)), id_col
+    )
+    capped = quota_per_stratum(
+        keep, source_col, quota_k, [F.col("quality").desc(), F.col(id_col)]
+    )
+    return hash_split(capped, id_col, split_weights, split_seed).select(
+        id_col, source_col, "quality", "split"
+    )

@@ -1659,6 +1659,19 @@ def q78_resample_zero_fill(spark, sf):
     )
 
 
+def q79_curation_pipeline(spark, sf):
+    """The composed curation ladder (dedup → decontaminate → quality
+    floor → per-source quota → hash split) end-to-end — every stage is
+    individually oracle-checked (q21/q49/q30/q48/q41); this pins the
+    COMPOSITION: stage ordering, column threading, and the interplay
+    of the five filters, against one DuckDB query that rebuilds the
+    same ladder relationally."""
+    from data_lake_project_spark.operators.dataset import curate_corpus
+
+    d = load_table(spark, sf, "documents")
+    return curate_corpus(d).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -1741,6 +1754,7 @@ QUERIES: dict[str, QueryFn] = {
     "q73_salted_join_agg": q73_salted_join_agg,
     "q74_top_bigrams": q74_top_bigrams,
     "q75_full_outer_join": q75_full_outer_join,
+    "q79_curation_pipeline": q79_curation_pipeline,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -3093,5 +3107,80 @@ ORACLE: dict[str, str] = {
         FROM cal c LEFT JOIN daily d
           ON d.user_id = c.user_id AND d.day = c.day
         ORDER BY c.user_id, day
+    """,
+    "q79_curation_pipeline": """
+        -- The q21/q49/q30/q48/q41 ladder composed end-to-end.
+        WITH dedup AS (  -- stage 1: exact dedup, lowest id per md5(text)
+            SELECT doc_id, text, source FROM (
+                SELECT doc_id, text, source,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        ),
+        dtoks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM dedup
+        ),
+        sh0 AS (         -- stage 2: word 3-gram shingles of survivors
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(len(toks) - 2),
+                               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                          ELSE [array_to_string(toks, ' ')] END) AS shingle
+            FROM dtoks
+        ),
+        sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle <> ''),
+        probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        clean AS (
+            SELECT d.* FROM dedup d
+            WHERE d.doc_id NOT IN (
+                SELECT DISTINCT doc_id FROM sh
+                WHERE shingle IN (SELECT shingle FROM probe))
+        ),
+        t AS (           -- stage 3: quality composite on clean docs
+            SELECT doc_id, source, text,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   length(text) AS n_chars_m
+            FROM clean
+        ),
+        s AS (
+            SELECT doc_id, source, n_chars_m,
+                   len(toks) AS n_tokens,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                   len(list_filter(list_transform(toks, x -> lower(x)),
+                       x -> list_contains(
+                           ['the','a','of','and','to','in','is',
+                            'le','la','et','les','des','un','une',
+                            'el','y','los','de','una',
+                            'der','die','das','und','ein','zu','von',
+                            'de5','shi4','le5','zai4','he2','you3','wo3'], x)))
+                       AS n_stop
+            FROM t
+        ),
+        q AS (
+            SELECT doc_id, source,
+                   floor((0.5 * least(n_tokens::DOUBLE / 100.0, 1.0)
+                        + 0.3 * (1.0 - floor(n_punct / greatest(n_chars_m, 1)::DOUBLE
+                                             * 10000.0 + 0.5) / 10000.0)
+                        + 0.2 * floor(n_stop / greatest(n_tokens, 1)::DOUBLE
+                                      * 10000.0 + 0.5) / 10000.0)
+                       * 10000.0 + 0.5) / 10000.0 AS quality
+            FROM s
+        ),
+        capped AS (      -- stage 4: per-source quota, 15 best
+            SELECT doc_id, source, quality FROM (
+                SELECT *, row_number() OVER (PARTITION BY source
+                           ORDER BY quality DESC, doc_id) AS rk
+                FROM q WHERE quality >= 0.55
+            ) WHERE rk <= 15
+        )
+        SELECT doc_id, source, quality,   -- stage 5: md5 hash split
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                        THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM capped ORDER BY doc_id
     """,
 }
