@@ -1672,6 +1672,34 @@ def q79_curation_pipeline(spark, sf):
     return curate_corpus(d).orderBy("doc_id")
 
 
+def q80_heavy_hitters_exact(spark, sf):
+    """Exact heavy hitters: tokens appearing in more than 1% of all
+    token occurrences — the exact twin of the sketch module's
+    ``frequent_items`` (whose per-partition candidate merge is
+    approximate and engine-specific, so it stays under rows-only
+    tests). Two partial-agg'd passes over the same aggregated term
+    table: total count is a scalar broadcast into the support filter,
+    never a cross join against raw rows."""
+    d = load_table(spark, sf, "documents")
+    toks = (
+        TX.spread(d)
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") * 100 > F.col("__total"))
+        .select(
+            "tok",
+            F.col("cnt").cast("long").alias("cnt"),
+            pround(F.col("cnt") / F.col("__total") * 100.0, 4).alias("pct"),
+        )
+        .orderBy("tok")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -1755,6 +1783,7 @@ QUERIES: dict[str, QueryFn] = {
     "q74_top_bigrams": q74_top_bigrams,
     "q75_full_outer_join": q75_full_outer_join,
     "q79_curation_pipeline": q79_curation_pipeline,
+    "q80_heavy_hitters_exact": q80_heavy_hitters_exact,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -3182,5 +3211,19 @@ ORACLE: dict[str, str] = {
                         THEN 'val'
                     ELSE 'test' END AS split
         FROM capped ORDER BY doc_id
+    """,
+    "q80_heavy_hitters_exact": """
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+            FROM documents
+        ), counts AS (
+            SELECT tok, count(*)::BIGINT AS cnt FROM toks
+            WHERE tok <> '' GROUP BY tok
+        ), total AS (SELECT sum(cnt) AS t FROM counts)
+        SELECT tok, cnt,
+               floor(cnt / t::DOUBLE * 100.0 * 10000.0 + 0.5) / 10000.0 AS pct
+        FROM counts, total
+        WHERE cnt * 100 > t
+        ORDER BY tok
     """,
 }

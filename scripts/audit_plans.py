@@ -39,6 +39,8 @@ BNLJ_ALLOWED: set[str] = {
     "q22_similarity_topk",
     # 1-row corpus-count literal joined onto per-doc tf counts.
     "q45_tfidf_topterms",
+    # 1-row total-count scalar joined onto vocab-sized term counts.
+    "q80_heavy_hitters_exact",
 }
 
 
