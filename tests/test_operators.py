@@ -638,6 +638,45 @@ def test_funnel_stage_machine_requires_strict_order(spark, tmp_path):
     assert out == {"3_purchase": 1, "2_click": 1, "1_view": 1, "0_none": 1}
 
 
+def test_curate_corpus_invariants(spark):
+    """Structural invariants of the composed curation ladder: output
+    ids are a subset of the input, no duplicate texts survive, no doc
+    shares a 3-gram with the probe set, quality floor and per-source
+    quota hold, and every row carries a valid split."""
+    from data_lake_project_spark.operators.dataset import curate_corpus
+    from data_lake_project_spark.operators.dedup import shingles
+    from data_lake_project_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    out = curate_corpus(docs).collect()
+    assert out, "pipeline should keep some documents"
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids))
+    in_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert set(ids) <= in_ids
+    # quality floor + split domain
+    per_source: dict[str, int] = {}
+    for r in out:
+        assert r.quality >= 0.55, r
+        assert r.split in ("train", "val", "test"), r
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    assert max(per_source.values()) <= 15
+    # no survivor carries a probe shingle (decontamination held)
+    kept = docs.join(
+        spark.createDataFrame([(i,) for i in ids], "doc_id long"), "doc_id"
+    )
+    probe_sh = {
+        r.shingle
+        for r in shingles(docs.filter("doc_id % 97 = 0")).collect()
+    }
+    for r in shingles(kept).collect():
+        assert r.shingle not in probe_sh, r
+    # no duplicate texts among survivors
+    texts = [r.text for r in kept.select("text").collect()]
+    assert len(texts) == len(set(texts))
+
+
 def test_queries_accept_trailing_slash_sf_dir(spark):
     """Driver contract: the driver may pass sf_dir with or without a
     trailing slash — both must load and agree."""
