@@ -26,6 +26,7 @@ from data_lake_project_spark.lakehouse import (
     BucketedCatalog,
     Lakehouse,
     compact,
+    scd2_apply,
     with_ingest_metadata,
 )
 from data_lake_project_spark.operators.dataset import curate_corpus, hash_split
@@ -53,6 +54,7 @@ __all__ = [
     "Lakehouse",
     "BucketedCatalog",
     "compact",
+    "scd2_apply",
     "with_ingest_metadata",
     "KeyedTable",
     "delta_available",

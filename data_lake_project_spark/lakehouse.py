@@ -249,3 +249,102 @@ def compact(
         raise IOError(f"compact: could not move compacted data into {base}")
     fs.delete(spark, old)
     return int(target_files)
+
+
+def scd2_apply(
+    table,
+    updates: DataFrame,
+    entity_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> None:
+    """Incrementally maintain an SCD2 (type-2 slowly-changing-
+    dimension) history from a stream of attribute observations — the
+    CDC merge writer every lakehouse dimension needs. Semantics match
+    the q67 batch derivation exactly: a new version opens at every
+    attribute CHANGE in (ts, seq) order, the previous version closes
+    at the change timestamp, only the last version per entity is open
+    (``test_scd2_apply_incremental_equals_batch`` pins incremental ==
+    batch over split batches).
+
+    ``table`` is a :class:`~data_lake_project_spark.sources.KeyedTable`
+    whose MERGE key is the row key ``__scd_key`` (entity@version) and
+    whose ``bucket_by`` is the ENTITY — one entity's whole history
+    co-locates in one bucket, so each batch:
+
+    1. bucket-prunes the current OPEN intervals of touched entities
+       (``read_for`` — O(touched buckets), never a table scan);
+    2. folds each entity's batch events against its open interval in
+       one ``applyInPandas`` group (state = one open row);
+    3. MERGEs the re-closed + newly-opened rows back (O(delta)).
+
+    Contract: per-entity in-order delivery across batches (the same
+    contract as any non-watermarked stateful op); within a batch any
+    order is fine (the fold sorts).
+
+    Output schema: (__scd_key, entity, attr, valid_from, valid_to,
+    version) with valid_to NULL on the open interval.
+    """
+    import pandas as pd
+
+    ents = updates.select(entity_col).distinct()
+    existing = table.read_for(ents, keys_col=entity_col)
+    if "__scd_key" in existing.columns:
+        open_rows = (
+            existing.filter(F.col("valid_to").isNull())
+            .join(ents, entity_col, "left_semi")
+            .select(
+                F.col(entity_col),
+                F.col(attr_col).alias("__open_attr"),
+                F.col("valid_from").alias("__open_from"),
+                F.col("version").alias("__open_ver"),
+            )
+        )
+    else:  # first batch, table not created yet
+        open_rows = (
+            ents.withColumn("__open_attr", F.lit(None).cast("string"))
+            .withColumn("__open_from", F.lit(None).cast("timestamp_ntz"))
+            .withColumn("__open_ver", F.lit(None).cast("long"))
+        )
+
+    tagged = updates.select(entity_col, ts_col, seq_col, attr_col).join(
+        open_rows, entity_col, "left"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, seq_col])
+        ent = pdf[entity_col].iloc[0]
+        cur_attr = pdf["__open_attr"].iloc[0]
+        cur_from = pdf["__open_from"].iloc[0]
+        cur_ver = pdf["__open_ver"].iloc[0]
+        have = pd.notna(cur_ver)
+        cur_ver = int(cur_ver) if have else 0
+        out: list[tuple] = []
+        for row in pdf.itertuples(index=False):
+            ts = getattr(row, ts_col)
+            attr = getattr(row, attr_col)
+            if cur_ver == 0:
+                cur_ver, cur_attr, cur_from = 1, attr, ts
+            elif attr != cur_attr:
+                out.append((ent, cur_attr, cur_from, ts, cur_ver))
+                cur_ver, cur_attr, cur_from = cur_ver + 1, attr, ts
+        out.append((ent, cur_attr, cur_from, pd.NaT, cur_ver))
+        res = pd.DataFrame(
+            out,
+            columns=[entity_col, attr_col, "valid_from", "valid_to", "version"],
+        )
+        res.insert(
+            0,
+            "__scd_key",
+            res[entity_col].astype(str) + "@" + res["version"].astype(str),
+        )
+        return res
+
+    schema = (
+        "__scd_key string, "
+        f"{entity_col} long, {attr_col} string, "
+        "valid_from timestamp_ntz, valid_to timestamp_ntz, version long"
+    )
+    delta = tagged.groupBy(entity_col).applyInPandas(fold, schema=schema)
+    table.upsert(delta)

@@ -119,15 +119,24 @@ class KeyedTable:
         key_col: str = "key",
         n_buckets: int = 16,
         table_format: str = "auto",
+        bucket_by: str | None = None,
     ):
         """``table_format``: 'auto' picks Delta when the jars are on
         the classpath (``delta_available``), else the bucketed-parquet
         protocol; 'parquet' / 'delta' force a choice. The public
         surface (exists/read/append/upsert) is identical either way —
-        the format is the config flip, not an API change."""
+        the format is the config flip, not an API change.
+
+        ``bucket_by``: physical placement column, defaulting to
+        ``key_col``. Split them when the MERGE identity is finer than
+        the access pattern — e.g. an SCD2 history merging on
+        (entity, version) row keys but bucketed by ENTITY, so one
+        entity's whole history co-locates and ``read_for`` can prune
+        to the entity's bucket."""
         self.spark = spark
         self.path = path.rstrip("/")
         self.key_col = key_col
+        self.bucket_by = bucket_by or key_col
         if table_format == "auto":
             table_format = "delta" if delta_available() else "parquet"
         if table_format not in ("parquet", "delta"):
@@ -139,26 +148,71 @@ class KeyedTable:
         if fs.exists(spark, self._meta):
             # the table's recorded bucketing wins over the argument —
             # mixing bucket counts would scatter a key across buckets
-            self.n_buckets = json.loads(fs.read_text(spark, self._meta))[
-                "n_buckets"
-            ]
+            meta = json.loads(fs.read_text(spark, self._meta))
+            self.n_buckets = meta["n_buckets"]
+            self.bucket_by = meta.get("bucket_by", self.bucket_by)
         else:
             self.n_buckets = n_buckets
 
+    def _bucket_expr(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
-            "__kbucket",
-            F.pmod(
-                F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets)
-            ).cast("int"),
+            "__kbucket", self._bucket_expr(F.col(self.bucket_by))
         )
 
     def _write_meta(self) -> None:
         fs.write_text(
             self.spark,
             self._meta,
-            json.dumps({"n_buckets": self.n_buckets, "key_col": self.key_col}),
+            json.dumps(
+                {
+                    "n_buckets": self.n_buckets,
+                    "key_col": self.key_col,
+                    "bucket_by": self.bucket_by,
+                }
+            ),
         )
+
+    def read_for(self, keys: DataFrame, keys_col: str | None = None) -> DataFrame:
+        """Bucket-pruned read: only the bucket directories that could
+        hold rows whose ``bucket_by`` value appears in ``keys`` are
+        opened — the O(touched) point-lookup path. ``keys`` is a
+        (usually small) DataFrame; its relevant column defaults to the
+        table's ``bucket_by`` name. Returns the full rows of those
+        buckets (callers filter further); an absent table reads empty.
+        """
+        keys_col = keys_col or self.bucket_by
+        if not self.exists():
+            return self.read_empty()
+        touched = sorted(
+            r[0]
+            for r in keys.select(
+                self._bucket_expr(F.col(keys_col)).alias("__b")
+            )
+            .distinct()
+            .collect()
+        )
+        live = [
+            f"{self._buckets}/__kbucket={b}"
+            for b in touched
+            if fs.exists(self.spark, f"{self._buckets}/__kbucket={b}")
+        ]
+        if not live:
+            return self.read_empty()
+        return (
+            self.spark.read.option("basePath", self._buckets)
+            .parquet(*live)
+            .drop("__kbucket")
+        )
+
+    def read_empty(self) -> DataFrame:
+        """Zero-row frame with the table's schema (or no columns when
+        the table doesn't exist yet)."""
+        if self.exists():
+            return self.read().limit(0)
+        return self.spark.createDataFrame([], "__missing string").limit(0)
 
     def exists(self) -> bool:
         if self.table_format == "delta":
