@@ -14,6 +14,7 @@ from data_lake_project_spark.streaming.pipeline import (
     parse_events,
     read_sink,
     write_idempotent_foreach_batch,
+    write_stream_scd2,
 )
 from data_lake_project_spark.streaming.stateful import (
     funnel_stages,
@@ -33,6 +34,7 @@ __all__ = [
     "parse_events",
     "read_sink",
     "write_idempotent_foreach_batch",
+    "write_stream_scd2",
     "tumbling_agg",
     "sliding_agg",
     "session_agg",

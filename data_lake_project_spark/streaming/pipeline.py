@@ -198,6 +198,60 @@ def write_stream_upsert(stream: DataFrame, table, checkpoint_dir: str):
     )
 
 
+def write_stream_scd2(
+    stream: DataFrame,
+    table,
+    checkpoint_dir: str,
+    entity_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+):
+    """Streaming SCD2 maintenance: each micro-batch flows through
+    ``lakehouse.scd2_apply`` — open intervals of touched entities are
+    bucket-prune-read, folded against the batch, and MERGEd back as
+    re-closed + newly-opened version rows. With in-order per-entity
+    delivery the table converges to exactly the q67 batch derivation
+    (``test_stream_scd2_equals_batch``).
+
+    Replay safety needs the MARKER protocol, not merge idempotence:
+    unlike a plain keyed upsert, re-folding an already-applied batch
+    against the post-batch open intervals would mint spurious new
+    versions (the fold is stateful — its input includes its own prior
+    output). A committed-batch marker per durable batch makes the
+    replay a no-op, the same protocol as
+    ``write_idempotent_foreach_batch``; the crash window between
+    MERGE and marker is the at-least-once residue a real deployment
+    closes with Delta's txnAppId transaction log (the marker lives
+    next to the table via the Hadoop FS API, so the protocol follows
+    the table onto ``hdfs://``/``s3a://``)."""
+    from data_lake_project_spark.lakehouse import scd2_apply
+
+    commits_dir = f"{table.path}/_scd2_committed"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{commits_dir}/{batch_id}"
+        if fs.exists(spark, marker):
+            return  # replayed batch: already folded into the history
+        scd2_apply(
+            table,
+            batch_df,
+            entity_col=entity_col,
+            attr_col=attr_col,
+            ts_col=ts_col,
+            seq_col=seq_col,
+        )
+        fs.write_text(spark, marker, "committed")
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def ensure_topic(
     bootstrap_servers: str,
     topic: str,

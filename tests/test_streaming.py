@@ -339,6 +339,84 @@ def test_funnel_stream_equals_batch(spark, tmp_path):
     assert stream_counts == batch_counts
 
 
+def test_stream_scd2_equals_batch_and_skips_replay(spark, tmp_path):
+    """Streaming SCD2 over 3 time-ordered micro-batches must converge
+    to exactly the q67 batch history; re-running the stream with the
+    same source but a FRESH checkpoint (worst-case full replay) must
+    be a no-op thanks to the committed-batch markers."""
+    from data_lake_project_spark.lakehouse import scd2_apply  # noqa: F401
+    from data_lake_project_spark.queries import QUERIES
+    from data_lake_project_spark.sources import KeyedTable
+    from data_lake_project_spark.streaming.pipeline import write_stream_scd2
+    from data_lake_project_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "scd2_files")
+    os.makedirs(src)
+    sliced = ev.withColumn(
+        "__slice", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    import glob as _glob
+
+    base = 1_700_000_000
+    for i in (1, 2, 3):
+        part = str(tmp_path / f"s{i}")
+        sliced.filter(F.col("__slice") == i).drop("__slice").coalesce(
+            1
+        ).write.mode("overwrite").parquet(part)
+        for f in sorted(_glob.glob(f"{part}/part-*.parquet")):
+            dst = os.path.join(src, f"{i:02d}.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (base + i, base + i))
+
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "scd2t"),
+        key_col="__scd_key",
+        bucket_by="user_id",
+        n_buckets=8,
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = write_stream_scd2(stream, t, str(tmp_path / "ck1"))
+    q.processAllAvailable()
+    q.stop()
+
+    def snapshot():
+        return sorted(
+            (r.user_id, r.version, r.event_type,
+             str(r.valid_from)[:19], str(r.valid_to)[:19])
+            for r in t.read().collect()
+        )
+
+    got = snapshot()
+    want = sorted(
+        (r.user_id, r.version, r.event_type,
+         r.valid_from[:19], str(r.valid_to)[:19] if r.valid_to else "None")
+        for r in QUERIES["q67_scd2"](spark, sf).collect()
+    )
+    got = [(u, v, a, f, to if to != "NaT" else "None") for u, v, a, f, to in got]
+    assert got == want
+
+    # full replay with a FRESH checkpoint: markers make it a no-op
+    q2 = write_stream_scd2(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        t,
+        str(tmp_path / "ck2"),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert snapshot() == [
+        (u, v, a, f, to) for u, v, a, f, to in got
+    ]
+
+
 def test_events_fixture_stream_equals_batch(spark, tmp_path):
     """Equivalence on the REAL events fixture: tumbling agg over a
     parquet-file stream == the same agg on the batch read."""
