@@ -341,10 +341,21 @@ def scd2_apply(
         )
         return res
 
+    # entity/attr/ts types follow the UPDATE frame's schema — the
+    # history table works for string entities, timestamp or long
+    # event-time columns, etc., not just the events fixture's shapes
+    types = dict(updates.dtypes)
     schema = (
         "__scd_key string, "
-        f"{entity_col} long, {attr_col} string, "
-        "valid_from timestamp_ntz, valid_to timestamp_ntz, version long"
+        f"{entity_col} {types[entity_col]}, {attr_col} {types[attr_col]}, "
+        f"valid_from {types[ts_col]}, valid_to {types[ts_col]}, version long"
     )
-    delta = tagged.groupBy(entity_col).applyInPandas(fold, schema=schema)
+    # Eager materialization: upsert evaluates its input TWICE (the
+    # touched-bucket collect, then the write); without this the
+    # Python fold + open-interval read + join would re-run per pass.
+    delta = (
+        tagged.groupBy(entity_col)
+        .applyInPandas(fold, schema=schema)
+        .localCheckpoint(eager=True)
+    )
     table.upsert(delta)

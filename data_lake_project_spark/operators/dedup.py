@@ -445,7 +445,11 @@ def _embedding_neardup_arrow(
         )
 
     return (
-        emb.select(F.col(id_col), F.col(block_col).alias("__blk"), F.col(vec_col))
+        # NULL blocks match nothing in the expr path's equi-join;
+        # filter them here too or groupBy would pair them as one group
+        # and break the documented impl parity
+        emb.filter(F.col(block_col).isNotNull())
+        .select(F.col(id_col), F.col(block_col).alias("__blk"), F.col(vec_col))
         .groupBy("__blk")
         .applyInPandas(per_block, schema="id_a long, id_b long, cosine double")
     )

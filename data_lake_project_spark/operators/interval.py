@@ -85,6 +85,12 @@ def time_range_join(
     if how != "inner":
         raise ValueError(f"time_range_join supports inner, got {how!r}")
     w = int(within_s)
+    if w < 1:
+        raise ValueError(
+            f"within_s must be >= 1 second (got {within_s!r}): the bin "
+            "width equals the window, and a zero-width bin divides by "
+            "zero at execution"
+        )
     lsec = F.col(left_ts).cast("timestamp").cast("long")
     rsec = F.col(right_ts).cast("timestamp").cast("long")
     lb = left.withColumn(

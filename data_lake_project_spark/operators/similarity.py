@@ -111,6 +111,10 @@ def _brute_force_topk_arrow(
     import pandas as pd
 
     prows = probes.select(probe_id_col, vec_col).collect()
+    if not prows:  # expr path returns empty here; match it
+        return corpus.sparkSession.createDataFrame(
+            [], f"{probe_id_col} long, {id_col} long, cosine double"
+        )
     pids = np.array([r[0] for r in prows], dtype="int64")
     P = np.array([[float(x) for x in r[1]] for r in prows], dtype="float64")
     pn = np.linalg.norm(P, axis=1)

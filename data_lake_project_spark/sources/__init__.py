@@ -151,13 +151,24 @@ class KeyedTable:
             meta = json.loads(fs.read_text(spark, self._meta))
             self.n_buckets = meta["n_buckets"]
             self.bucket_by = meta.get("bucket_by", self.bucket_by)
+            self.bucket_dtype = meta.get("bucket_dtype")
         else:
             self.n_buckets = n_buckets
+            self.bucket_dtype: str | None = None
 
     def _bucket_expr(self, col):
+        """xxhash64 is TYPE-sensitive (hash(7 INT) != hash(7 BIGINT)),
+        so every hash — writes and pruned reads alike — goes through
+        the table's recorded bucket dtype; a caller passing keys in a
+        different-but-castable type still lands on the right bucket."""
+        if self.bucket_dtype:
+            col = col.cast(self.bucket_dtype)
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
+        if self.bucket_dtype is None:
+            # first write pins the bucket dtype for the table's life
+            self.bucket_dtype = dict(df.dtypes)[self.bucket_by]
         return df.withColumn(
             "__kbucket", self._bucket_expr(F.col(self.bucket_by))
         )
@@ -171,6 +182,7 @@ class KeyedTable:
                     "n_buckets": self.n_buckets,
                     "key_col": self.key_col,
                     "bucket_by": self.bucket_by,
+                    "bucket_dtype": self.bucket_dtype,
                 }
             ),
         )
@@ -326,10 +338,25 @@ class KeyedTable:
         """Intra-batch winner ordering: the version column when given,
         else a content hash over every column — partition-layout-
         independent, so the merge outcome is a pure function of the
-        batch's ROWS, not of how Spark happened to split them."""
+        batch's ROWS, not of how Spark happened to split them.
+
+        ``xxhash64`` rejects MapType inputs, so map columns enter the
+        hash as their canonical (key-sorted) JSON entry list — the
+        hash still covers full row content, and two rows differing
+        only in a map column still order deterministically."""
         if version_col:
             return F.col(version_col)
-        return F.xxhash64(*[F.col(c) for c in updates.columns])
+        from pyspark.sql.types import MapType
+
+        parts = []
+        for f in updates.schema.fields:
+            if isinstance(f.dataType, MapType):
+                parts.append(
+                    F.to_json(F.array_sort(F.map_entries(F.col(f.name))))
+                )
+            else:
+                parts.append(F.col(f.name))
+        return F.xxhash64(*parts)
 
     def _upsert_delta(self, updates: DataFrame, version_col: str | None) -> None:
         from delta.tables import DeltaTable

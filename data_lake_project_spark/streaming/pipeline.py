@@ -218,22 +218,38 @@ def write_stream_scd2(
     unlike a plain keyed upsert, re-folding an already-applied batch
     against the post-batch open intervals would mint spurious new
     versions (the fold is stateful — its input includes its own prior
-    output). A committed-batch marker per durable batch makes the
-    replay a no-op, the same protocol as
-    ``write_idempotent_foreach_batch``; the crash window between
-    MERGE and marker is the at-least-once residue a real deployment
-    closes with Delta's txnAppId transaction log (the marker lives
-    next to the table via the Hadoop FS API, so the protocol follows
-    the table onto ``hdfs://``/``s3a://``)."""
+    output). Markers are keyed by a CONTENT fingerprint of the batch
+    (count + seq extremes + an order-independent seq hash), NOT by
+    batch_id: a stream restarted with a fresh checkpoint renumbers
+    batches from 0, so an id-keyed marker would silently swallow every
+    NEW batch — content addressing skips exactly the batches whose
+    events were already folded, whatever their id. Residual limits,
+    closed by Delta's txnAppId transaction log on a real deployment:
+    a crash between MERGE and marker replays once (at-least-once
+    residue), and a replay RE-BATCHED along different boundaries
+    fingerprints differently and must not be fed to this sink."""
     from data_lake_project_spark.lakehouse import scd2_apply
 
     commits_dir = f"{table.path}/_scd2_committed"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        marker = f"{commits_dir}/{batch_id}"
+        fp_row = batch_df.agg(
+            F.count("*").alias("n"),
+            F.min(seq_col).alias("lo"),
+            F.max(seq_col).alias("hi"),
+            # bit_xor: order-independent fold that can't overflow
+            # (ANSI mode rejects a plain long sum of hashes)
+            F.expr(f"bit_xor(xxhash64(`{seq_col}`))").alias("h"),
+        ).first()
+        if fp_row["n"] == 0:
+            return
+        marker = (
+            f"{commits_dir}/"
+            f"{fp_row['n']}_{fp_row['lo']}_{fp_row['hi']}_{fp_row['h']}"
+        )
         if fs.exists(spark, marker):
-            return  # replayed batch: already folded into the history
+            return  # same batch content already folded into the history
         scd2_apply(
             table,
             batch_df,

@@ -110,7 +110,7 @@ def funnel_stages(
     """
     n = len(stages)
     stage_of = {s: i for i, s in enumerate(stages)}
-    gap_us = max_gap_s * 1_000_000 if max_gap_s else None
+    gap_us = max_gap_s * 1_000_000 if max_gap_s is not None else None
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -137,6 +137,36 @@ def test_keyed_table_intra_batch_version_wins(spark, tmp_path):
     assert {r.k: r.v for r in t.read().collect()}["a"] == 99
 
 
+def test_keyed_table_read_for_casts_key_dtype(spark, tmp_path):
+    """xxhash64 is type-sensitive; a read_for probe whose keys frame
+    carries a different (castable) integer width than the stored
+    column must still land on the right buckets."""
+    t = KeyedTable(spark, str(tmp_path / "ktdt"), key_col="k", n_buckets=8)
+    t.upsert(
+        spark.createDataFrame([(i, i * 10) for i in range(20)], "k long, v int")
+    )
+    probe_int = spark.createDataFrame([(7,)], "k int")  # INT, stored is BIGINT
+    rows = t.read_for(probe_int).filter(F.col("k") == 7).collect()
+    assert [(r.k, r.v) for r in rows] == [(7, 70)]
+
+
+def test_keyed_table_versionless_upsert_handles_map_columns(spark, tmp_path):
+    """The content-hash tie-break must survive map-typed columns
+    (xxhash64 rejects MapType; maps enter as canonical sorted-entry
+    JSON) and stay layout-independent."""
+    t = KeyedTable(spark, str(tmp_path / "ktmap"), key_col="k")
+    batch = spark.createDataFrame(
+        [("a", {"x": 1}), ("a", {"y": 2}), ("b", {"z": 3})],
+        "k string, m map<string,int>",
+    )
+    t.upsert(batch.repartition(3))
+    first = sorted((r.k, sorted(r.m.items())) for r in t.read().collect())
+    t2 = KeyedTable(spark, str(tmp_path / "ktmap2"), key_col="k")
+    t2.upsert(batch.repartition(1))
+    second = sorted((r.k, sorted(r.m.items())) for r in t2.read().collect())
+    assert first == second and len(first) == 2
+
+
 def test_keyed_table_upsert_versionless_is_layout_independent(spark, tmp_path):
     """Without a version column the intra-batch winner is a CONTENT
     hash, not partition order: the same batch — however repartitioned

@@ -581,6 +581,48 @@ def test_tfidf_rare_term_outranks_common(spark):
     assert top[3] == "word"
 
 
+def test_embedding_neardup_arrow_skips_null_blocks_like_expr(spark):
+    """NULL block keys match nothing in the expr path's equi-join; the
+    arrow path must not pair them either."""
+    from data_lake_project_spark.operators.dedup import embedding_neardup
+
+    emb = spark.createDataFrame(
+        [(1, None, [1.0, 0.0]), (2, None, [1.0, 0.0]), (3, 7, [0.0, 1.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    for impl in ("expr", "arrow"):
+        assert embedding_neardup(emb, threshold=0.5, impl=impl).count() == 0
+
+
+def test_brute_force_topk_arrow_empty_probes_matches_expr(spark):
+    from data_lake_project_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
+    probes = spark.createDataFrame(
+        [], "probe_id long, embedding array<double>"
+    )
+    for impl in ("expr", "arrow"):
+        assert brute_force_topk(corpus, probes, k=3, impl=impl).count() == 0
+
+
+def test_time_range_join_rejects_zero_window(spark):
+    import pytest
+
+    from data_lake_project_spark.operators.interval import time_range_join
+
+    df = spark.createDataFrame([(1,)], "x int").selectExpr(
+        "x", "timestamp'2024-01-01' AS ts"
+    )
+    with pytest.raises(ValueError, match="within_s"):
+        time_range_join(
+            df.selectExpr("x AS l", "ts AS lt"),
+            df.selectExpr("x AS r", "ts AS rt"),
+            "lt",
+            "rt",
+            within_s=0,
+        )
+
+
 def test_embedding_neardup_arrow_parity_with_expr(spark):
     """The Arrow/BLAS path must return the SAME pair set as the JVM
     expression path on the real fixture, with cosines agreeing to

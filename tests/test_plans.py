@@ -172,10 +172,10 @@ def test_no_inferred_filter_clones_generator_input(spark):
 
 
 def test_range_join_is_bucketed_equi_join(spark):
-    """q66's ±3d time-range join must compile to an equi-join on the
-    (customer, day-bucket) key — the inequality stays a residual
-    filter, never the join condition (which would degenerate to a
-    per-customer cross product)."""
+    """q66's ±10-minute error↔click range join (no shared key, pure
+    temporal proximity) must compile to an equi-join on the 10-min
+    time-bin key — the inequality stays a residual filter, never the
+    join condition (which would degenerate to a cross product)."""
     df = QUERIES["q66_range_join"](spark, SF_DIR)
     P.assert_no_cartesian(df)
     strategies = P.join_strategies(df)

@@ -402,7 +402,9 @@ def test_stream_scd2_equals_batch_and_skips_replay(spark, tmp_path):
     got = [(u, v, a, f, to if to != "NaT" else "None") for u, v, a, f, to in got]
     assert got == want
 
-    # full replay with a FRESH checkpoint: markers make it a no-op
+    # full replay with a FRESH checkpoint: content-fingerprint markers
+    # make it a no-op (batch ids restart at 0, so an id-keyed marker
+    # would be wrong in BOTH directions)
     q2 = write_stream_scd2(
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -415,6 +417,43 @@ def test_stream_scd2_equals_batch_and_skips_replay(spark, tmp_path):
     assert snapshot() == [
         (u, v, a, f, to) for u, v, a, f, to in got
     ]
+
+    # the data-loss scenario the fingerprint fixes: ANOTHER fresh
+    # checkpoint with one NEW file appended — the new batch reuses
+    # batch_id 0..3 but its content is new, so it MUST be applied
+    import datetime as dt
+
+    new_user = 999_999
+    extra = spark.createDataFrame(
+        [
+            (10_000_001, dt.datetime(2024, 3, 1), new_user, "view", 1.0, "{}"),
+            (10_000_002, dt.datetime(2024, 3, 2), new_user, "click", 1.0, "{}"),
+        ],
+        ev.schema,
+    )
+    part = str(tmp_path / "s_extra")
+    extra.coalesce(1).write.mode("overwrite").parquet(part)
+    for f in sorted(_glob.glob(f"{part}/part-*.parquet")):
+        dst = os.path.join(src, "04.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (base + 4, base + 4))
+    q3 = write_stream_scd2(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        t,
+        str(tmp_path / "ck3"),
+    )
+    q3.processAllAvailable()
+    q3.stop()
+    final = snapshot()
+    assert len(final) == len(got) + 2  # view (closed) + click (open)
+    new_rows = [r for r in final if r[0] == new_user]
+    assert [(r[1], r[2]) for r in sorted(new_rows)] == [
+        (1, "view"), (2, "click"),
+    ]
+    # and the pre-existing history is untouched
+    assert [r for r in final if r[0] != new_user] == got
 
 
 def test_events_fixture_stream_equals_batch(spark, tmp_path):
