@@ -360,6 +360,58 @@ def test_scd2_apply_incremental_equals_batch(spark, tmp_path):
     assert set(open_counts.values()) == {1}
 
 
+def test_scd2_apply_survives_compaction_between_batches(spark, tmp_path):
+    """Maintenance interplay: compacting the history table between
+    incremental batches (the small-file cleanup a streaming SCD2 table
+    needs) must not change its contents or break subsequent folds."""
+    import datetime as dt
+
+    from data_lake_project_spark.lakehouse import scd2_apply
+
+    t0 = dt.datetime(2024, 1, 1)
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "scd2c"),
+        key_col="__scd_key",
+        bucket_by="user_id",
+        n_buckets=4,
+    )
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    scd2_apply(t, batch([
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 1.0, "{}"),
+        (3, t0, 2, "view", 1.0, "{}"),
+    ]))
+    before = sorted(
+        (r.user_id, r.version, r.event_type, str(r.valid_from), str(r.valid_to))
+        for r in t.read().collect()
+    )
+    t.compact()
+    after_compact = sorted(
+        (r.user_id, r.version, r.event_type, str(r.valid_from), str(r.valid_to))
+        for r in t.read().collect()
+    )
+    assert after_compact == before
+    # a post-compaction batch still folds against the right open rows
+    scd2_apply(t, batch([
+        (4, t0 + dt.timedelta(minutes=5), 1, "purchase", 1.0, "{}"),
+    ]))
+    got = {
+        (r.user_id, r.version): (r.event_type, r.valid_to is None)
+        for r in t.read().collect()
+    }
+    assert got[(1, 3)] == ("purchase", True)   # new open interval
+    assert got[(1, 2)][0] == "click" and got[(1, 2)][1] is False
+    assert got[(2, 1)] == ("view", True)
+
+
 def test_scd2_apply_read_for_prunes_buckets(spark, tmp_path):
     """The per-batch open-interval lookup must read ONLY the touched
     entities' buckets: updating one entity leaves every other bucket's
