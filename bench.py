@@ -56,17 +56,23 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
+    payload = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    line = json.dumps(payload)
+    print(line)
+    # Also persist to a file next to the script: the driver captures
+    # stdout and round-3's BENCH artifact lost its head to truncation —
+    # the file copy is the untruncatable record.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
     spark.stop()
 
 

@@ -103,3 +103,23 @@ def list_files(
 
 def total_size(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
     return sum(size for _, size in list_files(spark, path, suffix))
+
+
+def list_statuses(
+    spark: SparkSession, path: str, suffix: str | None = None
+) -> list[tuple[str, int, int]]:
+    """Like :func:`list_files` but also returns modification time
+    (epoch millis) — the retention signal marker-GC needs."""
+    fs, p, _ = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    it = fs.listFiles(p, True)
+    out = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if suffix is None or name.endswith(suffix):
+            out.append(
+                (name, int(st.getLen()), int(st.getModificationTime()))
+            )
+    return out

@@ -281,7 +281,12 @@ def scd2_apply(
 
     Contract: per-entity in-order delivery across batches (the same
     contract as any non-watermarked stateful op); within a batch any
-    order is fine (the fold sorts).
+    order is fine (the fold sorts). The contract is ENFORCED: a batch
+    event whose ``ts`` precedes the entity's open interval's
+    ``valid_from`` raises (failing the batch) instead of silently
+    folding a corrupted history — the fold only carries the open row,
+    so a late event can never be merged retroactively; replay the
+    stream from a consistent offset instead.
 
     Output schema: (__scd_key, entity, attr, valid_from, valid_to,
     version) with valid_to NULL on the open interval.
@@ -320,6 +325,18 @@ def scd2_apply(
         cur_ver = pdf["__open_ver"].iloc[0]
         have = pd.notna(cur_ver)
         cur_ver = int(cur_ver) if have else 0
+        if have and pd.notna(cur_from):
+            first_ts = pdf[ts_col].iloc[0]  # pdf is (ts, seq)-sorted
+            if pd.notna(first_ts) and first_ts < cur_from:
+                raise ValueError(
+                    f"scd2_apply: out-of-order batch for entity {ent!r}:"
+                    f" event ts {first_ts} precedes the open interval's"
+                    f" valid_from {cur_from}. Per-entity in-order"
+                    " delivery across batches is required — the fold"
+                    " only carries the open row, so folding this batch"
+                    " would silently corrupt the history. Replay from a"
+                    " consistent offset instead."
+                )
         out: list[tuple] = []
         for row in pdf.itertuples(index=False):
             ts = getattr(row, ts_col)

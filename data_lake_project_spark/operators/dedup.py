@@ -334,7 +334,7 @@ def embedding_neardup(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     n_salts: int | None = None,
-    impl: str = "expr",
+    impl: str = "auto",
 ) -> DataFrame:
     """Cosine near-duplicate pairs within blocks.
 
@@ -351,18 +351,32 @@ def embedding_neardup(
     (``operators/skew.salted_join``); results are identical (inner
     join, result-parity tested on a skewed fixture).
 
-    ``impl``: 'expr' (default) keeps every comparison a JVM
-    expression — bit-exact against the SQL oracle, zero Python in the
-    path. 'arrow' routes each block through ``applyInPandas`` and one
-    BLAS matmul (X·Xᵀ) — ~10x less per-pair cost for dense vectors,
-    the right choice when blocks are large and the 4-decimal rounding
-    boundary is not load-bearing (pair sets are parity-tested against
-    'expr'; individual cosines agree to ~1e-12, so only a pair
-    sitting exactly on the threshold could differ). The arrow path
+    ``impl``: 'arrow' routes each block through ``applyInPandas`` and
+    one BLAS matmul (X·Xᵀ) — ~4-10x less per-pair cost for dense
+    vectors, the production default. 'expr' keeps every comparison a
+    JVM expression — bit-exact against the SQL oracle, zero Python in
+    the path; the differential-testing lane (pair sets are
+    parity-tested between the two; individual cosines agree to
+    ~1e-12, so only a pair sitting exactly on the 4-decimal rounding
+    boundary could differ — none does on the fixtures, and BOTH lanes
+    are oracle-checked as q28/q28b). 'auto' (default) resolves to
+    'arrow' unless the ``SPARK_GRAFT_ORACLE_EXPR`` env flag is set —
+    the fleet-wide switch for oracle-exactness runs. The arrow path
     requires each block to fit one executor's memory — compose with a
     finer ``block_col`` (or IVF bucket) when it doesn't; ``n_salts``
-    doesn't apply (the group-by itself spreads blocks).
+    there doesn't apply (the group-by itself spreads blocks), so
+    'auto' also resolves to 'expr' when ``n_salts`` is requested
+    (skewed-block corpora are exactly where one block per task
+    hurts).
     """
+    import os as _os
+
+    if impl == "auto":
+        impl = (
+            "expr"
+            if n_salts or _os.environ.get("SPARK_GRAFT_ORACLE_EXPR")
+            else "arrow"
+        )
     if impl == "arrow":
         return _embedding_neardup_arrow(
             emb, block_col, id_col, vec_col, threshold
@@ -535,6 +549,7 @@ def connected_components(
     left: str = "id_a",
     right: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph: the
     cluster-formation step that turns pairwise near-dup matches
@@ -562,6 +577,14 @@ def connected_components(
 
     Only nodes appearing in ``pairs`` are returned: (id, cluster_id,
     cluster_size), cluster_id = min id in the component.
+
+    ``stats``: pass a dict to receive observability fields (filled
+    in place, since the iteration runs eagerly): ``rounds`` = label-
+    propagation rounds executed, ``converged`` = whether the fixpoint
+    was reached within ``max_iter``. At 100 TB the round count IS the
+    job's cost model (each round = one join + one groupBy over the
+    edge set) — monitor it; an unexpectedly deep graph means the
+    candidate generator is over-linking.
     """
     edges = pairs.select(
         F.col(left).cast("long").alias("src"),
@@ -583,6 +606,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    rounds, converged = 0, False
     for _ in range(max_iter):
         nbr = sym.join(
             labels.withColumnRenamed("id", "dst"), "dst"
@@ -593,10 +617,15 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        rounds += 1
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     size_w = Window.partitionBy("label")
     return labels.select(
         F.col("id"),

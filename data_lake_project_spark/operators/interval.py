@@ -78,12 +78,22 @@ def time_range_join(
     (right density per 3W window), never |left| x |right|.
 
     Column names must be disjoint across the two inputs (same
-    contract as ``iou_join``). Comparisons use floor-epoch seconds on
-    both sides, matching the engine's timestamp->long cast semantics.
-    Inner-join semantics (pairs only).
+    contract as ``iou_join``), and ``__bin`` is RESERVED — it is the
+    internal bucketing key, and an input already carrying it would be
+    silently overwritten then dropped. Comparisons use floor-epoch
+    seconds on both sides, matching the engine's timestamp->long cast
+    semantics. Inner-join semantics (pairs only).
     """
     if how != "inner":
         raise ValueError(f"time_range_join supports inner, got {how!r}")
+    for side, df in (("left", left), ("right", right)):
+        if "__bin" in df.columns:
+            raise ValueError(
+                f"time_range_join: {side} input already has a '__bin' "
+                "column — that name is reserved for the internal "
+                "bucketing key and would be overwritten then dropped; "
+                "rename it first"
+            )
     w = int(within_s)
     if w < 1:
         raise ValueError(

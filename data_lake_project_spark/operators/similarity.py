@@ -330,6 +330,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
     lloyd_iters: int = 1,
+    centroids: list | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer.
 
@@ -346,35 +348,74 @@ def ivf_topk(
     spread); per-probe state is the nprobe bucket list. The training
     sample is bounded (``sample_size`` rows collected to the driver,
     the standard IVF recipe — FAISS trains on a sample too).
+
+    ``centroids`` (list of ``n_centroids`` equal-width float vectors)
+    skips training entirely: NO Spark job runs before the index pass —
+    the production path when a codebook already exists (train once,
+    reuse per batch; the FAISS deployment shape).  ``dim``, when given,
+    is validated against the centroid/sample width so a wrong-width
+    codebook fails fast driver-side instead of mid-scan.
     """
     import numpy as np
 
-    sample_size = max(n_centroids * 32, 256)
-    sample = np.array(
-        [
-            [float(x) for x in r[0]]
-            for r in corpus.select(vec_col, id_col)
-            .orderBy(id_col)
-            .limit(sample_size)
-            .collect()
-        ]
-    )
-    seeds = sample[:n_centroids].copy()
+    if centroids is not None:
+        if len(centroids) != n_centroids:
+            raise ValueError(
+                f"ivf_topk: {len(centroids)} centroids supplied but "
+                f"n_centroids={n_centroids}"
+            )
+        widths = {len(v) for v in centroids}
+        if len(widths) != 1:
+            raise ValueError(
+                f"ivf_topk: ragged centroid widths {sorted(widths)}"
+            )
+        if dim is not None and widths != {dim}:
+            raise ValueError(
+                f"ivf_topk: centroid width {widths.pop()} != dim={dim}"
+            )
+        seeds = np.array([[float(x) for x in v] for v in centroids])
+    else:
+        sample_size = max(n_centroids * 32, 256)
+        sample = np.array(
+            [
+                [float(x) for x in r[0]]
+                for r in corpus.select(vec_col, id_col)
+                .orderBy(id_col)
+                .limit(sample_size)
+                .collect()
+            ]
+        )
+        if sample.size == 0:
+            raise ValueError(
+                "ivf_topk: corpus is empty — cannot train centroids "
+                "(pass centroids= to search with an existing codebook)"
+            )
+        if sample.shape[0] < n_centroids:
+            raise ValueError(
+                f"ivf_topk: corpus has {sample.shape[0]} vectors, fewer "
+                f"than n_centroids={n_centroids}"
+            )
+        if dim is not None and sample.shape[1] != dim:
+            raise ValueError(
+                f"ivf_topk: embedding width {sample.shape[1]} != dim={dim}"
+            )
+        seeds = sample[:n_centroids].copy()
     # One (or more) Lloyd steps under cosine: assign sample rows to the
     # nearest-by-cosine seed, replace each seed with its cluster mean.
     # Empty clusters keep their previous centroid. Deterministic ties:
     # argmax takes the lowest centroid index.
-    snorm = np.linalg.norm(sample, axis=1, keepdims=True)
-    snorm[snorm == 0] = 1.0
-    sunit = sample / snorm
-    for _ in range(max(0, lloyd_iters)):
-        cn = np.linalg.norm(seeds, axis=1, keepdims=True)
-        cn[cn == 0] = 1.0
-        assign = np.argmax(sunit @ (seeds / cn).T, axis=1)
-        for ci in range(n_centroids):
-            members = sample[assign == ci]
-            if len(members):
-                seeds[ci] = members.mean(axis=0)
+    if centroids is None:
+        snorm = np.linalg.norm(sample, axis=1, keepdims=True)
+        snorm[snorm == 0] = 1.0
+        sunit = sample / snorm
+        for _ in range(max(0, lloyd_iters)):
+            cn = np.linalg.norm(seeds, axis=1, keepdims=True)
+            cn[cn == 0] = 1.0
+            assign = np.argmax(sunit @ (seeds / cn).T, axis=1)
+            for ci in range(n_centroids):
+                members = sample[assign == ci]
+                if len(members):
+                    seeds[ci] = members.mean(axis=0)
     cents = [(i, [float(x) for x in seeds[i]]) for i in range(n_centroids)]
     cnorms = [sum(x * x for x in v) ** 0.5 for _, v in cents]
     dim = len(cents[0][1])

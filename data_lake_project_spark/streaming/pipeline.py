@@ -40,11 +40,41 @@ EVENT_SCHEMA = StructType(
 )
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """The exact reader-option dict the reference pipeline needs
+    (``spark_stream.py:206-211``: subscribe + bootstrap servers; plus
+    the two knobs any production deployment sets explicitly):
+
+    - ``startingOffsets``: where a FRESH checkpoint begins — after
+      that, progress comes from the checkpoint, not this option;
+    - ``failOnDataLoss``: ``false`` by default so a topic whose
+      retention expired offsets the checkpoint still references
+      resumes (with a logged gap) instead of killing the stream —
+      flip to ``true`` where a gap must be fatal.
+
+    Factored out of :func:`kafka_source` so the contract is pinned by
+    a broker-less test (``test_kafka_reader_options_contract``), the
+    same fake-seam pattern as the Delta MERGE test.
+    """
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
 ) -> DataFrame:
     """Kafka streaming source (S1, ``spark_stream.py:132-144,206-211``).
 
@@ -55,9 +85,11 @@ def kafka_source(
     """
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(
+            **kafka_reader_options(
+                bootstrap_servers, topic, starting_offsets, fail_on_data_loss
+            )
+        )
         .load()
     )
 
@@ -218,16 +250,29 @@ def write_stream_scd2(
     unlike a plain keyed upsert, re-folding an already-applied batch
     against the post-batch open intervals would mint spurious new
     versions (the fold is stateful — its input includes its own prior
-    output). Markers are keyed by a CONTENT fingerprint of the batch
-    (count + seq extremes + an order-independent seq hash), NOT by
-    batch_id: a stream restarted with a fresh checkpoint renumbers
-    batches from 0, so an id-keyed marker would silently swallow every
-    NEW batch — content addressing skips exactly the batches whose
-    events were already folded, whatever their id. Residual limits,
-    closed by Delta's txnAppId transaction log on a real deployment:
-    a crash between MERGE and marker replays once (at-least-once
-    residue), and a replay RE-BATCHED along different boundaries
-    fingerprints differently and must not be fed to this sink."""
+    output). Markers are keyed by a CONTENT fingerprint of the batch —
+    count + seq extremes + an order-independent hash over the FULL
+    event tuple (seq, entity, ts, attr), so a "replay" carrying the
+    same seq ids but corrected payloads fingerprints differently and
+    is NOT silently swallowed — NOT by batch_id: a stream restarted
+    with a fresh checkpoint renumbers batches from 0, so an id-keyed
+    marker would silently swallow every NEW batch. Content addressing
+    skips exactly the batches whose events were already folded,
+    whatever their id. (A corrected replay then hits ``scd2_apply``'s
+    out-of-order guard and fails loudly — upstream corrections need a
+    rebuild, not an in-place re-fold.)
+
+    Crash windows are DETECTED, not silent: the marker is written in
+    state ``pending`` BEFORE the merge and flipped to ``committed``
+    after, so a crash between merge and commit leaves a pending
+    marker and the replayed batch raises for operator repair (rebuild
+    the entity from the log, or delete the marker after verifying the
+    fold landed exactly once) instead of minting spurious versions.
+    Delta's txnAppId transaction log closes the window atomically on
+    a real deployment. Markers accumulate one tiny file per batch —
+    prune anything older than the source's replay horizon with
+    :func:`scd2_marker_gc` (a replay can only re-deliver what the
+    source retains)."""
     from data_lake_project_spark.lakehouse import scd2_apply
 
     commits_dir = f"{table.path}/_scd2_committed"
@@ -239,8 +284,12 @@ def write_stream_scd2(
             F.min(seq_col).alias("lo"),
             F.max(seq_col).alias("hi"),
             # bit_xor: order-independent fold that can't overflow
-            # (ANSI mode rejects a plain long sum of hashes)
-            F.expr(f"bit_xor(xxhash64(`{seq_col}`))").alias("h"),
+            # (ANSI mode rejects a plain long sum of hashes); hash the
+            # WHOLE tuple so corrected payloads change the fingerprint
+            F.expr(
+                f"bit_xor(xxhash64(`{seq_col}`, `{entity_col}`, "
+                f"`{ts_col}`, `{attr_col}`))"
+            ).alias("h"),
         ).first()
         if fp_row["n"] == 0:
             return
@@ -249,7 +298,16 @@ def write_stream_scd2(
             f"{fp_row['n']}_{fp_row['lo']}_{fp_row['hi']}_{fp_row['h']}"
         )
         if fs.exists(spark, marker):
-            return  # same batch content already folded into the history
+            if fs.read_text(spark, marker).strip() == "committed":
+                return  # same batch content already folded
+            raise RuntimeError(
+                f"scd2 sink: marker {marker} is 'pending' — a prior "
+                "attempt crashed between MERGE and commit, so this "
+                "batch may be partially or fully applied. Verify the "
+                "history (or rebuild the touched entities), then "
+                "delete the marker to resume."
+            )
+        fs.write_text(spark, marker, "pending")
         scd2_apply(
             table,
             batch_df,
@@ -266,6 +324,33 @@ def write_stream_scd2(
         .outputMode("update")
         .start()
     )
+
+
+def scd2_marker_gc(
+    spark, table_path: str, max_age_s: float, now_ms: int | None = None
+) -> int:
+    """Prune committed replay markers older than ``max_age_s`` seconds.
+
+    Markers accumulate one tiny file per micro-batch; a replay can
+    only re-deliver what the source still retains, so markers older
+    than the source's replay horizon (Kafka ``retention.ms``, file
+    landing-zone TTL, ...) are dead weight. ``pending`` markers are
+    NEVER pruned regardless of age — they flag an unrepaired crash
+    window. Returns the number of markers deleted. Run it from the
+    same maintenance cadence as ``compact``.
+    """
+    import time
+
+    commits_dir = f"{table_path.rstrip('/')}/_scd2_committed"
+    cutoff = (
+        now_ms if now_ms is not None else int(time.time() * 1000)
+    ) - int(max_age_s * 1000)
+    deleted = 0
+    for name, _size, mtime in fs.list_statuses(spark, commits_dir):
+        if mtime < cutoff and fs.read_text(spark, name).strip() == "committed":
+            fs.delete(spark, name, recursive=False)
+            deleted += 1
+    return deleted
 
 
 def ensure_topic(

@@ -98,11 +98,18 @@ def funnel_stages(
     on an in-order stream the final update per key equals the batch
     result exactly (``test_funnel_stream_equals_batch``).
 
-    State is one epoch-second per stage (-1 = not reached) — O(stages)
-    per key, store-backed on a cluster. Rows inside each micro-batch
-    are processed in (ts, seq) order; cross-batch reordering follows
-    the source's delivery order, the same contract as any
-    non-watermarked stateful op.
+    State is one epoch-MICROSECOND timestamp per stage (-1 = not
+    reached; ``unix_micros`` precision, matching the batch fold's
+    strict-after compare) — O(stages) per key, store-backed on a
+    cluster. Rows inside each micro-batch are processed in (ts, seq)
+    order; cross-batch reordering follows the source's delivery
+    order, the same contract as any non-watermarked stateful op
+    (``test_funnel_shuffled_delivery_is_prefix_monotone`` pins the
+    out-of-order behavior: a stage arriving in a LATER batch than a
+    deeper stage it precedes in event time is not retro-applied).
+    Rows with NULL ts or seq are dropped in the pre-filter — one bad
+    row must not poison the stream (the batch fold's aggregate is
+    null-tolerant the same way).
 
     Output (update mode): (key, stage) after every batch that touched
     the key, where stage is the deepest stage index reached (0 =
@@ -145,11 +152,17 @@ def funnel_stages(
     # epoch MICROS, not seconds: the strict-after comparison must see
     # the same precision the batch fold sees, or a stage landing in
     # the same second as its predecessor (later by micros) is lost.
-    filtered = events.filter(F.col(type_col).isin(*stages)).selectExpr(
-        f"CAST({key_col} AS STRING) AS key",
-        f"unix_micros(CAST({ts_col} AS TIMESTAMP)) AS {ts_col}",
-        f"CAST({seq_col} AS LONG) AS {seq_col}",
-        type_col,
+    filtered = (
+        events.filter(F.col(type_col).isin(*stages))
+        # null ts/seq would crash the stateful fn (int(NaN) raises) —
+        # drop them, matching the batch fold's null-tolerant aggregate
+        .filter(F.col(ts_col).isNotNull() & F.col(seq_col).isNotNull())
+        .selectExpr(
+            f"CAST({key_col} AS STRING) AS key",
+            f"unix_micros(CAST({ts_col} AS TIMESTAMP)) AS {ts_col}",
+            f"CAST({seq_col} AS LONG) AS {seq_col}",
+            type_col,
+        )
     )
     return filtered.groupBy("key").applyInPandasWithState(
         fn,

@@ -26,3 +26,10 @@ def duck():
         )
     yield con
     con.close()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: whole-surface sweeps (plan audit) — skip with -m 'not slow'",
+    )

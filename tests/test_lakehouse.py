@@ -599,3 +599,65 @@ def test_sketches_tolerances(spark):
     prof = {r.column: r for r in column_profile(df, ["k", "v"]).collect()}
     assert prof["k"].n_rows == 10000 and prof["k"].n_nulls == 0
     assert float(prof["v"].max_str) == 9999.0
+
+
+def test_scd2_apply_rejects_out_of_order_batch(spark, tmp_path):
+    """Contract enforcement (round-3 advice): a batch event whose ts
+    precedes the entity's OPEN interval's valid_from must fail the
+    batch loudly — the fold only carries the open row, so accepting it
+    would silently corrupt the history. In-order and boundary-equal
+    (ts == open valid_from) events keep working."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from data_lake_project_spark.lakehouse import scd2_apply
+
+    t0 = dt.datetime(2024, 1, 1)
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "scd2o"),
+        key_col="__scd_key",
+        bucket_by="user_id",
+        n_buckets=4,
+    )
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    scd2_apply(t, batch([
+        (1, t0 + dt.timedelta(minutes=10), 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=11), 2, "view", 1.0, "{}"),
+    ]))
+    before = sorted(
+        (r.user_id, r.version, r.event_type, str(r.valid_from),
+         str(r.valid_to))
+        for r in t.read().collect()
+    )
+    # late event for entity 1: ts BEFORE its open valid_from → batch fails
+    with _pytest.raises(Exception, match="out-of-order"):
+        scd2_apply(t, batch([
+            (3, t0 + dt.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+        ]))
+    # the table is untouched by the failed batch
+    after = sorted(
+        (r.user_id, r.version, r.event_type, str(r.valid_from),
+         str(r.valid_to))
+        for r in t.read().collect()
+    )
+    assert after == before
+    # boundary case: ts EQUAL to the open valid_from is in-order
+    scd2_apply(t, batch([
+        (4, t0 + dt.timedelta(minutes=10), 1, "click", 1.0, "{}"),
+    ]))
+    got = {
+        (r.user_id, r.version): (r.event_type, r.valid_to is None)
+        for r in t.read().collect()
+    }
+    assert got[(1, 2)] == ("click", True)
+    # untouched entity unaffected throughout
+    assert got[(2, 1)] == ("view", True)

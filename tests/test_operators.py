@@ -920,3 +920,31 @@ def test_asof_join_tolerance_nulls_stale_match(spark):
     # (1,200): latest is rt=95, 105 away -> nulled (NOT rt=90)
     # (2,50): latest is rt=10, 40 away -> nulled
     assert got == {(1, 100): "fresh", (1, 200): None, (2, 50): None}
+
+
+def test_connected_components_reports_rounds(spark):
+    """Observability contract: the stats out-param reports propagation
+    rounds and convergence — the per-round cost model an operator
+    watches at scale."""
+    from data_lake_project_spark.operators.dedup import connected_components
+
+    # a 5-node chain needs several rounds; a star converges in ~1
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    out = connected_components(chain, stats=stats)
+    assert out.select("cluster_id").distinct().count() == 1
+    assert stats["converged"] is True
+    assert 1 <= stats["rounds"] <= 25
+    star_stats: dict = {}
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    connected_components(star, stats=star_stats).count()
+    assert star_stats["converged"] is True
+    assert star_stats["rounds"] <= stats["rounds"]
+    # truncated iteration is reported, not silently wrong
+    trunc: dict = {}
+    connected_components(chain, max_iter=1, stats=trunc).count()
+    assert trunc["rounds"] == 1 and trunc["converged"] is False

@@ -247,3 +247,55 @@ def test_pack_sequences_single_shard_shuffle(spark):
     out = pack_sequences(d, "n_toks", 200, "source", "doc_id")
     plan = P.explain_str(out)
     assert "SinglePartition" not in plan, plan
+
+
+def test_ivf_with_codebook_runs_no_pre_index_jobs(spark):
+    """With ``centroids=`` supplied, ivf_topk must build the search
+    plan WITHOUT running any Spark job first (the production path:
+    codebook trained once, reused per batch). Pinned by job-count —
+    the round-2/round-3 advice item on hidden pre-index jobs."""
+    from data_lake_project_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    probes = e.filter("vec_id < 3").selectExpr(
+        "vec_id AS probe_id", "embedding"
+    )
+    book = [[float((i * 7 + d) % 5) - 2.0 for d in range(64)] for i in range(4)]
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    df = ivf_topk(e, probes, k=5, n_centroids=4, nprobe=2,
+                  centroids=book, dim=64)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, (
+        f"ivf_topk(centroids=...) launched jobs {sorted(after - before)} "
+        "before the index pass"
+    )
+    # and the plan itself is a sound bucket equi-join, never cartesian
+    P.assert_no_cartesian(df)
+    assert df.count() >= 0  # plan executes
+
+
+def test_ivf_codebook_validation_fails_fast(spark):
+    """Wrong-shaped codebooks / corpora raise driver-side ValueError
+    before any Spark work."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    probes = e.filter("vec_id < 2").selectExpr(
+        "vec_id AS probe_id", "embedding"
+    )
+    with _pytest.raises(ValueError, match="n_centroids"):
+        ivf_topk(e, probes, n_centroids=4, centroids=[[0.0] * 64] * 3)
+    with _pytest.raises(ValueError, match="ragged"):
+        ivf_topk(e, probes, n_centroids=2,
+                 centroids=[[0.0] * 64, [0.0] * 32])
+    with _pytest.raises(ValueError, match="dim"):
+        ivf_topk(e, probes, n_centroids=2,
+                 centroids=[[0.0] * 32] * 2, dim=64)
+    with _pytest.raises(ValueError, match="dim"):
+        ivf_topk(e, probes, n_centroids=2, dim=32)  # corpus is 64-wide
+    empty = e.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="empty"):
+        ivf_topk(empty, probes, n_centroids=2)

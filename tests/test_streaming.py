@@ -621,3 +621,224 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     assert len(batch) == 4
     assert streamed == batch
+
+def _scd2_file(spark, dirpath, name, rows, schema, mtime):
+    """Write one micro-batch parquet file with a pinned mtime."""
+    import glob as _glob
+
+    part = dirpath + "__" + name
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(part)
+    os.makedirs(dirpath, exist_ok=True)
+    for f in sorted(_glob.glob(f"{part}/part-*.parquet")):
+        dst = os.path.join(dirpath, f"{name}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (mtime, mtime))
+
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def test_scd2_marker_protocol_pending_detection_and_gc(spark, tmp_path):
+    """Crash-window detection (round-3 advice): a marker left in
+    'pending' state means a prior attempt crashed between MERGE and
+    commit — the replayed batch must FAIL for operator repair, never
+    silently re-fold. Marker GC prunes only aged committed markers,
+    never pending ones."""
+    import datetime as dt
+
+    from data_lake_project_spark import fs
+    from data_lake_project_spark.sources import KeyedTable
+    from data_lake_project_spark.streaming.pipeline import (
+        scd2_marker_gc,
+        write_stream_scd2,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    _scd2_file(
+        spark, src, "00",
+        [(1, t0, 1, "view", 1.0, "{}"),
+         (2, t0 + dt.timedelta(minutes=1), 1, "click", 1.0, "{}")],
+        EV_SCHEMA, 1_700_000_000,
+    )
+    t = KeyedTable(
+        spark, str(tmp_path / "t"), key_col="__scd_key",
+        bucket_by="user_id", n_buckets=4,
+    )
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = write_stream_scd2(stream(), t, str(tmp_path / "ck1"))
+    q.processAllAvailable(); q.stop()
+
+    def snapshot():
+        return sorted(
+            (r.user_id, r.version, r.event_type, str(r.valid_to))
+            for r in t.read().collect()
+        )
+
+    base = snapshot()
+    assert len(base) == 2
+    markers = fs.list_statuses(spark, f"{t.path}/_scd2_committed")
+    assert len(markers) == 1
+    marker = markers[0][0]
+    assert fs.read_text(spark, marker).strip() == "committed"
+
+    # committed marker → full replay is a clean no-op
+    q2 = write_stream_scd2(stream(), t, str(tmp_path / "ck2"))
+    q2.processAllAvailable(); q2.stop()
+    assert snapshot() == base
+
+    # pending marker → replay fails loudly instead of re-folding
+    fs.write_text(spark, marker, "pending")
+    q3 = write_stream_scd2(stream(), t, str(tmp_path / "ck3"))
+    with pytest.raises(Exception, match="pending"):
+        q3.processAllAvailable()
+    q3.stop()
+    assert snapshot() == base  # table untouched by the failed replay
+
+    # operator repair: verify + flip back → replays are no-ops again
+    fs.write_text(spark, marker, "committed")
+    q4 = write_stream_scd2(stream(), t, str(tmp_path / "ck4"))
+    q4.processAllAvailable(); q4.stop()
+    assert snapshot() == base
+
+    # GC: a committed marker older than the replay horizon is pruned;
+    # a pending marker is NEVER pruned regardless of age
+    orphan = f"{t.path}/_scd2_committed/9_9_9_9"
+    fs.write_text(spark, orphan, "pending")
+    _, _, mt = fs.list_statuses(spark, f"{t.path}/_scd2_committed")[0]
+    far_future = mt + 10 * 86400 * 1000
+    assert scd2_marker_gc(spark, t.path, max_age_s=86400, now_ms=far_future) == 1
+    left = [n for n, _, _ in fs.list_statuses(spark, f"{t.path}/_scd2_committed")]
+    # list_statuses returns fully-qualified URIs — compare by suffix
+    assert [n.split("/")[-1] for n in left] == ["9_9_9_9"]
+
+
+def test_scd2_corrected_replay_fails_loudly_not_skipped(spark, tmp_path):
+    """The fingerprint hashes the FULL event tuple (round-3 advice):
+    a replay carrying the same event_ids with corrected payloads must
+    NOT be silently swallowed by the marker — it reaches the fold and
+    fails on the out-of-order guard (corrections need a rebuild)."""
+    import datetime as dt
+
+    from data_lake_project_spark.sources import KeyedTable
+    from data_lake_project_spark.streaming.pipeline import write_stream_scd2
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    _scd2_file(
+        spark, src, "00",
+        [(1, t0, 1, "view", 1.0, "{}"),
+         (2, t0 + dt.timedelta(minutes=1), 1, "click", 1.0, "{}")],
+        EV_SCHEMA, 1_700_000_000,
+    )
+    t = KeyedTable(
+        spark, str(tmp_path / "t"), key_col="__scd_key",
+        bucket_by="user_id", n_buckets=4,
+    )
+    q = write_stream_scd2(
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        t, str(tmp_path / "ck1"),
+    )
+    q.processAllAvailable(); q.stop()
+    base = sorted(
+        (r.user_id, r.version, r.event_type) for r in t.read().collect()
+    )
+
+    # "corrected" replay: same event_ids, different event_type payloads
+    src2 = str(tmp_path / "src2")
+    _scd2_file(
+        spark, src2, "00",
+        [(1, t0, 1, "scroll", 1.0, "{}"),
+         (2, t0 + dt.timedelta(minutes=1), 1, "buy", 1.0, "{}")],
+        EV_SCHEMA, 1_700_000_001,
+    )
+    q2 = write_stream_scd2(
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1).parquet(src2),
+        t, str(tmp_path / "ck2"),
+    )
+    with pytest.raises(Exception, match="out-of-order"):
+        q2.processAllAvailable()
+    q2.stop()
+    # history not corrupted by the rejected correction
+    assert sorted(
+        (r.user_id, r.version, r.event_type) for r in t.read().collect()
+    ) == base
+
+
+def test_funnel_shuffled_delivery_is_prefix_monotone(spark, tmp_path):
+    """Out-of-order contract (round-3 advice): the funnel is a
+    forward-only state machine — a prerequisite stage arriving in a
+    LATER batch than a deeper stage it precedes in event time is
+    recorded, but the deeper stage is NOT retro-applied. Null-ts/seq
+    rows are dropped, not stream-poisoning."""
+    import datetime as dt
+
+    from data_lake_project_spark.streaming.stateful import funnel_stages
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    # delivery order: click(t2) | view(t1) + null-ts junk | purchase(t3)
+    _scd2_file(spark, src, "00",
+               [(2, t0 + dt.timedelta(minutes=2), 1, "click", 1.0, "{}")],
+               EV_SCHEMA, 1_700_000_000)
+    _scd2_file(spark, src, "01",
+               [(1, t0 + dt.timedelta(minutes=1), 1, "view", 1.0, "{}"),
+                (9, None, 1, "purchase", 1.0, "{}"),
+                (None, t0 + dt.timedelta(minutes=9), 1, "purchase", 1.0, "{}")],
+               EV_SCHEMA, 1_700_000_001)
+    _scd2_file(spark, src, "02",
+               [(3, t0 + dt.timedelta(minutes=3), 1, "purchase", 1.0, "{}")],
+               EV_SCHEMA, 1_700_000_002)
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        funnel_stages(stream)
+        .writeStream.format("memory").queryName("mem_funnel_ooo")
+        .outputMode("update").start()
+    )
+    q.processAllAvailable(); q.stop()
+    final: dict[str, int] = {}
+    for r in spark.table("mem_funnel_ooo").collect():
+        final[r.key] = max(final.get(r.key, 0), r.stage)
+    # click arrived before view was recorded → dropped (no retro-apply);
+    # view then lands (stage 1); purchase at t3 needs click → still 1.
+    # The two null rows were filtered, not crashes.
+    assert final == {"1": 1}
+
+
+def test_kafka_reader_options_contract():
+    """Broker-less contract test (round-3 advice, mirroring the Delta
+    fake): kafka_source must build exactly the reader options the
+    reference pipeline needs (spark_stream.py:206-211) — subscribe,
+    bootstrap servers, startingOffsets, failOnDataLoss."""
+    from data_lake_project_spark.streaming.pipeline import (
+        kafka_reader_options,
+    )
+
+    assert kafka_reader_options("broker:29092", "topic-1") == {
+        "kafka.bootstrap.servers": "broker:29092",
+        "subscribe": "topic-1",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }
+    assert kafka_reader_options(
+        "b:9092", "t", starting_offsets="latest", fail_on_data_loss=True
+    ) == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "t",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "true",
+    }
