@@ -150,6 +150,75 @@ def quota_per_stratum(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Temperature-based source re-mixing at T=2 (the α=0.5 sampling
+    exponent): the de-facto multilingual/multi-source rebalance rule
+    (sample source s with probability ∝ count_s^α), expressed as a
+    deterministic per-row keep decision. Rates normalize so the
+    SMALLEST source keeps everything and a source x-times larger
+    keeps sqrt(1/x) of its rows — flattening the source distribution
+    toward (but not all the way to) uniform.
+
+    α is fixed at 0.5 because ``sqrt`` is correctly rounded under
+    IEEE 754 (``pow`` is not), so Spark and any SQL oracle compute
+    BIT-IDENTICAL rates and thresholds — the keep decision
+    ``md5(seed‖stratum:key).hex8 < lpad(hex(floor(rate·2^32)))`` is
+    then engine-independent, same as :func:`sample_column`.
+
+    Plan: one tiny ``groupBy(strata)`` count (partial-agg'd, rows =
+    #sources), broadcast back onto the corpus, pure-map filter — the
+    corpus itself never shuffles at any scale.
+
+    Output: kept rows + ``mix_rate`` (the stratum's keep rate,
+    rounded 4) for observability.
+    """
+    from data_lake_project_spark.functions import pround
+
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__c"))
+    # global min via a window over the counts frame — it holds one row
+    # per SOURCE, so the single window partition is trivially small
+    # (never corpus-sized) and avoids a second job / nested-loop join
+    rates = counts.select(
+        strata_col,
+        F.sqrt(
+            F.min("__c").over(Window.partitionBy(F.lit(1))).cast("double")
+            / F.col("__c").cast("double")
+        ).alias("__rate"),
+    )
+    thr = F.lpad(
+        F.lower(
+            F.hex(
+                F.floor(F.col("__rate") * F.lit(4294967296.0)).cast("long")
+            )
+        ),
+        8,
+        "0",
+    )
+    hex8 = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(seed),
+                F.col(strata_col).cast("string"),
+                F.lit(":"),
+                F.col(key_col).cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter((F.col("__rate") >= 1.0) | (hex8 < thr))
+        .withColumn("mix_rate", pround(F.col("__rate"), 4))
+        .drop("__rate")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

@@ -544,6 +544,123 @@ def decontaminate(
     return docs.join(contaminated, id_col, "left_anti")
 
 
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide line-level exact dedup with text reassembly — the
+    C4/RefinedWeb-style scrub that strips boilerplate lines (nav
+    bars, cookie banners, copyright footers) repeated across
+    documents while keeping each line's FIRST occurrence.
+
+    Every document splits into (pos, line) occurrences; a line
+    occurrence survives iff its line is corpus-unique OR it is the
+    globally first occurrence (min (doc_id, pos)). The cleaned text
+    is the surviving lines rejoined in position order.
+
+    Plan shape for 100 TB: per-line stats come from a partial-
+    aggregated ``groupBy(line)`` (count + min occurrence key) — the
+    map-side combine collapses a boilerplate line repeated in a
+    billion docs to one row per map task BEFORE the shuffle, which is
+    why this is a groupBy+join and NOT a window over
+    ``partitionBy(line)`` (a window would drag every occurrence of
+    the hottest line into one partition). The stats join back on the
+    line key (AQE skew-join splits the hot lines), then one per-doc
+    aggregation rebuilds the text; per-doc state is bounded by
+    document length.
+
+    Occurrence keys encode as ``doc_id * 100_000 + pos`` (docs are
+    assumed < 100k lines; raise the factor for pathological inputs).
+
+    Output: (id, n_lines, n_dup_lines, clean_text).
+    """
+    occ = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn(
+        "__occ", F.col(id_col).cast("long") * 100_000 + F.col("pos")
+    )
+    stats = occ.groupBy("line").agg(
+        F.count("*").alias("__cnt"), F.min("__occ").alias("__first")
+    )
+    keep = (F.col("__cnt") == 1) | (F.col("__occ") == F.col("__first"))
+    return (
+        occ.join(stats, "line")
+        .withColumn("__keep", keep)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum((F.col("__cnt") > 1).cast("long"))
+            .cast("long")
+            .alias("n_dup_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+        )
+    )
+
+
+def contamination_score(
+    docs: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Scored variant of :func:`decontaminate`: instead of dropping a
+    document on ANY shared word ``k``-gram, report the FRACTION of
+    its distinct shingles found in the probe (eval-benchmark) corpus
+    — the quantity contamination audits threshold on (a one-shingle
+    hit in a long doc is noise; a 0.3 overlap is a leak).
+
+    Same plan as decontaminate: corpus shingles stay put, probe
+    shingles broadcast (benchmarks are MBs, corpora are TBs); the
+    left join tags hits and one per-doc aggregation computes the
+    ratio. Zero corpus shuffles before the per-doc agg (keyed on the
+    id the shingles already carry).
+
+    Output: (id, n_shingles, n_hit, contamination∈[0,1] rounded 4).
+    """
+    corpus_sh = shingles(docs, text_col, id_col, k)
+    probe_sh = (
+        shingles(
+            probes.withColumn("__pid", F.monotonically_increasing_id()),
+            probe_text_col,
+            "__pid",
+            k,
+        )
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1).cast("long"))
+    )
+    return (
+        corpus_sh.join(F.broadcast(probe_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "contamination",
+            pround(F.col("n_hit") / F.col("n_shingles"), 4),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     left: str = "id_a",

@@ -242,6 +242,45 @@ def canonicalize(col: Column) -> Column:
     return F.trim(c)
 
 
+def canonical_url(col: Column) -> Column:
+    """Canonical URL form for crawl dedup: lowercase, drop the scheme
+    and a leading ``www.``, strip ``utm_*`` tracking parameters (the
+    analytics noise that makes one page look like many), drop the
+    slash before a query string and any trailing slash. Pure narrow
+    expression — the regex chain is RE2-compatible (no lookarounds),
+    so the identical patterns run in the DuckDB oracle."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"^https?://", "")
+    c = F.regexp_replace(c, r"^www\.", "")
+    c = F.regexp_replace(c, r"utm_[^&]*&", "")  # utm followed by more
+    c = F.regexp_replace(c, r"[?&]utm_[^&]*$", "")  # trailing utm
+    c = F.regexp_replace(c, r"/\?", "?")
+    return F.regexp_replace(c, r"/$", "")
+
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Crawl URL dedup: keep the lowest-id row per canonical URL
+    (:func:`canonical_url`), count the family. Same single-shuffle
+    shape as :func:`~data_lake_project_spark.operators.dedup
+    .normalized_dedup` — the canonical form is the shuffle key,
+    uniform after canonicalization collapses the tracking-parameter
+    fan-out. Output: (id, url, canon_url, n_dups)."""
+    w = Window.partitionBy("canon_url").orderBy(id_col)
+    return (
+        docs.select(id_col, url_col)
+        .withColumn("canon_url", canonical_url(F.col(url_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_dups",
+            F.count("*").over(Window.partitionBy("canon_url")).cast("long"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col(url_col), "canon_url", "n_dups")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

@@ -28,6 +28,7 @@ from data_lake_project_spark.functions import (
     pround,
     tokens,
 )
+from data_lake_project_spark.operators import dataset as DS
 from data_lake_project_spark.operators import dedup as D
 from data_lake_project_spark.operators import interval as IV
 from data_lake_project_spark.operators import similarity as SIM
@@ -1724,6 +1725,95 @@ def q80_heavy_hitters_exact(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Round-4 surface Q81-Q84: line-level corpus dedup, contamination
+# scoring, temperature-based source mixing, URL canonicalization
+# dedup. q81/q84 synthesize their multi-line / URL corpora from the
+# documents table with SQL templates evaluated identically by both
+# engines (the established q34-q36 pattern).
+# ---------------------------------------------------------------------------
+
+# Multi-line corpus: a unique intro line, two boilerplate lines shared
+# across doc_id classes (the C4-style nav/footer dups), a mostly-unique
+# body line, and a 7-variant tail line. chr(10) is the separator in
+# both engines.
+LINES_CORPUS_EXPR = """concat(
+  'intro doc ', CAST(doc_id AS STRING),
+  CASE WHEN doc_id % 3 = 0
+       THEN concat(chr(10), 'subscribe to our newsletter') ELSE '' END,
+  chr(10), 'body ', substr(text, 1, 24 + CAST(doc_id % 17 AS INT)),
+  CASE WHEN doc_id % 5 = 0
+       THEN concat(chr(10), 'all rights reserved') ELSE '' END,
+  chr(10), 'tail ', CAST(doc_id % 7 AS STRING))"""
+
+# Crawl URLs: scheme + optional www + 50 hosts x 500 paths (so distinct
+# doc_ids collide after canonicalization) + tracking-parameter and
+# trailing-slash variants.
+URLS_CORPUS_EXPR = """concat(
+  'https://',
+  CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END,
+  'site', CAST(doc_id % 50 AS STRING), '.example',
+  '/p/', CAST(doc_id % 500 AS STRING),
+  CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=1'
+       WHEN doc_id % 3 = 1 THEN '?id=1' ELSE '' END)"""
+
+
+def q81_line_dedup(spark, sf):
+    """Corpus-wide line dedup with reassembly (C4-style boilerplate
+    scrub keeping first occurrences) over a synthesized multi-line
+    corpus. groupBy-stats + join, NOT a per-line window — see
+    ``operators.dedup.line_dedup`` for the skew rationale."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.expr(LINES_CORPUS_EXPR).alias("text")
+    )
+    return D.line_dedup(d).orderBy("doc_id")
+
+
+def q82_contamination_score(spark, sf):
+    """Scored n-gram contamination audit: fraction of each doc's
+    distinct 3-gram shingles found in the benchmark set (docs with
+    doc_id % 97 == 0, the q49 probe rule). The boolean drop variant
+    is q49; this is the threshold-tunable scoring pass."""
+    d = load_table(spark, sf, "documents")
+    probes = d.filter(F.col("doc_id") % 97 == 0).select("text")
+    return D.contamination_score(d, probes, k=3).orderBy("doc_id")
+
+
+MIX_STRATUM_EXPR = """CASE WHEN doc_id % 10 < 6 THEN 'web'
+     WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END"""
+
+
+def q83_temperature_mix(spark, sf):
+    """Temperature-based source rebalance at the α=0.5 sampling
+    exponent: the smallest source keeps all rows, an x-times larger
+    one keeps sqrt(1/x) — deterministic md5-threshold Bernoulli, so
+    the mix is reproducible row-for-row on any engine. The fixture's
+    ``source`` column is uniform (the mix would be a no-op), so the
+    stratum is a synthesized 60/30/10 web/books/code skew — the
+    shape a real crawl/books/code corpus has."""
+    d = load_table(spark, sf, "documents").withColumn(
+        "stratum", F.expr(MIX_STRATUM_EXPR)
+    )
+    return (
+        DS.temperature_sample(d, "stratum", "doc_id", seed="mix")
+        .select("doc_id", "stratum", "mix_rate")
+        .orderBy("doc_id")
+    )
+
+
+def q84_url_dedup(spark, sf):
+    """Crawl URL dedup on the canonical form (scheme/www/utm/trailing-
+    slash stripped) over synthesized URLs: keep lowest doc_id per
+    canonical URL, count the family."""
+    from data_lake_project_spark.operators.text import url_dedup
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.expr(URLS_CORPUS_EXPR).alias("url")
+    )
+    return url_dedup(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -1808,6 +1898,10 @@ QUERIES: dict[str, QueryFn] = {
     "q75_full_outer_join": q75_full_outer_join,
     "q79_curation_pipeline": q79_curation_pipeline,
     "q80_heavy_hitters_exact": q80_heavy_hitters_exact,
+    "q81_line_dedup": q81_line_dedup,
+    "q82_contamination_score": q82_contamination_score,
+    "q83_temperature_mix": q83_temperature_mix,
+    "q84_url_dedup": q84_url_dedup,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -3249,6 +3343,121 @@ ORACLE: dict[str, str] = {
         FROM counts, total
         WHERE cnt * 100 > t
         ORDER BY tok
+    """,
+    "q81_line_dedup": f"""
+        WITH t AS (
+            SELECT doc_id, {LINES_CORPUS_EXPR} AS mtext FROM documents
+        ),
+        occ0 AS (
+            SELECT doc_id,
+                   generate_subscripts(lines, 1) - 1 AS pos,
+                   unnest(lines) AS line
+            FROM (SELECT doc_id, string_split(mtext, chr(10)) AS lines
+                  FROM t)
+        ),
+        occ AS (
+            SELECT doc_id, pos, line,
+                   doc_id * 100000 + pos AS occ_key
+            FROM occ0
+        ),
+        st AS (
+            SELECT line, count(*) AS cnt, min(occ_key) AS first_key
+            FROM occ GROUP BY line
+        ),
+        j AS (
+            SELECT o.doc_id, o.pos, o.line, st.cnt,
+                   (st.cnt = 1 OR o.occ_key = st.first_key) AS keep
+            FROM occ o JOIN st USING (line)
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_lines,
+               sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_dup_lines,
+               coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                                   ORDER BY pos), '') AS clean_text
+        FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+    "q82_contamination_score": """
+        WITH d AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        sh0 AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(len(toks) - 2),
+                               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                          ELSE [array_to_string(toks, ' ')] END) AS shingle
+            FROM d
+        ),
+        sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle <> ''),
+        probe AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+        ),
+        agg AS (
+            SELECT doc_id, count(*)::BIGINT AS n_shingles,
+                   sum(CASE WHEN shingle IN (SELECT shingle FROM probe)
+                       THEN 1 ELSE 0 END)::BIGINT AS n_hit
+            FROM sh GROUP BY doc_id
+        )
+        SELECT doc_id, n_shingles, n_hit,
+               floor(n_hit / n_shingles::DOUBLE * 10000.0 + 0.5) / 10000.0
+                   AS contamination
+        FROM agg ORDER BY doc_id
+    """,
+    "q83_temperature_mix": f"""
+        WITH docs AS (
+            SELECT doc_id, {MIX_STRATUM_EXPR} AS stratum FROM documents
+        ),
+        c AS (
+            SELECT stratum, count(*) AS cnt FROM docs GROUP BY stratum
+        ),
+        r AS (
+            SELECT stratum,
+                   sqrt(CAST((SELECT min(cnt) FROM c) AS DOUBLE)
+                        / CAST(cnt AS DOUBLE)) AS rate
+            FROM c
+        ),
+        t AS (
+            SELECT stratum, rate,
+                   lpad(lower(to_hex(CAST(floor(rate * 4294967296.0)
+                                          AS BIGINT))), 8, '0') AS thr
+            FROM r
+        )
+        SELECT d.doc_id, d.stratum,
+               floor(t.rate * 10000.0 + 0.5) / 10000.0 AS mix_rate
+        FROM docs d JOIN t USING (stratum)
+        WHERE t.rate >= 1.0
+           OR substr(md5('mix' || d.stratum || ':'
+                         || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+        ORDER BY doc_id
+    """,
+    "q84_url_dedup": f"""
+        WITH u AS (
+            SELECT doc_id, {URLS_CORPUS_EXPR} AS url FROM documents
+        ),
+        c AS (
+            SELECT doc_id, url,
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                       lower(url),
+                       '^https?://', ''),
+                       '^www\\.', ''),
+                       'utm_[^&]*&', '', 'g'),
+                       '[?&]utm_[^&]*$', ''),
+                       '/\\?', '?'),
+                       '/$', '') AS canon_url
+            FROM u
+        ),
+        h AS (
+            SELECT doc_id, url, canon_url,
+                   row_number() OVER (PARTITION BY canon_url
+                                      ORDER BY doc_id) AS rn,
+                   count(*) OVER (PARTITION BY canon_url) AS n_dups
+            FROM c
+        )
+        SELECT doc_id, url, canon_url, n_dups::BIGINT AS n_dups
+        FROM h WHERE rn = 1 ORDER BY doc_id
     """,
 }
 

@@ -171,3 +171,116 @@ def funnel_stages(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_stages_eventtime(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    max_gap_s: int | None = 86400,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Out-of-order-robust twin of :func:`funnel_stages`: events
+    buffer in state until the EVENT-TIME watermark passes them, then
+    fold through the stage machine in (ts, seq) order — so any
+    delivery order within the ``delay`` lateness horizon converges to
+    exactly the batch result (``funnel_stages`` is forward-only and
+    never retro-applies a late prerequisite;
+    ``test_funnel_eventtime_shuffled_delivery_equals_batch`` pins the
+    difference). Events later than the horizon are dropped by the
+    watermark, the standard contract.
+
+    State per key: one epoch-microsecond per stage + the buffer of
+    not-yet-ripe events — O(stages + events inside the lateness
+    horizon), the price of reordering; the watermark bounds it (a
+    10-minute horizon holds ~minutes of one user's events, not the
+    stream). Emits (key, stage) updates whenever ripe events fold;
+    the snapshot per key is the max stage, as with the in-order
+    funnel.
+    """
+    n = len(stages)
+    stage_of = {s: i for i, s in enumerate(stages)}
+    gap_us = max_gap_s * 1_000_000 if max_gap_s is not None else None
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            st = list(state.get)
+            ts = list(st[:n])
+            buf = list(zip(st[n], st[n + 1], st[n + 2]))
+        else:
+            ts, buf = [-1] * n, []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            for row in batch.itertuples(index=False):
+                buf.append(
+                    (
+                        int(getattr(row, ts_col)),
+                        int(getattr(row, seq_col)),
+                        getattr(row, type_col),
+                    )
+                )
+        # Fold everything the event-time watermark has passed, in
+        # event-time order; keep the rest buffered. getCurrentWatermarkMs
+        # is 0 until the first batch completes — nothing ripens then.
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ripe = sorted((e for e in buf if e[0] <= wm_us))
+        buf = [e for e in buf if e[0] > wm_us]
+        for t, _seq, typ in ripe:
+            i = stage_of.get(typ)
+            if i is None or ts[i] != -1:
+                continue
+            if i == 0:
+                ts[i] = t
+            elif ts[i - 1] != -1 and t > ts[i - 1] and (
+                gap_us is None or t <= ts[i - 1] + gap_us
+            ):
+                ts[i] = t
+        state.update(
+            tuple(ts)
+            + (
+                [e[0] for e in buf],
+                [e[1] for e in buf],
+                [e[2] for e in buf],
+            )
+        )
+        depth = 0
+        for i in range(n):
+            if ts[i] == -1:
+                break
+            depth = i + 1
+        yield pd.DataFrame({"key": [k], "stage": [depth]})
+
+    filtered = (
+        events.withColumn("__ets", F.col(ts_col).cast("timestamp"))
+        # the watermark must see every event's time BEFORE the stage
+        # filter, so non-stage traffic still advances it
+        .withWatermark("__ets", delay)
+        .filter(F.col(type_col).isin(*stages))
+        .filter(F.col(ts_col).isNotNull() & F.col(seq_col).isNotNull())
+        .selectExpr(
+            f"CAST({key_col} AS STRING) AS key",
+            f"unix_micros(__ets) AS {ts_col}",
+            f"CAST({seq_col} AS LONG) AS {seq_col}",
+            type_col,
+            # the watermarked column itself must survive to the
+            # stateful operator or getCurrentWatermarkMs raises
+            "__ets",
+        )
+    )
+    state_schema = ", ".join(f"s{i} long" for i in range(n)) + (
+        ", buf_ts array<long>, buf_seq array<long>, buf_typ array<string>"
+    )
+    return filtered.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType="key string, stage long",
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

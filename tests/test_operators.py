@@ -948,3 +948,97 @@ def test_connected_components_reports_rounds(spark):
     trunc: dict = {}
     connected_components(chain, max_iter=1, stats=trunc).count()
     assert trunc["rounds"] == 1 and trunc["converged"] is False
+
+
+def test_line_dedup_keeps_first_occurrence_and_reassembles(spark):
+    from data_lake_project_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\nshared footer\nbody a"),
+            (2, "beta two\nshared footer\nbody b"),
+            # within-doc repeat: second 'twin' must drop too
+            (3, "twin\ntwin\nbody c"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in line_dedup(docs).collect()}
+    # doc 1 saw 'shared footer' first (lowest (doc_id, pos)) -> keeps it
+    assert got[1].clean_text == "alpha one\nshared footer\nbody a"
+    assert got[1].n_lines == 3 and got[1].n_dup_lines == 1
+    # doc 2 loses the footer but keeps position order of the rest
+    assert got[2].clean_text == "beta two\nbody b"
+    assert got[2].n_lines == 3 and got[2].n_dup_lines == 1
+    # within-doc repeat: first kept, second dropped
+    assert got[3].clean_text == "twin\nbody c"
+    assert got[3].n_lines == 3 and got[3].n_dup_lines == 2
+
+
+def test_contamination_score_matches_decontaminate(spark):
+    """score == 0 exactly for the docs decontaminate keeps (same
+    shingle rule), and the scored output ranks a full copy at 1.0."""
+    from data_lake_project_spark.operators.dedup import (
+        contamination_score,
+        decontaminate,
+    )
+    from data_lake_project_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    probes = d.filter("doc_id % 97 = 0").select("text")
+    scored = contamination_score(d, probes, k=3)
+    clean_by_drop = {r.doc_id for r in decontaminate(d, probes).collect()}
+    zero_score = {r.doc_id for r in scored.filter("n_hit = 0").collect()}
+    assert zero_score == clean_by_drop
+    # a probe doc scores 1.0 against itself
+    full = {r.doc_id: r.contamination
+            for r in scored.filter("doc_id % 97 = 0").collect()}
+    assert full and all(v == 1.0 for v in full.values())
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    from data_lake_project_spark.operators.dataset import temperature_sample
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(i + 1000, "mid") for i in range(100)]
+        + [(i + 2000, "small") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_sample(df, "src", "doc_id", seed="t")
+    rates = {r.src: r.mix_rate for r in out.select("src", "mix_rate").distinct().collect()}
+    # smallest keeps all; rate_s = sqrt(c_min / c_s), pround 4
+    assert rates["small"] == 1.0
+    assert rates["mid"] == 0.5  # sqrt(25/100)
+    assert rates["big"] == 0.25  # sqrt(25/400)
+    kept = out.groupBy("src").count().collect()
+    counts = {r.src: r["count"] for r in kept}
+    assert counts["small"] == 25  # rate 1.0 keeps everything
+    # Bernoulli at rate r keeps ~r of the stratum
+    assert 30 <= counts["mid"] <= 70
+    assert 60 <= counts["big"] <= 140
+    # deterministic: same seed -> identical sample
+    again = temperature_sample(df, "src", "doc_id", seed="t")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_canonical_url_and_dedup(spark):
+    from data_lake_project_spark.operators.text import url_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://www.Site.example/p/1?utm_source=a&id=2"),
+            (2, "http://site.example/p/1?id=2"),          # same canon as 1
+            (3, "https://site.example/p/1/?id=2&utm_x=9"),  # same again
+            (4, "https://site.example/p/2/"),
+            (5, "https://site.example/p/2"),               # same as 4
+            (6, "https://other.example/p/1?id=2"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r for r in url_dedup(docs).collect()}
+    assert set(got) == {1, 4, 6}
+    assert got[1].canon_url == "site.example/p/1?id=2"
+    assert got[1].n_dups == 3
+    assert got[4].canon_url == "site.example/p/2"
+    assert got[4].n_dups == 2
+    assert got[6].n_dups == 1

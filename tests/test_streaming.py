@@ -842,3 +842,56 @@ def test_kafka_reader_options_contract():
         "startingOffsets": "latest",
         "failOnDataLoss": "true",
     }
+
+
+def test_funnel_eventtime_shuffled_delivery_equals_batch(spark, tmp_path):
+    """The event-time buffered funnel converges to the batch result
+    under shuffled delivery WITHIN the lateness horizon — the exact
+    scenario where the forward-only funnel (prefix-monotone, pinned
+    above) stops at stage 1. Events buffer in state until the
+    watermark passes them, then fold in (ts, seq) order."""
+    import datetime as dt
+
+    from data_lake_project_spark.streaming.stateful import (
+        funnel_stages_eventtime,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    far = t0 + dt.timedelta(days=1)
+    src = str(tmp_path / "src")
+    # delivery order: click(t2) | view(t1) | purchase(t3) | flush x2
+    _scd2_file(spark, src, "00",
+               [(2, t0 + dt.timedelta(minutes=2), 1, "click", 1.0, "{}")],
+               EV_SCHEMA, 1_700_000_000)
+    _scd2_file(spark, src, "01",
+               [(1, t0 + dt.timedelta(minutes=1), 1, "view", 1.0, "{}")],
+               EV_SCHEMA, 1_700_000_001)
+    _scd2_file(spark, src, "02",
+               [(3, t0 + dt.timedelta(minutes=3), 1, "purchase", 1.0, "{}")],
+               EV_SCHEMA, 1_700_000_002)
+    # flush events: far-future stage events that advance the watermark
+    # past t1..t3 (they themselves stay buffered, and a repeat 'view'
+    # can never advance an already-open funnel)
+    _scd2_file(spark, src, "03",
+               [(90, far, 1, "view", 1.0, "{}")],
+               EV_SCHEMA, 1_700_000_003)
+    _scd2_file(spark, src, "04",
+               [(91, far + dt.timedelta(seconds=1), 1, "view", 1.0, "{}")],
+               EV_SCHEMA, 1_700_000_004)
+
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        funnel_stages_eventtime(stream, delay="10 minutes")
+        .writeStream.format("memory").queryName("mem_funnel_et")
+        .outputMode("update").start()
+    )
+    q.processAllAvailable(); q.stop()
+    final: dict[str, int] = {}
+    for r in spark.table("mem_funnel_et").collect():
+        final[r.key] = max(final.get(r.key, 0), r.stage)
+    # batch fold over (t1 view, t2 click, t3 purchase) reaches stage 3;
+    # the forward-only funnel on this delivery order stops at 1
+    assert final == {"1": 3}
