@@ -150,6 +150,43 @@ def quota_per_stratum(
     )
 
 
+def token_budget_quota(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    budget: int,
+    order_by: list[Column],
+) -> DataFrame:
+    """Cap each stratum at a TOKEN budget, not a row count — the
+    curation cut that matches how training mixtures are actually
+    specified ("200B tokens of web, 30B of code"):
+    rank rows within the stratum by ``order_by`` (end it with a
+    unique id for determinism), keep rows while the running token sum
+    stays within budget (inclusive — the first row to cross is
+    dropped, as are all after it).
+
+    One shuffle on the stratum key; the running sum is a frame-bounded
+    window (no second pass). Same skew note as
+    :func:`quota_per_stratum`: a 10⁹-row stratum means one giant
+    window partition — pre-cut with an approximate per-stratum
+    token-count threshold first at that scale.
+
+    Output: input rows that fit + ``cum_tokens`` (running total
+    including the row) for observability.
+    """
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(
+            "cum_tokens", F.sum(F.col(token_col)).over(w).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     strata_col: str,

@@ -1801,6 +1801,27 @@ def q83_temperature_mix(spark, sf):
     )
 
 
+def q85_token_budget_quota(spark, sf):
+    """Per-source TOKEN-budget cap (mixtures are specified in tokens,
+    not documents — q48 is the doc-count quota): whitespace token
+    counts, ingestion order (doc_id), keep rows while the running
+    per-source sum stays ≤ 300."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_toks"
+        ),
+    )
+    return (
+        DS.token_budget_quota(
+            d, "source", "n_toks", 300, [F.col("doc_id")]
+        )
+        .select("doc_id", "source", "n_toks", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def q84_url_dedup(spark, sf):
     """Crawl URL dedup on the canonical form (scheme/www/utm/trailing-
     slash stripped) over synthesized URLs: keep lowest doc_id per
@@ -1902,6 +1923,7 @@ QUERIES: dict[str, QueryFn] = {
     "q82_contamination_score": q82_contamination_score,
     "q83_temperature_mix": q83_temperature_mix,
     "q84_url_dedup": q84_url_dedup,
+    "q85_token_budget_quota": q85_token_budget_quota,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -3458,6 +3480,22 @@ ORACLE: dict[str, str] = {
         )
         SELECT doc_id, url, canon_url, n_dups::BIGINT AS n_dups
         FROM h WHERE rn = 1 ORDER BY doc_id
+    """,
+    "q85_token_budget_quota": """
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                       AS n_toks
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, source, n_toks,
+                   sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+            FROM t
+        )
+        SELECT doc_id, source, n_toks, cum_tokens
+        FROM w WHERE cum_tokens <= 300 ORDER BY doc_id
     """,
 }
 

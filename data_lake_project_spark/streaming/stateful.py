@@ -200,6 +200,12 @@ def funnel_stages_eventtime(
     stream). Emits (key, stage) updates whenever ripe events fold;
     the snapshot per key is the max stage, as with the in-order
     funnel.
+
+    A key with a non-empty buffer arms an EVENT-TIME TIMEOUT at its
+    earliest buffered timestamp, so buffered events fold when the
+    watermark passes them even if the key never receives another
+    event (Spark's no-data micro-batches deliver the timeout) — a
+    quiet user's funnel does not hang on traffic that never comes.
     """
     n = len(stages)
     stage_of = {s: i for i, s in enumerate(stages)}
@@ -250,6 +256,12 @@ def funnel_stages_eventtime(
                 [e[2] for e in buf],
             )
         )
+        if buf:
+            # wake this key when the watermark passes its earliest
+            # buffered event (timeout must sit strictly beyond the
+            # current watermark or Spark rejects it)
+            wake_ms = min(e[0] for e in buf) // 1000 + 1
+            state.setTimeoutTimestamp(max(wake_ms, wm_us // 1000 + 1))
         depth = 0
         for i in range(n):
             if ts[i] == -1:
@@ -282,5 +294,5 @@ def funnel_stages_eventtime(
         outputStructType="key string, stage long",
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -274,3 +274,107 @@ def test_split_sentences_pathological_punctuation(spark):
         got.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence))
     for k, (_, want) in cases.items():
         assert [s for _, s in sorted(got[k])] == want, (k, sorted(got[k]))
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["nav", "foot", "aaa", "bb", "c1", "d2"]),
+                 min_size=1, max_size=5),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_line_dedup_invariants(spark, docs_lines):
+    """(1) every kept line is a line of its document, in original
+    order; (2) total kept occurrences of a line across the corpus ==
+    1 if it was duplicated, == its count if unique (i.e. exactly the
+    first occurrence survives); (3) a corpus with all-unique lines
+    round-trips unchanged."""
+    from data_lake_project_spark.operators.dedup import line_dedup
+
+    rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs_lines)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df).collect()}
+    from collections import Counter
+
+    corpus = Counter(l for ls in docs_lines for l in ls)
+    kept = Counter()
+    for i, ls in enumerate(docs_lines):
+        r = out[i]
+        kept_lines = r.clean_text.split("\n") if r.clean_text else []
+        kept.update(kept_lines)
+        # kept lines are a subsequence of the original lines
+        it = iter(ls)
+        assert all(any(orig == k for orig in it) for k in kept_lines), (
+            ls, kept_lines
+        )
+        assert r.n_lines == len(ls)
+        assert r.n_dup_lines == sum(1 for l in ls if corpus[l] > 1)
+    # exactly one survivor per distinct line
+    assert set(kept) == set(corpus)
+    assert all(v == 1 for v in kept.values())
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(st.tuples(st.integers(0, 500), st.sampled_from(["a", "b", "c"])),
+             min_size=1, max_size=40, unique_by=lambda t: t[0])
+)
+def test_temperature_sample_invariants(spark, rows):
+    """Rates are in (0, 1]; the smallest stratum keeps every row;
+    output is a subset of input; per-row keep decisions depend only on
+    (stratum, key) — dropping other strata doesn't change a stratum's
+    sample (given its count stays put)."""
+    from data_lake_project_spark.operators.dataset import temperature_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_sample(df, "src", "doc_id", seed="p").collect()
+    in_keys = {(r[0], r[1]) for r in rows}
+    assert all((r.doc_id, r.src) in in_keys for r in out)
+    assert all(0.0 < r.mix_rate <= 1.0 for r in out)
+    from collections import Counter
+
+    counts = Counter(s for _, s in rows)
+    smallest = min(counts, key=lambda s: (counts[s], s))
+    min_count = counts[smallest]
+    kept_small = [r for r in out if counts[r.src] == min_count]
+    assert len(kept_small) == sum(
+        1 for _, s in rows if counts[s] == min_count
+    )
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(st.tuples(st.integers(0, 100), st.integers(1, 30),
+                       st.sampled_from(["x", "y"])),
+             min_size=1, max_size=30, unique_by=lambda t: t[0])
+)
+def test_token_budget_quota_invariants(spark, rows):
+    """Kept rows are exactly the maximal doc_id-ordered prefix of each
+    stratum whose running token sum stays within budget."""
+    from data_lake_project_spark.operators.dataset import token_budget_quota
+    from pyspark.sql import functions as F
+
+    budget = 40
+    df = spark.createDataFrame(rows, "doc_id long, n_toks long, src string")
+    out = sorted(
+        (r.src, r.doc_id, r.cum_tokens)
+        for r in token_budget_quota(
+            df, "src", "n_toks", budget, [F.col("doc_id")]
+        ).collect()
+    )
+    expect = []
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for did, tok, src in sorted(rows):
+        per[src].append((did, tok))
+    for src, docs in per.items():
+        cum = 0
+        for did, tok in docs:
+            cum += tok
+            if cum > budget:
+                break
+            expect.append((src, did, cum))
+    assert out == sorted(expect)

@@ -895,3 +895,70 @@ def test_funnel_eventtime_shuffled_delivery_equals_batch(spark, tmp_path):
     # batch fold over (t1 view, t2 click, t3 purchase) reaches stage 3;
     # the forward-only funnel on this delivery order stops at 1
     assert final == {"1": 3}
+
+
+def test_funnel_eventtime_shuffled_fixture_equals_batch(spark, tmp_path):
+    """Fixture-scale equivalence under ADVERSARIAL delivery: the
+    events table sliced by event_id % 4, slices delivered out of time
+    order, lateness horizon covering the full span — the buffered
+    funnel's final snapshot must equal the q69 batch fold exactly.
+    Event-time timeouts flush every key's buffer once the watermark
+    passes (no per-key flush traffic needed)."""
+    import datetime as dt
+    import glob as _glob
+
+    from data_lake_project_spark.queries import QUERIES
+    from data_lake_project_spark.streaming.stateful import (
+        funnel_stages_eventtime,
+    )
+    from data_lake_project_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = 1_700_000_000
+    # deliver slices in scrambled order: 2, 0, 3, 1
+    for mt, sl in enumerate([2, 0, 3, 1]):
+        part = str(tmp_path / f"s{sl}")
+        ev.filter(F.col("event_id") % 4 == sl).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        for f in sorted(_glob.glob(f"{part}/part-*.parquet")):
+            dst = os.path.join(src, f"{mt:02d}.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (base + mt, base + mt))
+    # flush: one far-future event advances the global watermark past
+    # every fixture event; its own key is excluded from the compare
+    far = ev.agg(F.max("ts")).first()[0] + dt.timedelta(days=9000)
+    spark.createDataFrame(
+        [(99_999_999, far, 999_999, "view", 1.0, "{}")], ev.schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "sflush"))
+    for f in sorted(_glob.glob(str(tmp_path / "sflush") + "/part-*.parquet")):
+        dst = os.path.join(src, "99.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (base + 99, base + 99))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        funnel_stages_eventtime(stream, delay="4000 days")
+        .writeStream.format("memory").queryName("mem_funnel_etfix")
+        .outputMode("update").start()
+    )
+    q.processAllAvailable(); q.stop()
+    final: dict[str, int] = {}
+    for r in spark.table("mem_funnel_etfix").collect():
+        final[r.key] = max(final.get(r.key, 0), r.stage)
+    final.pop("999999", None)
+    stream_counts: dict[str, int] = {}
+    labels = {0: "0_none", 1: "1_view", 2: "2_click", 3: "3_purchase"}
+    for stage in final.values():
+        lab = labels[stage]
+        stream_counts[lab] = stream_counts.get(lab, 0) + 1
+    batch_counts = {
+        r.stage: r.n_users for r in QUERIES["q69_funnel"](spark, sf).collect()
+    }
+    assert stream_counts == batch_counts
