@@ -661,6 +661,44 @@ def contamination_score(
     )
 
 
+def keep_cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    order_cols: list,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The keep-one-per-family materialization that turns near-dup
+    CLUSTERS (:func:`connected_components` over verified pairs) into
+    the deduped corpus: within each cluster keep the best row by
+    ``order_cols`` (END IT WITH THE ID for a deterministic pick),
+    drop the rest; documents in no cluster pass through untouched.
+
+    Plan: components run over the pair graph only (docs that matched
+    something — a vanishing fraction of the corpus), the per-cluster
+    rank windows over that same small set, and the corpus itself is
+    touched by exactly ONE anti-join against the dropped-id set —
+    never shuffled on the cluster key. Output: surviving docs +
+    ``family_size`` (1 for documents that matched nothing).
+    """
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    clustered = docs.join(comp, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(*order_cols)
+    drops = (
+        clustered.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select(id_col)
+    )
+    return (
+        docs.join(drops, id_col, "left_anti")
+        .join(comp.select(id_col, "cluster_size"), id_col, "left")
+        .withColumn(
+            "family_size",
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long"),
+        )
+        .drop("cluster_size")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     left: str = "id_a",

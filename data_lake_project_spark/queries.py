@@ -920,6 +920,28 @@ def q51_dedup_clusters(spark, sf):
     )
 
 
+def q86_dedup_corpus(spark, sf):
+    """The keep-one-per-family materialization q51 stops short of:
+    verified Jaccard pairs → connected components → keep the LONGEST
+    doc per cluster (ties to lowest id), pass untouched docs through.
+    The complete near-dup ladder (shingle → minhash → LSH → verify →
+    cluster → materialize) as one oracle-checked plan."""
+    d = load_table(spark, sf, "documents")
+    sets = D.shingle_sets(d, k=3)
+    sig = D.minhash_sets(sets, num_hashes=8)
+    cand = D.minhash_candidates_sets(sig, band_size=2)
+    pairs = D.jaccard_verify_sets(cand, sets, threshold=0.5)
+    return (
+        D.keep_cluster_representatives(
+            d.select("doc_id", "n_chars"),
+            pairs,
+            order_cols=[F.col("n_chars").desc(), F.col("doc_id")],
+        )
+        .select("doc_id", "n_chars", "family_size")
+        .orderBy("doc_id")
+    )
+
+
 def q52_repetition(spark, sf):
     """Intra-document repetition ratio (duplicated word 3-gram
     fraction) — the Gopher/FineWeb quality signal corpus-level dedup
@@ -1924,6 +1946,7 @@ QUERIES: dict[str, QueryFn] = {
     "q83_temperature_mix": q83_temperature_mix,
     "q84_url_dedup": q84_url_dedup,
     "q85_token_budget_quota": q85_token_budget_quota,
+    "q86_dedup_corpus": q86_dedup_corpus,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -3496,6 +3519,54 @@ ORACLE: dict[str, str] = {
         )
         SELECT doc_id, source, n_toks, cum_tokens
         FROM w WHERE cum_tokens <= 300 ORDER BY doc_id
+    """,
+    "q86_dedup_corpus": f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        sets AS (
+            SELECT doc_id, list_sort(list(DISTINCT shingle)) AS shs
+            FROM sh GROUP BY doc_id
+        ),
+        verified AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN sets a ON a.doc_id = c.id_a
+            JOIN sets b ON b.doc_id = c.id_b
+            WHERE len(list_intersect(a.shs, b.shs))::DOUBLE
+                  / (len(a.shs) + len(b.shs)
+                     - len(list_intersect(a.shs, b.shs)))::DOUBLE >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM verified
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM verified
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.src, re.r FROM edges e JOIN reach re ON re.id = e.dst
+        ),
+        comp AS (
+            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        ),
+        sized AS (
+            SELECT id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS csize
+            FROM comp
+        ),
+        ranked AS (
+            SELECT s.id, s.csize,
+                   row_number() OVER (PARTITION BY s.cluster_id
+                       ORDER BY d.n_chars DESC, s.id) AS rk
+            FROM sized s JOIN documents d ON d.doc_id = s.id
+        ),
+        drops AS (SELECT id FROM ranked WHERE rk > 1)
+        SELECT d.doc_id, d.n_chars::BIGINT AS n_chars,
+               coalesce(r.csize, 1)::BIGINT AS family_size
+        FROM documents d
+        LEFT JOIN ranked r ON r.id = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT id FROM drops)
+        ORDER BY d.doc_id
     """,
 }
 

@@ -1042,3 +1042,27 @@ def test_canonical_url_and_dedup(spark):
     assert got[4].canon_url == "site.example/p/2"
     assert got[4].n_dups == 2
     assert got[6].n_dups == 1
+
+
+def test_keep_cluster_representatives(spark):
+    """Chain cluster {1,2,3} keeps only the longest member; singleton
+    pairsless docs pass through with family_size 1."""
+    from data_lake_project_spark.operators.dedup import (
+        keep_cluster_representatives,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 5), (5, 7)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: (r.n_chars, r.family_size)
+        for r in keep_cluster_representatives(
+            docs, pairs, [F.col("n_chars").desc(), F.col("doc_id")]
+        ).collect()
+    }
+    assert got == {2: (30, 3), 4: (5, 1), 5: (7, 1)}
