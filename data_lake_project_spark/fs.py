@@ -82,23 +82,11 @@ def read_text(spark: SparkSession, path: str) -> str:
 def list_files(
     spark: SparkSession, path: str, suffix: str | None = None
 ) -> list[tuple[str, int]]:
-    """Recursive (path, size) listing of the files under ``path``.
-
-    One round-trip per batch of remote listings (the Hadoop
-    ``listFiles`` iterator pages internally) — never a per-file RPC
-    loop in Python beyond iterating the statuses.
-    """
-    fs, p, _ = _fs(spark, path)
-    if not fs.exists(p):
-        return []
-    it = fs.listFiles(p, True)
-    out = []
-    while it.hasNext():
-        st = it.next()
-        name = st.getPath().toString()
-        if suffix is None or name.endswith(suffix):
-            out.append((name, int(st.getLen())))
-    return out
+    """Recursive (path, size) listing of the files under ``path`` —
+    :func:`list_statuses` without the mtimes."""
+    return [
+        (name, size) for name, size, _ in list_statuses(spark, path, suffix)
+    ]
 
 
 def total_size(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
@@ -108,8 +96,12 @@ def total_size(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
 def list_statuses(
     spark: SparkSession, path: str, suffix: str | None = None
 ) -> list[tuple[str, int, int]]:
-    """Like :func:`list_files` but also returns modification time
-    (epoch millis) — the retention signal marker-GC needs."""
+    """Recursive (path, size, mtime-epoch-millis) listing of the
+    files under ``path``; mtime is the retention signal marker-GC
+    needs. One round-trip per batch of remote listings (the Hadoop
+    ``listFiles`` iterator pages internally) — never a per-file RPC
+    loop in Python beyond iterating the statuses.
+    """
     fs, p, _ = _fs(spark, path)
     if not fs.exists(p):
         return []

@@ -125,3 +125,18 @@ def spread(df, min_partitions: int | None = None):
     if n_files < target:
         return df.repartition(target)
     return df
+
+
+def reserve_columns(df, op_name: str, *names: str) -> None:
+    """Raise if ``df`` already carries a column an operator uses as
+    internal working space or output — silently overwriting a user
+    column (then dropping or emitting it) is the failure mode the
+    ``time_range_join``/``__bin`` guard first pinned; every operator
+    that materializes working columns should call this."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"{op_name}: input already has column(s) {clash} — these "
+            "names are reserved by the operator (internal working "
+            "space or output); rename them first"
+        )

@@ -286,7 +286,14 @@ def scd2_apply(
     ``valid_from`` raises (failing the batch) instead of silently
     folding a corrupted history — the fold only carries the open row,
     so a late event can never be merged retroactively; replay the
-    stream from a consistent offset instead.
+    stream from a consistent offset instead. The guard is
+    strict-``<`` by design: an event AT the open ``valid_from`` is
+    accepted as a legitimate same-timestamp successor (two events in
+    one second are ordered by seq within a batch, and the open row
+    does not retain its seq to disambiguate across batches) — which
+    also means a replayed/corrected batch whose earliest event sits
+    exactly at ``valid_from`` folds as a new observation rather than
+    raising.
 
     Output schema: (__scd_key, entity, attr, valid_from, valid_to,
     version) with valid_to NULL on the open interval.

@@ -174,6 +174,9 @@ def token_budget_quota(
     Output: input rows that fit + ``cum_tokens`` (running total
     including the row) for observability.
     """
+    from data_lake_project_spark.functions import reserve_columns
+
+    reserve_columns(df, "token_budget_quota", "cum_tokens")
     w = (
         Window.partitionBy(strata_col)
         .orderBy(*order_by)
@@ -214,7 +217,9 @@ def temperature_sample(
     Output: kept rows + ``mix_rate`` (the stratum's keep rate,
     rounded 4) for observability.
     """
-    from data_lake_project_spark.functions import pround
+    from data_lake_project_spark.functions import pround, reserve_columns
+
+    reserve_columns(df, "temperature_sample", "__rate", "mix_rate", "__c")
 
     counts = df.groupBy(strata_col).agg(F.count("*").alias("__c"))
     # global min via a window over the counts frame — it holds one row

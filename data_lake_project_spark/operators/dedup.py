@@ -572,10 +572,26 @@ def line_dedup(
     document length.
 
     Occurrence keys encode as ``doc_id * 100_000 + pos`` (docs are
-    assumed < 100k lines; raise the factor for pathological inputs).
+    assumed < 100k lines; raise the factor for pathological inputs),
+    which requires an INTEGRAL id column — a string id would cast to
+    NULL and silently drop every duplicated line's first occurrence,
+    so non-integral ids raise instead (hash or zipWithIndex them
+    first).
 
     Output: (id, n_lines, n_dup_lines, clean_text).
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    from data_lake_project_spark.functions import reserve_columns
+
+    reserve_columns(docs, "line_dedup", "__occ", "__cnt", "__first", "__keep")
+    id_type = docs.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"line_dedup: id column {id_col!r} must be integral (got "
+            f"{id_type.simpleString()}) — the first-occurrence key is "
+            "id*100000+pos; hash or index non-numeric ids first"
+        )
     occ = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
@@ -631,7 +647,10 @@ def contamination_score(
     shingles broadcast (benchmarks are MBs, corpora are TBs); the
     left join tags hits and one per-doc aggregation computes the
     ratio. Zero corpus shuffles before the per-doc agg (keyed on the
-    id the shingles already carry).
+    id the shingles already carry). EVERY input doc gets a row:
+    shingle-less documents (empty/whitespace text) score
+    (0, 0, 0.0) — the same pass-through contract as decontaminate,
+    which never drops them either.
 
     Output: (id, n_shingles, n_hit, contamination∈[0,1] rounded 4).
     """
@@ -647,16 +666,29 @@ def contamination_score(
         .distinct()
         .withColumn("__hit", F.lit(1).cast("long"))
     )
-    return (
+    scored = (
         corpus_sh.join(F.broadcast(probe_sh), "shingle", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_shingles"),
             F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
         )
-        .withColumn(
-            "contamination",
-            pround(F.col("n_hit") / F.col("n_shingles"), 4),
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias(
+                "n_shingles"
+            ),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            pround(
+                F.coalesce(
+                    F.col("n_hit") / F.col("n_shingles"), F.lit(0.0)
+                ),
+                4,
+            ).alias("contamination"),
         )
     )
 
@@ -680,6 +712,16 @@ def keep_cluster_representatives(
     never shuffled on the cluster key. Output: surviving docs +
     ``family_size`` (1 for documents that matched nothing).
     """
+    from data_lake_project_spark.functions import reserve_columns
+
+    reserve_columns(
+        docs,
+        "keep_cluster_representatives",
+        "cluster_id",
+        "cluster_size",
+        "family_size",
+        "__rk",
+    )
     comp = connected_components(pairs).withColumnRenamed("id", id_col)
     clustered = docs.join(comp, id_col)
     w = Window.partitionBy("cluster_id").orderBy(*order_cols)

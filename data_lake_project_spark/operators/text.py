@@ -245,17 +245,30 @@ def canonicalize(col: Column) -> Column:
 def canonical_url(col: Column) -> Column:
     """Canonical URL form for crawl dedup: lowercase, drop the scheme
     and a leading ``www.``, strip ``utm_*`` tracking parameters (the
-    analytics noise that makes one page look like many), drop the
-    slash before a query string and any trailing slash. Pure narrow
-    expression — the regex chain is RE2-compatible (no lookarounds),
-    so the identical patterns run in the DuckDB oracle."""
+    analytics noise that makes one page look like many), drop any
+    trailing slash on the path. Pure narrow expression.
+
+    Parameter stripping splits the query string and FILTERS the
+    parameter array (``p -> NOT startswith(p, 'utm_')``) instead of
+    regex-deleting ``utm_[^&]*`` spans: a regex without a boundary
+    anchor corrupts parameters that merely CONTAIN 'utm_'
+    (``?xutm_a=1`` is not a tracking param), and anchored variants
+    need backreferences whose syntax differs between engines — the
+    array form is boundary-exact and runs identically in the DuckDB
+    oracle (``list_filter``/``starts_with``)."""
     c = F.lower(col)
     c = F.regexp_replace(c, r"^https?://", "")
     c = F.regexp_replace(c, r"^www\.", "")
-    c = F.regexp_replace(c, r"utm_[^&]*&", "")  # utm followed by more
-    c = F.regexp_replace(c, r"[?&]utm_[^&]*$", "")  # trailing utm
-    c = F.regexp_replace(c, r"/\?", "?")
-    return F.regexp_replace(c, r"/$", "")
+    parts = F.split(c, r"\?", 2)
+    path = F.regexp_replace(F.element_at(parts, 1), r"/$", "")
+    params = F.filter(
+        F.split(F.element_at(parts, 2), "&"),
+        lambda p: ~p.startswith("utm_"),
+    )
+    return F.when(
+        (F.size(parts) > 1) & (F.size(params) > 0),
+        F.concat(path, F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(path)
 
 
 def url_dedup(
@@ -267,6 +280,9 @@ def url_dedup(
     .normalized_dedup` — the canonical form is the shuffle key,
     uniform after canonicalization collapses the tracking-parameter
     fan-out. Output: (id, url, canon_url, n_dups)."""
+    from data_lake_project_spark.functions import reserve_columns
+
+    reserve_columns(docs, "url_dedup", "canon_url", "n_dups", "__rn")
     w = Window.partitionBy("canon_url").orderBy(id_col)
     return (
         docs.select(id_col, url_col)

@@ -3445,10 +3445,13 @@ ORACLE: dict[str, str] = {
                        THEN 1 ELSE 0 END)::BIGINT AS n_hit
             FROM sh GROUP BY doc_id
         )
-        SELECT doc_id, n_shingles, n_hit,
-               floor(n_hit / n_shingles::DOUBLE * 10000.0 + 0.5) / 10000.0
-                   AS contamination
-        FROM agg ORDER BY doc_id
+        SELECT d.doc_id,
+               coalesce(a.n_shingles, 0)::BIGINT AS n_shingles,
+               coalesce(a.n_hit, 0)::BIGINT AS n_hit,
+               coalesce(floor(a.n_hit / a.n_shingles::DOUBLE * 10000.0
+                              + 0.5) / 10000.0, 0.0) AS contamination
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        ORDER BY d.doc_id
     """,
     "q83_temperature_mix": f"""
         WITH docs AS (
@@ -3481,18 +3484,25 @@ ORACLE: dict[str, str] = {
         WITH u AS (
             SELECT doc_id, {URLS_CORPUS_EXPR} AS url FROM documents
         ),
+        c0 AS (
+            SELECT doc_id, url,
+                   string_split(regexp_replace(regexp_replace(lower(url),
+                       '^https?://', ''), '^www\\.', ''), '?') AS parts
+            FROM u
+        ),
         c AS (
             SELECT doc_id, url,
-                   regexp_replace(regexp_replace(regexp_replace(
-                   regexp_replace(regexp_replace(regexp_replace(
-                       lower(url),
-                       '^https?://', ''),
-                       '^www\\.', ''),
-                       'utm_[^&]*&', '', 'g'),
-                       '[?&]utm_[^&]*$', ''),
-                       '/\\?', '?'),
-                       '/$', '') AS canon_url
-            FROM u
+                   CASE WHEN len(parts) > 1 AND len(list_filter(
+                            string_split(parts[2], '&'),
+                            x -> NOT starts_with(x, 'utm_'))) > 0
+                        THEN concat(regexp_replace(parts[1], '/$', ''), '?',
+                                    array_to_string(list_filter(
+                                        string_split(parts[2], '&'),
+                                        x -> NOT starts_with(x, 'utm_')),
+                                        '&'))
+                        ELSE regexp_replace(parts[1], '/$', '')
+                   END AS canon_url
+            FROM c0
         ),
         h AS (
             SELECT doc_id, url, canon_url,

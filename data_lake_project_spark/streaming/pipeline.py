@@ -258,19 +258,30 @@ def write_stream_scd2(
     with a fresh checkpoint renumbers batches from 0, so an id-keyed
     marker would silently swallow every NEW batch. Content addressing
     skips exactly the batches whose events were already folded,
-    whatever their id. (A corrected replay then hits ``scd2_apply``'s
-    out-of-order guard and fails loudly — upstream corrections need a
-    rebuild, not an in-place re-fold.)
+    whatever their id. (A corrected replay then usually hits
+    ``scd2_apply``'s out-of-order guard and fails loudly — the guard
+    is strict-``<``, so a correction whose EARLIEST event sits
+    exactly at the open interval's ``valid_from`` folds as a new
+    same-timestamp observation instead; upstream corrections need a
+    rebuild either way, never an in-place re-fold. The fingerprint
+    formula is part of the marker namespace: changing it orphans
+    every existing marker, so upgrades that touch it must drain the
+    stream — no replayable batches in flight — first.)
 
     Crash windows are DETECTED, not silent: the marker is written in
     state ``pending`` BEFORE the merge and flipped to ``committed``
-    after, so a crash between merge and commit leaves a pending
-    marker and the replayed batch raises for operator repair (rebuild
-    the entity from the log, or delete the marker after verifying the
-    fold landed exactly once) instead of minting spurious versions.
-    Delta's txnAppId transaction log closes the window atomically on
-    a real deployment. Markers accumulate one tiny file per batch —
-    prune anything older than the source's replay horizon with
+    after, so a replay that finds a pending marker raises for
+    operator repair instead of re-folding. ``pending`` means exactly
+    "an attempt started and did not commit" — the merge may have
+    fully landed (crash before the flip), partially landed, or never
+    started (transient failure before the merge); the repair is to
+    compare the entity histories against the batch and either fold
+    manually or delete the marker, and correctness is chosen over
+    availability here deliberately (a transiently-failed batch also
+    parks the stream until the operator clears it). Delta's txnAppId
+    transaction log closes the window atomically on a real
+    deployment. Markers accumulate one tiny file per batch — prune
+    anything older than the source's replay horizon with
     :func:`scd2_marker_gc` (a replay can only re-deliver what the
     source retains)."""
     from data_lake_project_spark.lakehouse import scd2_apply
@@ -302,10 +313,11 @@ def write_stream_scd2(
                 return  # same batch content already folded
             raise RuntimeError(
                 f"scd2 sink: marker {marker} is 'pending' — a prior "
-                "attempt crashed between MERGE and commit, so this "
-                "batch may be partially or fully applied. Verify the "
-                "history (or rebuild the touched entities), then "
-                "delete the marker to resume."
+                "attempt on this batch started and did not commit, so "
+                "the merge may be fully, partially, or not at all "
+                "applied. Verify the touched entities' histories "
+                "against the batch (or rebuild them), then delete the "
+                "marker to resume."
             )
         fs.write_text(spark, marker, "pending")
         scd2_apply(

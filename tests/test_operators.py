@@ -1066,3 +1066,77 @@ def test_keep_cluster_representatives(spark):
         ).collect()
     }
     assert got == {2: (30, 3), 4: (5, 1), 5: (7, 1)}
+
+
+def test_canonical_url_param_boundaries(spark):
+    """Review fix: utm stripping is parameter-boundary-exact — params
+    that merely CONTAIN 'utm_' (name or value) survive intact."""
+    from pyspark.sql import functions as F
+
+    from data_lake_project_spark.operators.text import canonical_url
+
+    cases = {
+        "https://a.com/?xutm_a=1&b=2": "a.com?xutm_a=1&b=2",
+        "https://a.com/?ref=utm_news&id=1": "a.com?ref=utm_news&id=1",
+        "https://a.com/?utm_a=1&utm_b=2&id=3": "a.com?id=3",
+        "https://a.com/?utm_a=1&utm_b=2": "a.com",
+        "https://www.a.com/p/": "a.com/p",
+        "https://a.com/p/?utm_only=x": "a.com/p",
+    }
+    df = spark.createDataFrame(
+        [(u,) for u in cases], "url string"
+    ).withColumn("c", canonical_url(F.col("url")))
+    got = {r.url: r.c for r in df.collect()}
+    assert got == cases
+
+
+def test_line_dedup_rejects_non_integral_id(spark):
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [("d1", "a\nb")], "doc_id string, text string"
+    )
+    with _pytest.raises(ValueError, match="integral"):
+        line_dedup(docs)
+
+
+def test_contamination_score_covers_shingleless_docs(spark):
+    """Review fix: empty/whitespace docs get a (0, 0, 0.0) row — the
+    same never-dropped contract as decontaminate."""
+    from data_lake_project_spark.operators.dedup import contamination_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([("alpha beta gamma",)], "text string")
+    got = {r.doc_id: (r.n_shingles, r.n_hit, r.contamination)
+           for r in contamination_score(docs, probes).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == (0, 0, 0.0) and got[3] == (0, 0, 0.0)
+    assert got[1][0] > 0 and got[1][1] > 0
+
+
+def test_reserved_column_guards_raise(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_lake_project_spark.operators.dataset import (
+        temperature_sample,
+        token_budget_quota,
+    )
+    from data_lake_project_spark.operators.text import url_dedup
+
+    df = spark.createDataFrame(
+        [(1, "s", 5, 0.1, "u")],
+        "doc_id long, src string, cum_tokens long, mix_rate double, "
+        "canon_url string",
+    )
+    with _pytest.raises(ValueError, match="cum_tokens"):
+        token_budget_quota(df, "src", "doc_id", 10, [F.col("doc_id")])
+    with _pytest.raises(ValueError, match="mix_rate"):
+        temperature_sample(df, "src", "doc_id")
+    with _pytest.raises(ValueError, match="canon_url"):
+        url_dedup(df.withColumnRenamed("src", "url"))
