@@ -1856,6 +1856,43 @@ def q84_url_dedup(spark, sf):
     return url_dedup(d).orderBy("doc_id")
 
 
+def q87_fuzzy_match(spark, sf):
+    """Blocked fuzzy entity resolution: typo-class duplicate pairs the
+    hash/MinHash family can't see. Block on (lang, source) — one
+    equi-join shuffle, pairs only within a block — then banded
+    Levenshtein (3-arg short-circuit form) on 24-char prefixes,
+    dist <= 14. See ``operators.linkage.fuzzy_join`` for the
+    quadratic-blowup guard contract."""
+    from data_lake_project_spark.operators.linkage import fuzzy_join
+
+    d = load_table(spark, sf, "documents")
+    return fuzzy_join(
+        d, ["lang", "source"], "text", "doc_id", max_dist=14, prefix_len=24
+    ).orderBy("left_id", "right_id")
+
+
+def q88_kmeans_clusters(spark, sf):
+    """Full-corpus distributed k-means (k=8, 3 Lloyd iterations) over
+    the embeddings table — the unsupervised domain-discovery pass of a
+    mixture pipeline. Deterministic (lowest-id seeds, lowest-index tie
+    break), so the cluster histogram is stable across runs/engines.
+    Iterative + Arrow-matmul assignment → no SQL oracle (rows-only);
+    quality/determinism pinned in tests/test_operators.py."""
+    from data_lake_project_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    cents = kmeans_fit(e, k=8, iters=3)
+    return (
+        kmeans_assign(e, cents)
+        .groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .orderBy("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -1947,6 +1984,8 @@ QUERIES: dict[str, QueryFn] = {
     "q84_url_dedup": q84_url_dedup,
     "q85_token_budget_quota": q85_token_budget_quota,
     "q86_dedup_corpus": q86_dedup_corpus,
+    "q87_fuzzy_match": q87_fuzzy_match,
+    "q88_kmeans_clusters": q88_kmeans_clusters,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -3577,6 +3616,19 @@ ORACLE: dict[str, str] = {
         LEFT JOIN ranked r ON r.id = d.doc_id
         WHERE d.doc_id NOT IN (SELECT id FROM drops)
         ORDER BY d.doc_id
+    """,
+    "q87_fuzzy_match": """
+        WITH d AS (
+            SELECT doc_id, lang, source, substr(text, 1, 24) AS p
+            FROM documents
+        )
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               levenshtein(a.p, b.p)::BIGINT AS dist
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.p, b.p) <= 14
+        ORDER BY left_id, right_id
     """,
 }
 

@@ -1140,3 +1140,111 @@ def test_reserved_column_guards_raise(spark):
         temperature_sample(df, "src", "doc_id")
     with _pytest.raises(ValueError, match="canon_url"):
         url_dedup(df.withColumnRenamed("src", "url"))
+
+
+def test_fuzzy_join_pairs_and_guards(spark):
+    """Blocked fuzzy match: finds typo pairs inside a block, never
+    across blocks; dist is exact Levenshtein on the bounded prefix;
+    the max_block guard fails fast with the offending key."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.linkage import fuzzy_join
+
+    rows = [
+        (1, "b1", "acme incorporated"),
+        (2, "b1", "acme, incorporated"),   # 1 edit (insert ",") from row 1
+        (3, "b1", "zzz totally different"),
+        (4, "b2", "acme incorporated"),    # same text, other block
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, name string")
+    out = fuzzy_join(
+        df, ["blk"], "name", "id", max_dist=3, prefix_len=24
+    ).collect()
+    pairs = {(r.left_id, r.right_id): r.dist for r in out}
+    assert pairs == {(1, 2): 1}  # cross-block (1,4) must NOT appear
+    with _pytest.raises(ValueError, match="max_block"):
+        fuzzy_join(df, ["blk"], "name", "id", 3, max_block=2)
+    with _pytest.raises(ValueError, match="not in input"):
+        fuzzy_join(df, ["blk"], "missing", "id", 3)
+
+
+def test_fuzzy_join_threshold_matches_plain_levenshtein(spark):
+    """The 3-arg banded levenshtein lane must agree with the plain
+    2-arg function at the threshold boundary (the oracle runs the
+    plain form)."""
+    from data_lake_project_spark.operators.linkage import fuzzy_join
+
+    d = load_table(spark, SF_DIR, "documents")
+    got = fuzzy_join(
+        d, ["lang", "source"], "text", "doc_id", max_dist=14, prefix_len=24
+    )
+    a = d.select(
+        F.col("doc_id").alias("left_id"),
+        "lang",
+        "source",
+        F.substring("text", 1, 24).alias("pa"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("right_id"),
+        "lang",
+        "source",
+        F.substring("text", 1, 24).alias("pb"),
+    )
+    want = (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
+        .filter(F.col("dist") <= 14)
+        .select("left_id", "right_id", "dist")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_kmeans_quality_and_determinism(spark):
+    """Full-corpus Lloyd: inertia must not increase with iterations,
+    the final assignment must be self-consistent (every vector sits in
+    its nearest centroid's cluster), and two fits are bit-identical."""
+    import numpy as np
+
+    from data_lake_project_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        kmeans_inertia,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    c0 = kmeans_fit(e, k=4, iters=0)   # raw seeds
+    c3 = kmeans_fit(e, k=4, iters=3)
+    i0 = kmeans_inertia(e, c0)
+    i3 = kmeans_inertia(e, c3)
+    assert i3 <= i0 + 1e-12, f"inertia rose: {i0} -> {i3}"
+    assert np.array_equal(c3, kmeans_fit(e, k=4, iters=3))  # deterministic
+
+    # self-consistency: recompute nearest centroid locally via numpy
+    assigned = {r.vec_id: r.cluster for r in kmeans_assign(e, c3).collect()}
+    rows = e.select("vec_id", "embedding").collect()
+    cu = c3 / np.linalg.norm(c3, axis=1, keepdims=True)
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        n = np.linalg.norm(v)
+        sims = (v / (n if n else 1.0)) @ cu.T
+        assert assigned[r.vec_id] == int(np.argmax(sims))
+
+
+def test_kmeans_guards(spark):
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    with _pytest.raises(ValueError, match="fewer than k"):
+        kmeans_fit(e.limit(2), k=4)
+    import numpy as np
+
+    with _pytest.raises(ValueError, match="already has"):
+        kmeans_assign(e.withColumn("cluster", F.lit(0)), np.ones((2, 64)))
