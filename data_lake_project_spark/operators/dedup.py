@@ -829,3 +829,99 @@ def connected_components(
         F.col("label").alias("cluster_id"),
         F.count("*").over(size_w).cast("long").alias("cluster_size"),
     )
+
+
+def dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    g: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication audit: per-doc maximal duplicated
+    token spans, found by anchoring on corpus-duplicated word g-grams
+    and merging overlapping anchors into islands.
+
+    The ExactSubstr idea (suffix-array dedup of training corpora)
+    re-expressed in relational form: a token position is *duplicated*
+    when the g-gram starting there occurs >= ``min_count`` times in
+    the whole corpus; overlapping/adjacent duplicated positions merge
+    into maximal spans (gaps-and-islands), so a 50-token copied block
+    reports as ONE span of 50 tokens, not 46 anchor hits. Returns one
+    row per doc: (id, n_toks, n_spans, dup_tokens, dup_frac) with
+    docs shorter than g tokens reporting zero spans.
+
+    Plan shape / 100 TB: positions explode the corpus by ~1 row per
+    token (the suffix-array's memory cost, paid as shuffle instead);
+    the ONE wide shuffle groups by the g-gram string whose key space
+    is high-cardinality and uniform. The island merge is a per-doc
+    window (bounded by doc length). Production would group on a
+    128-bit hash of the gram to shrink shuffle bytes — the string key
+    is kept here so the DuckDB oracle groups on identical values
+    (collision behavior included).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__tk"),
+    ).withColumn("__n", F.size("__tk"))
+    # (id, p, gram) for every position p in [0, n-g]
+    grams = toks.filter(F.col("__n") >= g).select(
+        id_col,
+        "__n",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n") - g),
+                lambda i: F.concat_ws(
+                    " ", F.slice("__tk", i + 1, g)
+                ),
+            )
+        ).alias("p", "gram"),
+    )
+    # corpus-duplicated grams: total occurrences >= min_count
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("gram")
+    )
+    anchors = grams.join(dup_grams, "gram").select(id_col, "__n", "p")
+    # gaps-and-islands: a new span starts when p jumps past the
+    # running max end of all earlier anchors in the doc
+    w = Window.partitionBy(id_col).orderBy("p")
+    prev_end = F.max(F.col("p") + g).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        anchors.withColumn(
+            "__new", F.when(prev_end.isNull() | (F.col("p") > prev_end), 1)
+            .otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__new").over(w))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("p").alias("__s"),
+            F.max(F.col("p") + g).alias("__e"),
+            F.first("__n").alias("__n"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.col("__e") - F.col("__s")).cast("long").alias("dup_tokens"),
+            F.first("__n").alias("__n"),
+        )
+    )
+    base = toks.select(id_col, F.col("__n").alias("n_toks"))
+    return (
+        base.join(spans.drop("__n"), id_col, "left")
+        .select(
+            id_col,
+            F.col("n_toks").cast("long").alias("n_toks"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            pround(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest("n_toks", F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )

@@ -1871,6 +1871,16 @@ def q87_fuzzy_match(spark, sf):
     ).orderBy("left_id", "right_id")
 
 
+def q89_dup_spans(spark, sf):
+    """Exact-substring duplication audit (the ExactSubstr/suffix-array
+    dedup signal, relational form): per-doc maximal duplicated token
+    spans from corpus-duplicated word 5-gram anchors merged
+    gaps-and-islands style. One wide shuffle on the gram key; island
+    merge is a per-doc window. See ``operators.dedup.dup_spans``."""
+    d = load_table(spark, sf, "documents")
+    return D.dup_spans(d, g=5).orderBy("doc_id")
+
+
 def q88_kmeans_clusters(spark, sf):
     """Full-corpus distributed k-means (k=8, 3 Lloyd iterations) over
     the embeddings table — the unsupervised domain-discovery pass of a
@@ -1986,6 +1996,7 @@ QUERIES: dict[str, QueryFn] = {
     "q86_dedup_corpus": q86_dedup_corpus,
     "q87_fuzzy_match": q87_fuzzy_match,
     "q88_kmeans_clusters": q88_kmeans_clusters,
+    "q89_dup_spans": q89_dup_spans,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -3616,6 +3627,58 @@ ORACLE: dict[str, str] = {
         LEFT JOIN ranked r ON r.id = d.doc_id
         WHERE d.doc_id NOT IN (SELECT id FROM drops)
         ORDER BY d.doc_id
+    """,
+    "q89_dup_spans": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS tk
+            FROM documents
+        ),
+        base AS (SELECT doc_id, len(tk)::BIGINT AS n_toks FROM toks),
+        grams AS (
+            SELECT doc_id, gs - 1 AS p,
+                   array_to_string(tk[gs:gs+4], ' ') AS gram
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1, len(tk) - 4))
+                          AS gs)
+            WHERE len(tk) >= 5
+        ),
+        dupg AS (
+            SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+        ),
+        anchors AS (SELECT doc_id, p FROM grams JOIN dupg USING (gram)),
+        flagged AS (
+            SELECT doc_id, p,
+                   CASE WHEN max(p + 5) OVER w IS NULL
+                          OR p > max(p + 5) OVER w
+                        THEN 1 ELSE 0 END AS newf
+            FROM anchors
+            WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING)
+        ),
+        isl AS (
+            SELECT doc_id, p,
+                   sum(newf) OVER (PARTITION BY doc_id ORDER BY p) AS g
+            FROM flagged
+        ),
+        sp AS (
+            SELECT doc_id, g, min(p) AS s, max(p + 5) AS e
+            FROM isl GROUP BY doc_id, g
+        ),
+        agg AS (
+            SELECT doc_id, count(*)::BIGINT AS n_spans,
+                   sum(e - s)::BIGINT AS dup_tokens
+            FROM sp GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_toks,
+               coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+               coalesce(a.dup_tokens, 0)::BIGINT AS dup_tokens,
+               floor(coalesce(a.dup_tokens, 0)
+                     / greatest(b.n_toks, 1)::DOUBLE * 10000.0 + 0.5)
+                   / 10000.0 AS dup_frac
+        FROM base b LEFT JOIN agg a USING (doc_id)
+        ORDER BY b.doc_id
     """,
     "q87_fuzzy_match": """
         WITH d AS (

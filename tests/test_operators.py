@@ -1248,3 +1248,50 @@ def test_kmeans_guards(spark):
 
     with _pytest.raises(ValueError, match="already has"):
         kmeans_assign(e.withColumn("cluster", F.lit(0)), np.ones((2, 64)))
+
+
+def test_dup_spans_island_merge(spark):
+    """Overlapping duplicated 5-gram anchors must merge into ONE
+    maximal span (a copied 7-token block = 1 span of 7 tokens, not 3
+    anchor hits); unique and too-short docs report zero spans; two
+    separated copied blocks report as two islands."""
+    from data_lake_project_spark.operators.dedup import dup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x a b c d e f g y z"),          # shares 7-token block with 1
+            (3, "unique words only here now"),
+            (4, "ti ny"),                         # < g tokens
+            # doc5: shares ONLY the 5-gram 'a b c d e' with doc1 (all
+            # other tokens unique — a repeated token would self-anchor,
+            # since min_count counts within-doc occurrences too)
+            (5, "a b c d e r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_spans(df, g=5).collect()}
+    assert (out[1].n_spans, out[1].dup_tokens) == (1, 7)
+    assert (out[2].n_spans, out[2].dup_tokens) == (1, 7)
+    assert out[3].n_spans == 0 and out[3].dup_frac == 0.0
+    assert out[4].n_spans == 0 and out[4].n_toks == 2
+    assert (out[5].n_spans, out[5].dup_tokens) == (1, 5)
+    assert out[2].dup_frac == 0.7
+
+
+def test_dup_spans_two_islands(spark):
+    """Two copied blocks separated by unique text stay two spans."""
+    from data_lake_project_spark.operators.dedup import dup_spans
+
+    blk1 = "p q r s t"
+    blk2 = "v w x y z"
+    df = spark.createDataFrame(
+        [
+            (1, f"{blk1} one uniq filler two {blk2}"),
+            (2, f"{blk1} three other filler four {blk2}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_spans(df, g=5).collect()}
+    assert (out[1].n_spans, out[1].dup_tokens) == (2, 10)
+    assert (out[2].n_spans, out[2].dup_tokens) == (2, 10)
