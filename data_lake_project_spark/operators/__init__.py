@@ -22,4 +22,8 @@ declarative DataFrame rewrite designed to survive a 100 TB scale-up:
                    (``texteExtract.py:95-129``) as native exprs.
 - ``keyword_scan`` — directional first-match page scan
                    (``kpis_search.py:21-54``) as ordered filter+limit.
+- ``linkage``    — blocked fuzzy entity resolution (banded
+                   Levenshtein verify inside blocking-key blocks).
+- ``clustering`` — full-corpus distributed k-means (fused
+                   assign + partial-centroid-update scans).
 """

@@ -77,6 +77,11 @@ def kmeans_assign(
             if not len(b):
                 continue
             m = np.array([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            if m.dtype == object or m.ndim != 2 or m.shape[1] != cu.shape[1]:
+                raise ValueError(
+                    f"embedding width mismatch: centroids are "
+                    f"{cu.shape[1]}-wide, batch vectors are not"
+                )
             n = np.linalg.norm(m, axis=1, keepdims=True)
             n[n == 0] = 1.0
             sims = (m / n) @ cu.T
@@ -144,6 +149,11 @@ def kmeans_fit(
                 m = np.array(
                     [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
                 )
+                if m.dtype == object or m.ndim != 2 or m.shape[1] != dim:
+                    raise ValueError(
+                        f"embedding width mismatch: seeds are {dim}-wide, "
+                        f"batch vectors are not"
+                    )
                 nn = np.linalg.norm(m, axis=1, keepdims=True)
                 nn[nn == 0] = 1.0
                 a = np.argmax((m / nn) @ cu.T, axis=1)
@@ -199,6 +209,11 @@ def kmeans_inertia(
             if not len(b):
                 continue
             m = np.array([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            if m.dtype == object or m.ndim != 2 or m.shape[1] != cu.shape[1]:
+                raise ValueError(
+                    f"embedding width mismatch: centroids are "
+                    f"{cu.shape[1]}-wide, batch vectors are not"
+                )
             n = np.linalg.norm(m, axis=1, keepdims=True)
             n[n == 0] = 1.0
             sims = (m / n) @ cu.T

@@ -516,3 +516,53 @@ def posting_lists(
             )
         ).alias("postings"),
     )
+
+
+def rare_token_stats(
+    docs: DataFrame,
+    threshold: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """OOV/rarity quality signal: per doc, how many token OCCURRENCES
+    use a corpus-rare token (corpus-wide count <= ``threshold``).
+
+    The integer-count cousin of an n-gram LM perplexity score: a doc
+    dense in corpus-rare tokens is either high-value novelty or junk
+    (OCR noise, code in a prose corpus, mojibake) — either way the
+    mixture wants it surfaced. Rare counts are INTEGERS (exact on any
+    engine); the only float is the final rounded ratio, so the score
+    is oracle-stable where a log-probability would wobble in the last
+    ulp of libm.
+
+    Plan shape (100 TB): one wide shuffle builds the vocabulary
+    (partial-agg'd token counts — map-side combine does the heavy
+    lifting on repeated tokens); the occurrence stream joins the
+    vocab on the token key (both sides shuffle-partitioned by token,
+    the standard co-partitioned join). Per-doc roll-up is the second
+    keyed shuffle. Nothing driver-sized; the vocab grows with corpus
+    BREADTH, not size.
+    """
+    toks = (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("__vc"))
+    return (
+        toks.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.count(F.when(F.col("__vc") <= threshold, 1))
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .withColumn(
+            "rare_frac",
+            pround(F.col("n_rare") / F.greatest("n_toks", F.lit(1)), 4),
+        )
+    )

@@ -1881,6 +1881,18 @@ def q89_dup_spans(spark, sf):
     return D.dup_spans(d, g=5).orderBy("doc_id")
 
 
+def q90_rare_tokens(spark, sf):
+    """OOV/rarity quality signal: per-doc count of token occurrences
+    whose corpus-wide frequency is <= 2 — the integer-exact cousin of
+    an n-gram LM perplexity score (see
+    ``operators.text.rare_token_stats``). Docs with zero non-empty
+    tokens drop out (none exist in the fixture)."""
+    from data_lake_project_spark.operators.text import rare_token_stats
+
+    d = load_table(spark, sf, "documents")
+    return rare_token_stats(d, threshold=2).orderBy("doc_id")
+
+
 def q88_kmeans_clusters(spark, sf):
     """Full-corpus distributed k-means (k=8, 3 Lloyd iterations) over
     the embeddings table — the unsupervised domain-discovery pass of a
@@ -1997,6 +2009,7 @@ QUERIES: dict[str, QueryFn] = {
     "q87_fuzzy_match": q87_fuzzy_match,
     "q88_kmeans_clusters": q88_kmeans_clusters,
     "q89_dup_spans": q89_dup_spans,
+    "q90_rare_tokens": q90_rare_tokens,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -3627,6 +3640,26 @@ ORACLE: dict[str, str] = {
         LEFT JOIN ranked r ON r.id = d.doc_id
         WHERE d.doc_id NOT IN (SELECT id FROM drops)
         ORDER BY d.doc_id
+    """,
+    "q90_rare_tokens": """
+        WITH toks AS (
+            SELECT doc_id, t.tok
+            FROM documents,
+                 LATERAL (SELECT unnest(regexp_split_to_array(
+                              trim(lower(text)), '\\s+')) AS tok) t
+            WHERE t.tok <> ''
+        ),
+        vocab AS (SELECT tok, count(*) AS vc FROM toks GROUP BY tok)
+        SELECT doc_id,
+               count(*)::BIGINT AS n_toks,
+               sum(CASE WHEN v.vc <= 2 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_rare,
+               floor(sum(CASE WHEN v.vc <= 2 THEN 1 ELSE 0 END)
+                     / greatest(count(*), 1)::DOUBLE * 10000.0 + 0.5)
+                   / 10000.0 AS rare_frac
+        FROM toks JOIN vocab v USING (tok)
+        GROUP BY doc_id
+        ORDER BY doc_id
     """,
     "q89_dup_spans": """
         WITH toks AS (

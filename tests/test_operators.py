@@ -1295,3 +1295,38 @@ def test_dup_spans_two_islands(spark):
     out = {r.doc_id: r for r in dup_spans(df, g=5).collect()}
     assert (out[1].n_spans, out[1].dup_tokens) == (2, 10)
     assert (out[2].n_spans, out[2].dup_tokens) == (2, 10)
+
+
+def test_kmeans_ragged_width_fails_cleanly(spark):
+    """A corpus row with the wrong embedding width must fail with an
+    explicit width-mismatch error, not a cryptic numpy broadcast."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.clustering import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="width mismatch"):
+        kmeans_fit(df, k=2, iters=1)
+
+
+def test_rare_token_stats_counts_occurrences(spark):
+    """n_rare counts OCCURRENCES of corpus-rare tokens (corpus count
+    <= threshold), not distinct rare tokens; empty-token docs drop."""
+    from data_lake_project_spark.operators.text import rare_token_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common unique1 unique1"),  # unique1 count=2 -> rare
+            (2, "common common common zzz"),       # zzz count=1 -> rare
+            (3, ""),                               # no tokens -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in rare_token_stats(df, threshold=2).collect()}
+    # 'common' appears 5x corpus-wide -> not rare
+    assert (out[1].n_toks, out[1].n_rare, out[1].rare_frac) == (4, 2, 0.5)
+    assert (out[2].n_toks, out[2].n_rare, out[2].rare_frac) == (4, 1, 0.25)
+    assert 3 not in out

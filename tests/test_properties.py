@@ -378,3 +378,92 @@ def test_token_budget_quota_invariants(spark, rows):
                 break
             expect.append((src, did, cum))
     assert out == sorted(expect)
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0,
+                 max_size=12),
+        min_size=1, max_size=8,
+    )
+)
+def test_dup_spans_equals_bruteforce(spark, docs_toks):
+    """Differential property: dup_spans == a brute-force python
+    reference of the same contract (g-gram occurs >= 2 times in the
+    corpus -> anchor; overlapping/adjacent anchors merge to maximal
+    islands). A 4-symbol alphabet makes duplicated grams common."""
+    from collections import Counter
+
+    from data_lake_project_spark.operators.dedup import dup_spans
+
+    g = 3
+    rows = [(i, " ".join(ts)) for i, ts in enumerate(docs_toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dup_spans(df, g=g).collect()}
+
+    grams = Counter()
+    for ts in docs_toks:
+        for p in range(len(ts) - g + 1):
+            grams[tuple(ts[p:p + g])] += 1
+    for i, ts in enumerate(docs_toks):
+        anchors = [
+            p for p in range(len(ts) - g + 1)
+            if grams[tuple(ts[p:p + g])] >= 2
+        ]
+        spans = []
+        for p in anchors:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + g)
+            else:
+                spans.append([p, p + g])
+        # NOTE: split('', '\s+') yields [''] — an empty doc has 1 token
+        n_toks = len(ts) if ts else 1
+        r = out[i]
+        assert r.n_toks == n_toks, (i, ts, r)
+        assert r.n_spans == len(spans), (i, ts, spans, r)
+        assert r.dup_tokens == sum(e - s for s, e in spans), (i, ts, spans, r)
+        assert r.dup_tokens <= r.n_toks
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["b1", "b2"]),
+                  st.text(alphabet="abcx ", min_size=0, max_size=12)),
+        min_size=1, max_size=12,
+    )
+)
+def test_fuzzy_join_equals_bruteforce(spark, rows):
+    """Differential property: fuzzy_join == all-pairs python
+    Levenshtein inside each block, never across blocks."""
+    from data_lake_project_spark.operators.linkage import fuzzy_join
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[n]
+
+    data = [(i, blk, txt) for i, (blk, txt) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, blk string, name string")
+    max_dist, plen = 3, 6
+    got = {
+        (r.left_id, r.right_id): r.dist
+        for r in fuzzy_join(
+            df, ["blk"], "name", "id", max_dist=max_dist, prefix_len=plen
+        ).collect()
+    }
+    want = {}
+    for i, bi, ti in data:
+        for j, bj, tj in data:
+            if i < j and bi == bj:
+                d = lev(ti[:plen], tj[:plen])
+                if d <= max_dist:
+                    want[(i, j)] = d
+    assert got == want
