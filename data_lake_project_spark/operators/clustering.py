@@ -26,7 +26,12 @@ Scale shape (100 TB):
   synchronous); each iteration is exactly one scan + one tiny shuffle.
 - Determinism: seeds are the k lowest-id vectors, ties in assignment
   break to the lowest cluster id, empty clusters keep their previous
-  centroid — same corpus in, same model out, on any cluster size.
+  centroid, and the partials merge accumulates in exact decimal —
+  same corpus + same partitioning → bit-identical model, run over
+  run. Across DIFFERENT partitionings (resized cluster) the
+  per-batch float partials regroup and the centroid can move in the
+  last ulp; pin the input layout if bit-reproducibility across
+  topologies matters.
 """
 
 from __future__ import annotations
@@ -59,8 +64,9 @@ def kmeans_assign(
     broadcast centroid matrix. Ties break to the lowest cluster id
     (argmax semantics), zero vectors go to cluster 0.
     """
-    if cluster_col in df.columns:
-        raise ValueError(f"kmeans_assign: input already has {cluster_col!r}")
+    from data_lake_project_spark.functions import reserve_columns
+
+    reserve_columns(df, "kmeans_assign", cluster_col)
     cu = _unit_rows(np.asarray(centroids, dtype=np.float64))
     out_schema = StructType(
         [
@@ -169,11 +175,19 @@ def kmeans_fit(
                     {"cluster": cl, "pos": ps, "s": ss, "n": ns}
                 )
 
+        # dec_sum: the partials merge must be order-independent (a
+        # double F.sum would drift in the last ulp with shuffle fetch
+        # order, making the fitted model vary run-to-run); decimal
+        # accumulation pins run-over-run determinism on a fixed
+        # partitioning. (Across DIFFERENT partitionings the per-batch
+        # float partials themselves regroup — see docstring.)
+        from data_lake_project_spark.functions import dec_sum
+
         sums = (
             df.select(vec_col)
             .mapInPandas(partials, part_schema)
             .groupBy("cluster", "pos")
-            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .agg(dec_sum(F.col("s"), 12).alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         nxt = cents.copy()
@@ -197,7 +211,8 @@ def kmeans_inertia(
 ) -> float:
     """Mean cosine distance (1 - similarity) of each vector to its
     assigned centroid — the convergence/quality probe. One map-only
-    pass + a scalar agg."""
+    pass + a scalar agg. ``id_col`` is accepted for signature symmetry
+    but not shipped through Arrow (only the vector column scans)."""
     from pyspark.sql.types import DoubleType
 
     cu = _unit_rows(np.asarray(centroids, dtype=np.float64))
@@ -220,7 +235,7 @@ def kmeans_inertia(
             yield pd.DataFrame({"d": 1.0 - sims.max(axis=1)})
 
     row = (
-        df.select(id_col, vec_col)
+        df.select(vec_col)
         .mapInPandas(dist, out_schema)
         .agg(F.avg("d").alias("m"))
         .collect()[0]

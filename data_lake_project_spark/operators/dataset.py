@@ -221,6 +221,24 @@ def temperature_sample(
 
     reserve_columns(df, "temperature_sample", "__rate", "mix_rate", "__c")
 
+    # A NULL stratum would (a) form its own count group and poison
+    # min(__c) for every real stratum while (b) vanishing at the
+    # equi-join below — silent row loss plus corrupted rates. A
+    # mixture cannot weight an unlabeled row, so poison the PLAN
+    # instead: the guard raises at execution time (keeps the operator
+    # job-free) the moment a NULL stratum is scanned.
+    df = df.withColumn(
+        strata_col,
+        F.when(
+            F.col(strata_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    "temperature_sample: NULL stratum — fill or filter "
+                    "the stratum column before mixing"
+                )
+            ).cast(df.schema[strata_col].dataType),
+        ).otherwise(F.col(strata_col)),
+    )
     counts = df.groupBy(strata_col).agg(F.count("*").alias("__c"))
     # global min via a window over the counts frame — it holds one row
     # per SOURCE, so the single window partition is trivially small

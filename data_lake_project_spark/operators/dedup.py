@@ -602,7 +602,7 @@ def line_dedup(
         F.count("*").alias("__cnt"), F.min("__occ").alias("__first")
     )
     keep = (F.col("__cnt") == 1) | (F.col("__occ") == F.col("__first"))
-    return (
+    agg = (
         occ.join(stats, "line")
         .withColumn("__keep", keep)
         .groupBy(id_col)
@@ -625,6 +625,22 @@ def line_dedup(
                 ),
                 sep,
             ).alias("clean_text"),
+        )
+    )
+    # NULL-text docs emit no (pos, line) rows and would silently
+    # vanish from the output; pass them through like the sibling
+    # operators (contamination_score, dup_spans) do — zero counts,
+    # clean_text stays NULL.
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_dup_lines", F.lit(0))
+            .cast("long")
+            .alias("n_dup_lines"),
+            "clean_text",
         )
     )
 
@@ -884,7 +900,7 @@ def dup_spans(
         .filter(F.col("__c") >= min_count)
         .select("gram")
     )
-    anchors = grams.join(dup_grams, "gram").select(id_col, "__n", "p")
+    anchors = grams.join(dup_grams, "gram").select(id_col, "p")
     # gaps-and-islands: a new span starts when p jumps past the
     # running max end of all earlier anchors in the doc
     w = Window.partitionBy(id_col).orderBy("p")
@@ -901,18 +917,16 @@ def dup_spans(
         .agg(
             F.min("p").alias("__s"),
             F.max(F.col("p") + g).alias("__e"),
-            F.first("__n").alias("__n"),
         )
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_spans"),
             F.sum(F.col("__e") - F.col("__s")).cast("long").alias("dup_tokens"),
-            F.first("__n").alias("__n"),
         )
     )
     base = toks.select(id_col, F.col("__n").alias("n_toks"))
     return (
-        base.join(spans.drop("__n"), id_col, "left")
+        base.join(spans, id_col, "left")
         .select(
             id_col,
             F.col("n_toks").cast("long").alias("n_toks"),

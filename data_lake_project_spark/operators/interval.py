@@ -84,16 +84,12 @@ def time_range_join(
     seconds on both sides, matching the engine's timestamp->long cast
     semantics. Inner-join semantics (pairs only).
     """
+    from data_lake_project_spark.functions import reserve_columns
+
     if how != "inner":
         raise ValueError(f"time_range_join supports inner, got {how!r}")
     for side, df in (("left", left), ("right", right)):
-        if "__bin" in df.columns:
-            raise ValueError(
-                f"time_range_join: {side} input already has a '__bin' "
-                "column — that name is reserved for the internal "
-                "bucketing key and would be overwritten then dropped; "
-                "rename it first"
-            )
+        reserve_columns(df, f"time_range_join ({side} input)", "__bin")
     w = int(within_s)
     if w < 1:
         raise ValueError(

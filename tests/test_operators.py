@@ -1330,3 +1330,33 @@ def test_rare_token_stats_counts_occurrences(spark):
     assert (out[1].n_toks, out[1].n_rare, out[1].rare_frac) == (4, 2, 0.5)
     assert (out[2].n_toks, out[2].n_rare, out[2].rare_frac) == (4, 1, 0.25)
     assert 3 not in out
+
+
+def test_temperature_sample_null_stratum_raises(spark):
+    """A NULL stratum must fail loudly at execution (it would poison
+    min-count rates AND vanish at the equi-join), not silently drop."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.dataset import temperature_sample
+
+    df = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, None)], "doc_id long, stratum string"
+    )
+    with _pytest.raises(Exception, match="NULL stratum"):
+        temperature_sample(df, "stratum", "doc_id").collect()
+
+
+def test_line_dedup_null_text_passthrough(spark):
+    """NULL-text docs pass through with zero counts and NULL
+    clean_text instead of vanishing from the output."""
+    from data_lake_project_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc"), (3, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[3].n_lines, out[3].n_dup_lines, out[3].clean_text) == (
+        0, 0, None,
+    )
+    assert out[1].clean_text == "a\nb" and out[2].clean_text == "c"
