@@ -1881,6 +1881,39 @@ def q89_dup_spans(spark, sf):
     return D.dup_spans(d, g=5).orderBy("doc_id")
 
 
+def q91_groupwise_regression(spark, sf):
+    """Per-group ordinary-least-squares fit (slope/intercept of
+    extendedprice vs quantity per returnflag) — the regr_slope/
+    regr_intercept analytic family, computed CLOSED-FORM from exact
+    DECIMAL sums (n, Σx, Σy, Σxy, Σx²) so partial-agg ordering can
+    never move a bit; the only floats are the final two divisions
+    (IEEE-correctly-rounded, engine-identical). One partial-agg'd
+    shuffle moving 5 numbers per group."""
+    l = load_table(spark, sf, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(15,2)")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("decimal(38,2)").alias("sx"),
+        F.sum(y).cast("decimal(38,2)").alias("sy"),
+        F.sum(x * y).cast("decimal(38,4)").alias("sxy"),
+        F.sum(x * x).cast("decimal(38,4)").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return agg.select(
+        "l_returnflag",
+        "n",
+        pround(slope, 6).alias("slope"),
+        pround(intercept, 6).alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
 def q90_rare_tokens(spark, sf):
     """OOV/rarity quality signal: per-doc count of token occurrences
     whose corpus-wide frequency is <= 2 — the integer-exact cousin of
@@ -2010,6 +2043,7 @@ QUERIES: dict[str, QueryFn] = {
     "q88_kmeans_clusters": q88_kmeans_clusters,
     "q89_dup_spans": q89_dup_spans,
     "q90_rare_tokens": q90_rare_tokens,
+    "q91_groupwise_regression": q91_groupwise_regression,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -3640,6 +3674,30 @@ ORACLE: dict[str, str] = {
         LEFT JOIN ranked r ON r.id = d.doc_id
         WHERE d.doc_id NOT IN (SELECT id FROM drops)
         ORDER BY d.doc_id
+    """,
+    "q91_groupwise_regression": """
+        WITH s AS (
+            SELECT l_returnflag,
+                   count(*)::BIGINT AS n,
+                   sum(l_quantity::DECIMAL(12,2)) AS sx,
+                   sum(l_extendedprice::DECIMAL(15,2)) AS sy,
+                   sum(l_quantity::DECIMAL(12,2)
+                       * l_extendedprice::DECIMAL(15,2)) AS sxy,
+                   sum(l_quantity::DECIMAL(12,2)
+                       * l_quantity::DECIMAL(12,2)) AS sxx
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                     / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS slope,
+               floor((sy::DOUBLE
+                      - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                        / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                        * sx::DOUBLE)
+                     / n::DOUBLE * 1000000.0 + 0.5) / 1000000.0
+                   AS intercept
+        FROM s ORDER BY l_returnflag
     """,
     "q90_rare_tokens": """
         WITH toks AS (

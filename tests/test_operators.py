@@ -1360,3 +1360,37 @@ def test_line_dedup_null_text_passthrough(spark):
         0, 0, None,
     )
     assert out[1].clean_text == "a\nb" and out[2].clean_text == "c"
+
+
+def test_groupwise_regression_recovers_planted_line(spark):
+    """q91's closed form must exactly recover a noiseless planted
+    line y = 3x + 7 per group (slope/intercept to the rounded 1e-6)."""
+    import data_lake_project_spark.queries as Q
+
+    rows = [("g", float(x), 3.0 * x + 7.0) for x in range(1, 20)]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double"
+    )
+    df.createOrReplaceTempView("__q91_test")
+    from pyspark.sql import functions as F
+
+    from data_lake_project_spark.functions import pround
+
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(15,2)")
+    agg = df.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("decimal(38,2)").alias("sx"),
+        F.sum(y).cast("decimal(38,2)").alias("sy"),
+        F.sum(x * y).cast("decimal(38,4)").alias("sxy"),
+        F.sum(x * x).cast("decimal(38,4)").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = [
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx")
+    ]
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r = agg.select(
+        pround(slope, 6).alias("s"), pround(intercept, 6).alias("i")
+    ).first()
+    assert (r.s, r.i) == (3.0, 7.0)
