@@ -939,3 +939,107 @@ def dup_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def prefix_filter_join(
+    sets: DataFrame,
+    threshold: tuple[int, int] = (3, 5),
+    id_col: str = "doc_id",
+    set_col: str = "sh",
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering (the
+    PPJoin family) — the deterministic complement to the MinHash/LSH
+    pipeline: LSH candidates are probabilistic (recall < 1), the
+    prefix filter is a guarantee: a pair with Jaccard >= t ALWAYS
+    shares at least one element of each side's rare-element prefix,
+    so the candidate set has NO false negatives.
+
+    Input: (id, set array) rows, e.g. :func:`shingle_sets`. Output:
+    (id_a, id_b, jaccard) with id_a < id_b and Jaccard >= num/den,
+    jaccard rounded 4.
+
+    ``threshold`` is a RATIONAL (num, den): every pruning decision
+    (prefix length ``n - ceil(t*n) + 1``, length filter
+    ``min/max >= t``, final verify) runs in integer arithmetic —
+    float ceil(0.6*n) rounds the wrong way for some n and silently
+    drops true pairs.
+
+    Plan shape (100 TB): element document-frequencies come from one
+    partial-agg'd groupBy; each doc keeps only the prefix of its
+    (df, element)-rarest elements, so the candidate equi-join keys
+    are by construction the GLOBALLY RAREST elements — small buckets,
+    the anti-skew property the whole algorithm exists for (a join on
+    arbitrary elements would hot-spot on stopword shingles). Verify
+    touches candidates only, joining the set arrays back by id.
+    """
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError(f"prefix_filter_join: need 0 < num <= den, got {threshold}")
+    ex = sets.select(F.col(id_col), F.explode(set_col).alias("__el"))
+    freq = ex.groupBy("__el").agg(F.count("*").alias("__df"))
+    # canonical global rarity order: (df, element) — total, engine-free
+    ordered = (
+        ex.join(freq, "__el")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("__el")))
+            ).alias("__ord"),
+            F.count("*").cast("long").alias("__n"),
+        )
+    )
+    # p = n - ceil(num*n/den) + 1, all-integer: ceil(a/b) = (a+b-1) div b
+    plen = (
+        F.col("__n")
+        - F.floor((F.lit(num) * F.col("__n") + F.lit(den - 1)) / F.lit(den))
+        + 1
+    ).cast("int")
+    pref = ordered.select(
+        F.col(id_col),
+        F.col("__n"),
+        F.explode(F.slice("__ord", 1, plen)).alias("__p"),
+    ).select(id_col, "__n", F.col("__p.__el").alias("__el"))
+    a = pref.select(
+        F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__el"
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__el"
+    )
+    cand = (
+        a.join(b, "__el")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: J >= t implies min(|x|,|y|)/max(|x|,|y|) >= t
+        .filter(
+            F.lit(den) * F.least("__na", "__nb")
+            >= F.lit(num) * F.greatest("__na", "__nb")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
+    return (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("id_a"), F.col(set_col).alias("__sa")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"), F.col(set_col).alias("__sb")
+            ),
+            "id_b",
+        )
+        .withColumn("__i", inter)
+        .withColumn("__u", union)
+        # exact rational threshold: den*inter >= num*union
+        .filter(F.lit(den) * F.col("__i") >= F.lit(num) * F.col("__u"))
+        .select(
+            "id_a",
+            "id_b",
+            pround(F.col("__i") / F.col("__u").cast("double"), 4).alias(
+                "jaccard"
+            ),
+        )
+    )

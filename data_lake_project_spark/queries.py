@@ -1914,6 +1914,22 @@ def q91_groupwise_regression(spark, sf):
     ).orderBy("l_returnflag")
 
 
+def q92_prefix_filter_join(spark, sf):
+    """EXACT Jaccard >= 3/5 self-join on 3-gram shingle sets via
+    prefix filtering (PPJoin family) — the zero-false-negative
+    complement to q26's probabilistic MinHash/LSH candidates. All
+    pruning decisions run in integer arithmetic (rational threshold);
+    candidate join keys are each doc's globally-RAREST shingles, the
+    algorithm's built-in anti-skew property. Oracle = brute-force
+    all-pairs (fine at sf0.01; the Spark side never goes all-pairs).
+    See ``operators.dedup.prefix_filter_join``."""
+    d = load_table(spark, sf, "documents")
+    sets = D.shingle_sets(d, k=3)
+    return D.prefix_filter_join(sets, threshold=(3, 5)).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q90_rare_tokens(spark, sf):
     """OOV/rarity quality signal: per-doc count of token occurrences
     whose corpus-wide frequency is <= 2 — the integer-exact cousin of
@@ -2044,6 +2060,7 @@ QUERIES: dict[str, QueryFn] = {
     "q89_dup_spans": q89_dup_spans,
     "q90_rare_tokens": q90_rare_tokens,
     "q91_groupwise_regression": q91_groupwise_regression,
+    "q92_prefix_filter_join": q92_prefix_filter_join,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -3674,6 +3691,37 @@ ORACLE: dict[str, str] = {
         LEFT JOIN ranked r ON r.id = d.doc_id
         WHERE d.doc_id NOT IN (SELECT id FROM drops)
         ORDER BY d.doc_id
+    """,
+    "q92_prefix_filter_join": """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS tk
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_filter(list_distinct(
+                       CASE WHEN len(tk) >= 3
+                            THEN list_transform(
+                                generate_series(1, len(tk) - 2),
+                                i -> array_to_string(tk[i:i+2], ' '))
+                            ELSE [array_to_string(tk, ' ')]
+                       END), x -> x <> '') AS sh
+            FROM toks
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh)) AS i,
+                   len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh)) AS u
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        )
+        SELECT id_a, id_b,
+               floor(i / u::DOUBLE * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM pairs
+        WHERE 5 * i >= 3 * u
+        ORDER BY id_a, id_b
     """,
     "q91_groupwise_regression": """
         WITH s AS (

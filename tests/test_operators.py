@@ -1394,3 +1394,53 @@ def test_groupwise_regression_recovers_planted_line(spark):
         pround(slope, 6).alias("s"), pround(intercept, 6).alias("i")
     ).first()
     assert (r.s, r.i) == (3.0, 7.0)
+
+
+def test_prefix_filter_join_exact_vs_bruteforce(spark):
+    """Prefix filtering guarantees NO false negatives: the result must
+    equal the brute-force all-pairs exact-Jaccard join, including
+    boundary pairs (integer rational threshold, no float ceil)."""
+    from data_lake_project_spark.operators.dedup import (
+        prefix_filter_join,
+        shingle_sets,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    sets = shingle_sets(d, k=3)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_join(sets, threshold=(1, 2)).collect()
+    }
+    a = sets.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sa")
+    ).filter(F.col("sa").isNotNull())
+    b = sets.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sb")
+    ).filter(F.col("sb").isNotNull())
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    brute = {
+        (r.id_a, r.id_b): r.j
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.lit(2) * inter >= F.lit(1) * union)
+        .select(
+            "id_a",
+            "id_b",
+            pround(inter / union.cast("double"), 4).alias("j"),
+        )
+        .collect()
+    }
+    assert got == brute and len(brute) > 0
+
+
+def test_prefix_filter_join_guards(spark):
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.dedup import prefix_filter_join
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"])], "doc_id long, sh array<string>"
+    )
+    with _pytest.raises(ValueError, match="num <= den"):
+        prefix_filter_join(df, threshold=(5, 3))
