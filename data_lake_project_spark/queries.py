@@ -1930,6 +1930,37 @@ def q92_prefix_filter_join(spark, sf):
     )
 
 
+def q93_snapshot_diff(spark, sf):
+    """Snapshot reconciliation diff (lakehouse audit op): one FULL
+    OUTER join on the key classifies every orderkey added / removed /
+    changed between two table versions; 'new' is a deterministic
+    mutation of orders (drop %97 keys, +1 price on %101 keys, clone
+    %103 keys to new ids). The != 'unchanged' filter pushes into the
+    join output — callers pay only for the delta. See
+    ``lakehouse.snapshot_diff``."""
+    from data_lake_project_spark.lakehouse import snapshot_diff
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    kept = o.filter(F.col("o_orderkey") % 97 != 0)
+    mutated = kept.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    cloned = kept.filter(F.col("o_orderkey") % 103 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    new = mutated.unionByName(cloned)
+    return (
+        snapshot_diff(o, new, ["o_orderkey"])
+        .filter(F.col("change_type") != "unchanged")
+        .orderBy("o_orderkey")
+    )
+
+
 def q90_rare_tokens(spark, sf):
     """OOV/rarity quality signal: per-doc count of token occurrences
     whose corpus-wide frequency is <= 2 — the integer-exact cousin of
@@ -2061,6 +2092,7 @@ QUERIES: dict[str, QueryFn] = {
     "q90_rare_tokens": q90_rare_tokens,
     "q91_groupwise_regression": q91_groupwise_regression,
     "q92_prefix_filter_join": q92_prefix_filter_join,
+    "q93_snapshot_diff": q93_snapshot_diff,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -3691,6 +3723,44 @@ ORACLE: dict[str, str] = {
         LEFT JOIN ranked r ON r.id = d.doc_id
         WHERE d.doc_id NOT IN (SELECT id FROM drops)
         ORDER BY d.doc_id
+    """,
+    "q93_snapshot_diff": """
+        WITH o AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        ),
+        kept AS (SELECT * FROM o WHERE o_orderkey % 97 <> 0),
+        mutated AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 101 = 0
+                        THEN o_totalprice + 1.0 ELSE o_totalprice
+                   END AS o_totalprice,
+                   o_orderstatus
+            FROM kept
+        ),
+        cloned AS (
+            SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice,
+                   o_orderstatus
+            FROM kept WHERE o_orderkey % 103 = 0
+        ),
+        new_snap AS (
+            SELECT * FROM mutated UNION ALL SELECT * FROM cloned
+        ),
+        j AS (
+            SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   CASE
+                     WHEN a.o_orderkey IS NULL THEN 'added'
+                     WHEN b.o_orderkey IS NULL THEN 'removed'
+                     WHEN a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+                      AND a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+                        THEN 'unchanged'
+                     ELSE 'changed'
+                   END AS change_type
+            FROM o a FULL OUTER JOIN new_snap b
+              ON a.o_orderkey = b.o_orderkey
+        )
+        SELECT o_orderkey, change_type FROM j
+        WHERE change_type <> 'unchanged'
+        ORDER BY o_orderkey
     """,
     "q92_prefix_filter_join": """
         WITH toks AS (

@@ -661,3 +661,33 @@ def test_scd2_apply_rejects_out_of_order_batch(spark, tmp_path):
     assert got[(1, 2)] == ("click", True)
     # untouched entity unaffected throughout
     assert got[(2, 1)] == ("view", True)
+
+
+def test_snapshot_diff_classification(spark):
+    """added/removed/changed/unchanged verdicts, null-safe compare
+    (NULL==NULL is unchanged, NULL vs value is changed), guards."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.lakehouse import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 31.0), (5, "e", 50.0),
+         (4, "d", None)],
+        "k long, s string, v double",
+    )
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {
+        1: "unchanged", 2: "unchanged", 3: "changed", 4: "changed",
+        5: "added",
+    }
+    # removed leg
+    out2 = {r.k: r.change_type for r in snapshot_diff(new, old, ["k"]).collect()}
+    assert out2[5] == "removed"
+    with _pytest.raises(ValueError, match="key column"):
+        snapshot_diff(old, new.withColumnRenamed("k", "kk"), ["k"])
+    with _pytest.raises(ValueError, match="compare column"):
+        snapshot_diff(old, new, ["k"], compare_cols=["nope"])
