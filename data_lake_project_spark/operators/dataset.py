@@ -365,3 +365,67 @@ def curate_corpus(
     return hash_split(capped, id_col, split_weights, split_seed).select(
         id_col, source_col, "quality", "split"
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token chunks with overlap —
+    the context-window packing precursor: long docs become
+    ``chunk_size``-token windows advancing by ``chunk_size - overlap``
+    so no token span is lost at a boundary (the complement of
+    ``pack_sequences``, which handles the SHORT side of the length
+    distribution).
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_size)``;
+    the last chunk clips at the document end and a doc of <=
+    chunk_size tokens yields exactly one chunk. All integer/string
+    math — engine-exact, oracle-checkable.
+
+    Scale: a pure per-row map (tokenize → sequence → slice) with a
+    fan-out bounded by doc length / stride; no shuffle at all — the
+    explode inherits the scan partitioning, and downstream writers
+    see chunk rows already spread across input partitions.
+    """
+    from data_lake_project_spark.functions import reserve_columns, tokens
+
+    if overlap >= chunk_size:
+        raise ValueError("chunk_documents: overlap must be < chunk_size")
+    reserve_columns(docs, "chunk_documents", "chunk_id", "n_chunk_toks",
+                    "chunk_text", "__toks", "__nc")
+    stride = chunk_size - overlap
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.floor((n - chunk_size + stride - 1) / stride).cast("long") + 1
+    )
+    return (
+        docs.withColumn("__toks", toks)
+        .withColumn("__nc", n_chunks)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias(
+                "chunk_id"
+            ),
+            F.col("__toks"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(
+                F.col("__toks"),
+                (F.col("chunk_id") * stride + 1).cast("int"),
+                chunk_size,
+            ).alias("__chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__chunk").cast("long").alias("n_chunk_toks"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )

@@ -1043,3 +1043,98 @@ def prefix_filter_join(
             ),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 5,
+    jaccard_min: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (SNM): sort the corpus on a cheap
+    canonical key, compare each record only to the ``window - 1``
+    records that FOLLOW it in the sort order, verify survivors with
+    exact token-set Jaccard. The classic record-linkage third way
+    between exact hashing (misses near-dups) and LSH (probabilistic):
+    deterministic, zero false negatives *within the window*, linear
+    candidate count (n * window).
+
+    Sort key: the doc's first two lowercased tokens — near-identical
+    docs share their opening words and land adjacent. Pairs report
+    ``(left_id, right_id, jaccard)`` for candidates meeting
+    ``jaccard_min``.
+
+    Scale (100 TB): a naive global row_number is a single-partition
+    sort, so the rank is built in two phases — a parallel
+    row_number per ORDER-PREFIX block (first char of the key) plus
+    per-block offsets from a cumulative sum over the tiny block-stats
+    table (bounded distinct first-chars; the only single-partition
+    window runs over that stats table, never over data). Neighbor
+    pairing is the banded |Δrank| <= w equi-join (rank DIV w buckets,
+    left side explodes into 2 covering buckets), so the candidate
+    shuffle is keyed and linear — no theta-join, no cross join.
+    """
+    from data_lake_project_spark.functions import reserve_columns
+
+    reserve_columns(
+        docs, "sorted_neighborhood_pairs",
+        "__snkey", "__blk", "__off", "__rn", "__bkt", "__set",
+    )
+    w = int(window)
+    if w < 2:
+        raise ValueError("sorted_neighborhood_pairs: window must be >= 2")
+    toks = F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
+    base = spread(docs).select(
+        F.col(id_col),
+        F.array_join(F.slice(toks, 1, 2), " ").alias("__snkey"),
+        F.array_distinct(toks).alias("__set"),
+    )
+    base = base.withColumn("__blk", F.substring("__snkey", 1, 1))
+    stats = base.groupBy("__blk").agg(F.count("*").alias("__n"))
+    off_w = (
+        Window.orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = stats.select(
+        "__blk",
+        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
+    )
+    rn_w = Window.partitionBy("__blk").orderBy("__snkey", id_col)
+    ranked = (
+        base.join(F.broadcast(offsets), "__blk")
+        .withColumn(
+            "__rn", F.col("__off") + F.row_number().over(rn_w)
+        )
+        .select(id_col, "__rn", "__set")
+    )
+    span = w - 1
+    lb = ranked.select(
+        F.col(id_col).alias("left_id"),
+        F.col("__rn").alias("__lrn"),
+        F.col("__set").alias("__lset"),
+        F.explode(
+            F.array(
+                F.floor(F.col("__rn") / span).cast("long"),
+                F.floor(F.col("__rn") / span).cast("long") + 1,
+            )
+        ).alias("__bkt"),
+    )
+    rb = ranked.select(
+        F.col(id_col).alias("right_id"),
+        F.col("__rn").alias("__rrn"),
+        F.col("__set").alias("__rset"),
+        F.floor(F.col("__rn") / span).cast("long").alias("__bkt"),
+    )
+    inter = F.size(F.array_intersect("__lset", "__rset"))
+    union = F.size(F.array_union("__lset", "__rset"))
+    return (
+        lb.join(rb, "__bkt")
+        .filter(
+            (F.col("__rrn") > F.col("__lrn"))
+            & (F.col("__rrn") - F.col("__lrn") <= span)
+        )
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_min)
+        .select("left_id", "right_id", "jaccard")
+    )

@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_lake_project_spark.functions import NUMERIC_FACT_RE, pround, spread, tokens
+from data_lake_project_spark.functions import (
+    NUMERIC_FACT_RE,
+    dec_sum,
+    pround,
+    spread,
+    tokens,
+)
 
 # Tiny deterministic stopword lexicons; ordering of dict defines the
 # argmax tie-break (first wins).
@@ -564,5 +570,78 @@ def rare_token_stats(
         .withColumn(
             "rare_frac",
             pround(F.col("n_rare") / F.greatest("n_toks", F.lit(1)), 4),
+        )
+    )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style corpus LM quality score: per doc, the mean add-one
+    smoothed bigram log-probability under a model trained on the
+    corpus itself (self-scoring — the standard first pass when no
+    external KenLM model ships with the pipeline).
+
+    score(doc) = avg over bigram occurrences of
+    ``ln((c2(prefix, word) + 1) / (c1(prefix) + V))`` where ``c2`` is
+    the corpus bigram count, ``c1`` the prefix continuation total and
+    ``V`` the continuation-vocabulary size. Low scores flag docs whose
+    word transitions the corpus has rarely seen — mojibake, OCR noise,
+    boilerplate soup — the same decision boundary CCNet draws with
+    wiki-LM perplexity. Docs with < 2 tokens carry no bigram and drop.
+
+    Plan shape (100 TB): the occurrence stream pre-aggregates to
+    (doc, prefix, word, occ_n) in ONE keyed shuffle with map-side
+    combine; the model (c2) and its prefix marginal (c1) derive from
+    that SAME aggregate (vocabulary-sized, corpus-breadth not
+    corpus-size); scoring is two co-partitioned joins on the bigram /
+    prefix key plus a broadcast 1-row V. Per-term logprobs sum as
+    exact decimals (``dec_sum``) so shuffle order can never wobble
+    the mean; the only floats are libm ``ln`` calls on integer ratios.
+    No Python UDFs, nothing driver-sized.
+    """
+    toks = F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("prefix"), b.alias("word")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prefix:string,word:string>>"))
+    occ = (
+        spread(docs)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, "g.prefix", "g.word")
+        .groupBy(id_col, "prefix", "word")
+        .agg(F.count("*").alias("__occ_n"))
+    )
+    c2 = occ.groupBy("prefix", "word").agg(F.sum("__occ_n").alias("__c2"))
+    c1 = c2.groupBy("prefix").agg(F.sum("__c2").alias("__c1"))
+    v = c2.select("word").distinct().agg(F.count("*").alias("__v"))
+    scored = (
+        occ.join(c2, ["prefix", "word"])
+        .join(c1, "prefix")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "__lp",
+            F.col("__occ_n")
+            * F.log((F.col("__c2") + 1) / (F.col("__c1") + F.col("__v"))),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("__occ_n").cast("long").alias("n_bigrams"),
+            dec_sum(F.col("__lp")).alias("__lpsum"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            pround(F.col("__lpsum") / F.col("n_bigrams"), 6).alias(
+                "avg_logprob"
+            ),
         )
     )

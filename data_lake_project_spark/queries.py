@@ -1995,6 +1995,112 @@ def q88_kmeans_clusters(spark, sf):
     )
 
 
+def q94_ngram_lm_score(spark, sf):
+    """Corpus-self-trained bigram LM quality score (CCNet's perplexity
+    filter re-expressed with an in-corpus model): per doc, mean
+    add-one-smoothed log P(word | prefix). One pre-aggregated shuffle
+    builds the occurrence stream; the model and its prefix marginal
+    derive from that same aggregate; scoring is co-partitioned joins.
+    See ``operators.text.ngram_lm_score``."""
+    from data_lake_project_spark.operators.text import ngram_lm_score
+
+    d = load_table(spark, sf, "documents")
+    return ngram_lm_score(d).orderBy("doc_id")
+
+
+def q95_pareto_frontier(spark, sf):
+    """2-D Pareto frontier (skyline) over part: the cheapest-per-size
+    shortlist — parts no other part beats on BOTH price (min) and
+    size (max). Two-phase distributed skyline: per-block window prune,
+    then a global pass over the tiny survivor union; price compares
+    as integer cents so dominance ties are engine-exact. See
+    ``operators.frontier.skyline2d``."""
+    from data_lake_project_spark.operators.frontier import skyline2d
+
+    p = load_table(spark, sf, "part")
+    base = p.select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("size"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return skyline2d(base, "price_cents", "size").orderBy("p_partkey")
+
+
+def q96_ewma_anomaly(spark, sf):
+    """Per-user EWMA residual anomaly scan over the events stream:
+    flag events deviating > 150 from the exponentially weighted mean
+    of the user's 8 prior values (alpha=1/2 → exact binary weights,
+    bit-identical across engines — no rounding tolerance). ONE keyed
+    window shuffle serves all lags. See
+    ``operators.timeseries.ewma_residual``."""
+    from data_lake_project_spark.operators.timeseries import ewma_residual
+
+    e = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return (
+        ewma_residual(e)
+        .filter(F.abs(F.col("resid")) > 150.0)
+        .select("event_id", "user_id", "value", "ewma_prev", "resid")
+        .orderBy("event_id")
+    )
+
+
+def q97_chunk_documents(spark, sf):
+    """Context-window chunking: split every doc into 32-token chunks
+    advancing by 24 (8-token overlap), last chunk clipped — the
+    long-doc complement of q50's pack_sequences. Pure per-row map
+    (tokenize → sequence → slice), zero shuffle. See
+    ``operators.dataset.chunk_documents``."""
+    from data_lake_project_spark.operators.dataset import chunk_documents
+
+    d = load_table(spark, sf, "documents")
+    return chunk_documents(d, chunk_size=32, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+def q98_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood (SNM) dedup blocking: rank the corpus by
+    its first-two-token key (two-phase distributed rank — parallel
+    per-block row_number + tiny cumulative offsets), pair each doc
+    with the 4 that follow in rank order via the banded |Δrank|
+    equi-join, verify with exact token-set Jaccard >= 0.5. See
+    ``operators.dedup.sorted_neighborhood_pairs``."""
+    from data_lake_project_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    d = load_table(spark, sf, "documents")
+    return sorted_neighborhood_pairs(d, window=5, jaccard_min=0.5).orderBy(
+        "left_id", "right_id"
+    )
+
+
+def q99_pagerank(spark, sf):
+    """PageRank (3 iterations, d=0.85) over the customer→supplier
+    interaction graph (distinct pairs from orders ⋈ lineitem; keys
+    tagged 'c'/'s' so the two id domains can't collide). Decimal-
+    summed contributions + portable rounding make the fixed-iteration
+    ranks engine-exact — the oracle unrolls the same three rounds as
+    CTEs. See ``operators.graph.pagerank``."""
+    from data_lake_project_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iters=3).orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2093,6 +2199,12 @@ QUERIES: dict[str, QueryFn] = {
     "q91_groupwise_regression": q91_groupwise_regression,
     "q92_prefix_filter_join": q92_prefix_filter_join,
     "q93_snapshot_diff": q93_snapshot_diff,
+    "q94_ngram_lm_score": q94_ngram_lm_score,
+    "q95_pareto_frontier": q95_pareto_frontier,
+    "q96_ewma_anomaly": q96_ewma_anomaly,
+    "q97_chunk_documents": q97_chunk_documents,
+    "q98_sorted_neighborhood": q98_sorted_neighborhood,
+    "q99_pagerank": q99_pagerank,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -3901,6 +4013,198 @@ ORACLE: dict[str, str] = {
          AND a.doc_id < b.doc_id
         WHERE levenshtein(a.p, b.p) <= 14
         ORDER BY left_id, right_id
+    """,
+    "q94_ngram_lm_score": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= 2
+                          THEN toks[1:len(toks)-1] ELSE [] END) AS prefix,
+                   unnest(CASE WHEN len(toks) >= 2
+                          THEN toks[2:len(toks)] ELSE [] END) AS word
+            FROM t
+        ), occ AS (
+            SELECT doc_id, prefix, word, count(*) AS occ_n
+            FROM g GROUP BY doc_id, prefix, word
+        ), c2 AS (
+            SELECT prefix, word, sum(occ_n) AS c2
+            FROM occ GROUP BY prefix, word
+        ), c1 AS (
+            SELECT prefix, sum(c2) AS c1 FROM c2 GROUP BY prefix
+        ), v AS (
+            SELECT count(DISTINCT word) AS v FROM c2
+        ), s AS (
+            SELECT o.doc_id, o.occ_n,
+                   CAST(o.occ_n * ln((c2.c2 + 1) / (c1.c1 + v.v))
+                        AS DECIMAL(27,6)) AS lp
+            FROM occ o
+            JOIN c2 USING (prefix, word)
+            JOIN c1 USING (prefix)
+            CROSS JOIN v
+        )
+        SELECT doc_id, sum(occ_n)::BIGINT AS n_bigrams,
+               floor((sum(lp)::DOUBLE / sum(occ_n)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS avg_logprob
+        FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+    "q95_pareto_frontier": """
+        WITH b AS (
+            SELECT p_partkey, p_size::BIGINT AS size,
+                   CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents
+            FROM part
+        )
+        SELECT p_partkey, size, price_cents FROM b a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM b o
+            WHERE o.price_cents <= a.price_cents AND o.size >= a.size
+              AND (o.price_cents < a.price_cents OR o.size > a.size)
+        )
+        ORDER BY p_partkey
+    """,
+    "q96_ewma_anomaly": """
+        WITH l AS (
+            SELECT event_id, user_id, value,
+                   lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+                   lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+                   lag(value, 5) OVER w AS l5, lag(value, 6) OVER w AS l6,
+                   lag(value, 7) OVER w AS l7, lag(value, 8) OVER w AS l8
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), e AS (
+            SELECT event_id, user_id, value,
+                   (0.0 + coalesce(l1, 0.0) * 1.0
+                        + coalesce(l2, 0.0) * 0.5
+                        + coalesce(l3, 0.0) * 0.25
+                        + coalesce(l4, 0.0) * 0.125
+                        + coalesce(l5, 0.0) * 0.0625
+                        + coalesce(l6, 0.0) * 0.03125
+                        + coalesce(l7, 0.0) * 0.015625
+                        + coalesce(l8, 0.0) * 0.0078125)
+                   / nullif(0.0
+                        + CASE WHEN l1 IS NOT NULL THEN 1.0 ELSE 0.0 END
+                        + CASE WHEN l2 IS NOT NULL THEN 0.5 ELSE 0.0 END
+                        + CASE WHEN l3 IS NOT NULL THEN 0.25 ELSE 0.0 END
+                        + CASE WHEN l4 IS NOT NULL THEN 0.125 ELSE 0.0 END
+                        + CASE WHEN l5 IS NOT NULL THEN 0.0625 ELSE 0.0 END
+                        + CASE WHEN l6 IS NOT NULL THEN 0.03125 ELSE 0.0 END
+                        + CASE WHEN l7 IS NOT NULL THEN 0.015625 ELSE 0.0 END
+                        + CASE WHEN l8 IS NOT NULL THEN 0.0078125 ELSE 0.0 END,
+                        0.0) AS ewma_prev
+            FROM l
+        )
+        SELECT event_id, user_id, value, ewma_prev,
+               value - ewma_prev AS resid
+        FROM e
+        WHERE abs(value - ewma_prev) > 150.0
+        ORDER BY event_id
+    """,
+    "q97_chunk_documents": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), c AS (
+            SELECT doc_id, toks,
+                   CASE WHEN len(toks) <= 32 THEN 1
+                        ELSE CAST(floor((len(toks) - 32 + 23) / 24)
+                                  AS BIGINT) + 1
+                   END AS nc
+            FROM t
+        ), g AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, nc - 1)) AS chunk_id
+            FROM c
+        )
+        SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+               len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32])::BIGINT
+                   AS n_chunk_toks,
+               array_to_string(
+                   toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+                   AS chunk_text
+        FROM g ORDER BY doc_id, chunk_id
+    """,
+    "q98_sorted_neighborhood": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ), b AS (
+            SELECT doc_id,
+                   array_to_string(toks[1:2], ' ') AS snkey,
+                   list_distinct(toks) AS s
+            FROM t
+        ), r AS (
+            SELECT doc_id, s,
+                   row_number() OVER (ORDER BY snkey, doc_id) AS rn
+            FROM b
+        )
+        SELECT a.doc_id AS left_id, c.doc_id AS right_id,
+               len(list_intersect(a.s, c.s))
+                   / len(list_distinct(a.s || c.s)) AS jaccard
+        FROM r a JOIN r c ON c.rn > a.rn AND c.rn - a.rn <= 4
+        WHERE len(list_intersect(a.s, c.s))
+                  / len(list_distinct(a.s || c.s)) >= 0.5
+        ORDER BY left_id, right_id
+    """,
+    "q99_pagerank": """
+        WITH e AS (
+            SELECT DISTINCT 'c' || o_custkey AS src,
+                            's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ), n AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e
+                UNION ALL SELECT dst AS node FROM e
+            )
+        ), od AS (
+            SELECT src, count(*) AS deg FROM e GROUP BY src
+        ), r0 AS (
+            SELECT node, 1.0 AS rank FROM n
+        ), c1 AS (
+            SELECT e.dst AS node,
+                   sum(CAST(r.rank / od.deg AS DECIMAL(27,6))) AS s
+            FROM e JOIN r0 r ON r.node = e.src
+                   JOIN od ON od.src = e.src
+            GROUP BY e.dst
+        ), r1 AS (
+            SELECT n.node,
+                   floor((0.15 + 0.85 * coalesce(s::DOUBLE, 0.0))
+                         * 1000000.0 + 0.5) / 1000000.0 AS rank
+            FROM n LEFT JOIN c1 ON c1.node = n.node
+        ), c2 AS (
+            SELECT e.dst AS node,
+                   sum(CAST(r.rank / od.deg AS DECIMAL(27,6))) AS s
+            FROM e JOIN r1 r ON r.node = e.src
+                   JOIN od ON od.src = e.src
+            GROUP BY e.dst
+        ), r2 AS (
+            SELECT n.node,
+                   floor((0.15 + 0.85 * coalesce(s::DOUBLE, 0.0))
+                         * 1000000.0 + 0.5) / 1000000.0 AS rank
+            FROM n LEFT JOIN c2 ON c2.node = n.node
+        ), c3 AS (
+            SELECT e.dst AS node,
+                   sum(CAST(r.rank / od.deg AS DECIMAL(27,6))) AS s
+            FROM e JOIN r2 r ON r.node = e.src
+                   JOIN od ON od.src = e.src
+            GROUP BY e.dst
+        ), r3 AS (
+            SELECT n.node,
+                   floor((0.15 + 0.85 * coalesce(s::DOUBLE, 0.0))
+                         * 1000000.0 + 0.5) / 1000000.0 AS rank
+            FROM n LEFT JOIN c3 ON c3.node = n.node
+        )
+        SELECT node, rank FROM r3 ORDER BY node
     """,
 }
 

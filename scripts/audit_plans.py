@@ -41,6 +41,8 @@ BNLJ_ALLOWED: set[str] = {
     "q45_tfidf_topterms",
     # 1-row total-count scalar joined onto vocab-sized term counts.
     "q80_heavy_hitters_exact",
+    # 1-row vocabulary-size scalar joined onto the occurrence stream.
+    "q94_ngram_lm_score",
 }
 
 

@@ -1444,3 +1444,183 @@ def test_prefix_filter_join_guards(spark):
     )
     with _pytest.raises(ValueError, match="num <= den"):
         prefix_filter_join(df, threshold=(5, 3))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 extensions: skyline, EWMA, chunking, SNM blocking, PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_skyline2d_matches_bruteforce(spark):
+    from data_lake_project_spark.operators.frontier import skyline2d
+
+    rows = [
+        (i, (i * 37) % 19, (i * 53) % 23) for i in range(120)
+    ]  # deterministic pseudo-random (cost, gain) grid with ties
+    df = spark.createDataFrame(rows, ["id", "cost", "gain"])
+    got = {
+        r.id for r in skyline2d(df, "cost", "gain", n_blocks=7).collect()
+    }
+    # brute force dominance
+    want = set()
+    for i, c, g in rows:
+        dominated = any(
+            (c2 <= c and g2 >= g and (c2 < c or g2 > g))
+            for _, c2, g2 in rows
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want and got  # non-empty frontier
+
+
+def test_skyline2d_duplicate_points_both_survive(spark):
+    from data_lake_project_spark.operators.frontier import skyline2d
+
+    df = spark.createDataFrame(
+        [(1, 5, 5), (2, 5, 5)], ["id", "cost", "gain"]
+    )
+    assert {r.id for r in skyline2d(df, "cost", "gain").collect()} == {1, 2}
+
+
+def test_skyline2d_reserved_column_guard(spark):
+    import pytest
+
+    from data_lake_project_spark.operators.frontier import skyline2d
+
+    df = spark.createDataFrame([(1, 2, 3)], ["__blk", "cost", "gain"])
+    with pytest.raises(ValueError, match="reserved"):
+        skyline2d(df, "cost", "gain")
+
+
+def test_ewma_residual_known_series(spark):
+    from data_lake_project_spark.operators.timeseries import ewma_residual
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:00", 10.0),
+            (2, 1, "2024-01-01 00:01:00", 20.0),
+            (3, 1, "2024-01-01 00:02:00", 40.0),
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.event_id: r for r in ewma_residual(df, k=8).collect()}
+    assert out[1].ewma_prev is None and out[1].resid is None
+    assert out[2].ewma_prev == 10.0 and out[2].resid == 10.0
+    # (20*1 + 10*0.5) / 1.5 = 16.666...
+    assert abs(out[3].ewma_prev - 25.0 / 1.5) < 1e-12
+
+
+def test_ewma_residual_partitions_by_key(spark):
+    from data_lake_project_spark.operators.timeseries import ewma_residual
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:00", 10.0),
+            (2, 2, "2024-01-01 00:00:30", 99.0),
+            (3, 1, "2024-01-01 00:01:00", 30.0),
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.event_id: r for r in ewma_residual(df).collect()}
+    assert out[3].ewma_prev == 10.0  # user 2's value never leaks in
+    assert out[2].ewma_prev is None
+
+
+def test_chunk_documents_reconstructs_tokens(spark):
+    from data_lake_project_spark.operators.dataset import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(75))),
+            (2, "a b c"),
+            (3, "x"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_size=32, overlap=8).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # short docs: one clipped chunk
+    assert [r.chunk_text for r in by_doc[2]] == ["a b c"]
+    assert [r.n_chunk_toks for r in by_doc[3]] == [1]
+    # long doc: stride-24 windows of 32 covering all 75 tokens
+    chunks = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [c.chunk_id for c in chunks] == [0, 1, 2]
+    toks = [f"t{i}" for i in range(75)]
+    for c in chunks:
+        start = c.chunk_id * 24
+        assert c.chunk_text.split(" ") == toks[start : start + 32]
+    # overlap-aware reconstruction: chunk i contributes tokens past the
+    # 8 overlapping ones (except chunk 0)
+    rebuilt = chunks[0].chunk_text.split(" ")
+    for c in chunks[1:]:
+        rebuilt += c.chunk_text.split(" ")[8:]
+    assert rebuilt == toks
+
+
+def test_chunk_documents_overlap_guard(spark):
+    import pytest
+
+    from data_lake_project_spark.operators.dataset import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_size=8, overlap=8)
+
+
+def test_sorted_neighborhood_window_semantics(spark):
+    from data_lake_project_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    # two identical docs + one sharing a prefix + one unrelated
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "alpha beta gamma epsilon"),
+            (4, "zeta eta theta iota"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in sorted_neighborhood_pairs(
+            docs, window=3, jaccard_min=0.5
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert abs(out[(1, 3)] - 0.6) < 1e-12  # |{a,b,g}| / |{a,b,g,d,e}|
+    assert not any(4 in p for p in out)
+
+
+def test_sorted_neighborhood_candidate_bound(spark):
+    from data_lake_project_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").limit(60)
+    w = 4
+    pairs = sorted_neighborhood_pairs(d, window=w, jaccard_min=0.0).count()
+    assert pairs <= 60 * (w - 1)  # linear candidate count, never n^2
+
+
+def test_pagerank_two_node_chain(spark):
+    from data_lake_project_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+    assert ranks["a"] == 0.15
+    assert ranks["b"] == 0.2775  # 0.15 + 0.85 * 0.15
+
+
+def test_pagerank_split_contributions(spark):
+    from data_lake_project_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"]
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=1).collect()}
+    assert ranks["b"] == 0.575  # 0.15 + 0.85 * (1/2)
+    assert ranks["c"] == 1.425  # 0.15 + 0.85 * (1/2 + 1/1)
