@@ -186,6 +186,29 @@ def minhash_signatures(
     )
 
 
+def band_keys(
+    sig: DataFrame, id_col: str = "doc_id", band_size: int = 2
+) -> DataFrame:
+    """(id, band, bandsig) LSH band keys from a minhash signature
+    table — the shared banding step of the symmetric
+    (:func:`minhash_candidates_sets`) and asymmetric
+    (:func:`dedup_against`) pipelines. posexplode of a NULL band
+    array (mhs=NULL: empty doc) emits no rows — empty docs leave the
+    pipeline here without any filter."""
+    nb = (F.size("mhs") / band_size).cast("int")
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nb - 1),
+                lambda b: F.concat_ws(
+                    "|", F.slice(F.col("mhs"), b * band_size + 1, band_size)
+                ),
+            )
+        ).alias("band", "bandsig"),
+    )
+
+
 def minhash_candidates_sets(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -199,20 +222,7 @@ def minhash_candidates_sets(
     the ONLY wide operation is the (band, bandsig) self-join — an
     equi-join on a high-cardinality uniform key, never all-pairs.
     """
-    nb = (F.size("mhs") / band_size).cast("int")
-    # posexplode of a NULL band array (mhs=NULL: empty doc) emits no
-    # rows — empty docs leave the pipeline here without any filter.
-    bands = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nb - 1),
-                lambda b: F.concat_ws(
-                    "|", F.slice(F.col("mhs"), b * band_size + 1, band_size)
-                ),
-            )
-        ).alias("band", "bandsig"),
-    )
+    bands = band_keys(sig, id_col, band_size)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "bandsig")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "bandsig")
     return (
@@ -1138,3 +1148,132 @@ def sorted_neighborhood_pairs(
         .filter(F.col("jaccard") >= jaccard_min)
         .select("left_id", "right_id", "jaccard")
     )
+
+
+def bloom_positions(shingle: F.Column, n_hashes: int = 3, hex_chars: int = 5):
+    """The ``n_hashes`` Bloom positions of a shingle: independent
+    md5 streams (seed prefix ``i:``), each truncated to
+    ``hex_chars`` hex chars — a position space of 16^hex_chars.
+    Engine-portable (md5 + substr only)."""
+    return [
+        F.substring(F.md5(F.concat(F.lit(f"{i}:"), shingle)), 1, hex_chars)
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    n_hashes: int = 3,
+    hex_chars: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Approximate (Bloom-filter) decontamination: like
+    :func:`decontaminate` but the probe side broadcasts POSITION
+    CODES instead of raw shingles — ``n_hashes`` md5-derived
+    ``hex_chars``-hex-char codes per probe shingle. A corpus doc is
+    dropped when some shingle finds ALL of its positions in the probe
+    code set (classic Bloom semantics: no false negatives, false
+    positives at roughly ``(codes/16^hex_chars)^n_hashes``).
+
+    Why it matters at 100 TB: the exact variant ships every distinct
+    probe shingle string to every executor; here the broadcast is
+    fixed-width codes (~``n_hashes * 5`` bytes per shingle,
+    dedup-compressed), an order of magnitude smaller for long
+    shingles, with a measurable, tunable FP rate. Being md5-derived
+    the filter is DETERMINISTIC — the same docs drop on any engine,
+    so even the approximate operator is oracle-checkable exactly.
+
+    Plan: probe shingles → distinct position codes (tiny,
+    broadcast); corpus shingles explode into (id, shingle, hash_i,
+    code); an inner join against the codes keeps only hits; a
+    shingle is contaminated when its distinct hit count reaches
+    ``n_hashes``; contaminated ids anti-join back. The corpus never
+    shuffles for the probe — the only wide op is the per-(id,
+    shingle) hit count, keyed and partial-aggregated.
+    """
+    corpus_sh = shingles(docs, text_col, id_col, k)
+    probe_sh = (
+        shingles(
+            probes.withColumn("__pid", F.monotonically_increasing_id()),
+            probe_text_col,
+            "__pid",
+            k,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    pos = bloom_positions(F.col("shingle"), n_hashes, hex_chars)
+    codes = (
+        probe_sh.select(F.explode(F.array(*pos)).alias("__code"))
+        .distinct()
+    )
+    hits = (
+        corpus_sh.select(
+            F.col(id_col),
+            F.col("shingle"),
+            F.posexplode(F.array(*pos)).alias("__h", "__code"),
+        )
+        .join(F.broadcast(codes), "__code")
+        .groupBy(id_col, "shingle")
+        .agg(F.countDistinct("__h").alias("__nh"))
+        .filter(F.col("__nh") == n_hashes)
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(hits, id_col, "left_anti")
+
+
+def dedup_against(
+    corpus: DataFrame,
+    batch: DataFrame,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup: keep only the ``batch`` docs that are NOT
+    near-duplicates (exact shingle Jaccard >= ``threshold``) of any
+    ``corpus`` doc — the daily-ingest gate that dedups new data
+    against an existing lake WITHOUT re-deduplicating the lake.
+
+    The asymmetric version of the q25/q26 pipeline: both sides build
+    minhash band keys, but the candidate join is batch×corpus only —
+    at 100 TB the corpus side's band table is computed once (or, in a
+    real deployment, kept as a persisted index updated per ingest) and
+    the join cost scales with the BATCH band count, not corpus².
+    Verification joins shingle sets for candidates only. Empty batch
+    docs carry no bands and survive by construction.
+    """
+    c_sets = shingle_sets(corpus, text_col, id_col, k)
+    b_sets = shingle_sets(batch, text_col, id_col, k)
+    cb = band_keys(
+        minhash_sets(c_sets, id_col, num_hashes), id_col, band_size
+    ).select(F.col(id_col).alias("__cid"), "band", "bandsig")
+    bb = band_keys(
+        minhash_sets(b_sets, id_col, num_hashes), id_col, band_size
+    ).select(F.col(id_col).alias("__bid"), "band", "bandsig")
+    cand = (
+        bb.join(cb, ["band", "bandsig"]).select("__bid", "__cid").distinct()
+    )
+    x = b_sets.select(F.col(id_col).alias("__bid"), F.col("sh").alias("__bsh"))
+    y = c_sets.select(F.col(id_col).alias("__cid"), F.col("sh").alias("__csh"))
+    inter = F.size(F.array_intersect("__bsh", "__csh"))
+    dup = (
+        cand.join(x, "__bid")
+        .join(y, "__cid")
+        .withColumn(
+            "__j",
+            inter
+            / (F.size("__bsh") + F.size("__csh") - inter).cast("double"),
+        )
+        .filter(F.col("__j") >= threshold)
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dup, id_col, "left_anti")

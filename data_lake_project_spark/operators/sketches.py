@@ -99,3 +99,65 @@ def column_profile(
         "column string, n_rows long, n_nulls long, approx_ndv long, "
         "min_str string, max_str string",
     )
+
+
+JSON_INT_RE = r"^-?[0-9]+$"
+JSON_NUM_RE = r"^-?[0-9]+\.[0-9]+$"
+JSON_BOOL_RE = r"^(true|false)$"
+
+
+def infer_json_schema(df: DataFrame, json_col: str) -> DataFrame:
+    """Schema inference over a semi-structured JSON string column —
+    the landing-zone profiling step that turns "a bag of JSON blobs"
+    into a typed ingest contract: per key, how often it appears, how
+    its values classify (int / float / bool / null / string), and the
+    coarsest type that admits every observed value (mixed int+float →
+    double; anything mixed with bool or unclassifiable → string;
+    all-null keys stay 'null' for the reviewer to resolve).
+
+    Value text comes from the engine's JSON parser (numbers and
+    literals keep their source text), classification is three RE2-safe
+    regexes, and every output is an integer count or a CASE over
+    counts — fully engine-exact, oracle-checkable against DuckDB's
+    ``json_keys``/``json_extract_string``.
+
+    Scale: parse + explode is a pure per-row map (fan-out = keys per
+    object); ONE partial-agg'd shuffle on the key — cardinality is
+    schema breadth, not data size. The same shape as the vocabulary
+    aggregations (q40/q90).
+    """
+    from data_lake_project_spark.functions import spread
+
+    entries = spread(df).select(
+        F.explode(F.from_json(F.col(json_col), "map<string,string>")).alias(
+            "key", "value"
+        )
+    )
+    v = F.col("value")
+    counts = entries.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_present"),
+        F.count(F.when(v.isNull(), 1)).cast("long").alias("n_null"),
+        F.count(F.when(v.rlike(JSON_INT_RE), 1)).cast("long").alias("n_int"),
+        F.count(F.when(v.rlike(JSON_NUM_RE), 1)).cast("long").alias("n_num"),
+        F.count(F.when(v.rlike(JSON_BOOL_RE), 1)).cast("long").alias("n_bool"),
+        F.count(
+            F.when(
+                v.isNotNull()
+                & ~v.rlike(JSON_INT_RE)
+                & ~v.rlike(JSON_NUM_RE)
+                & ~v.rlike(JSON_BOOL_RE),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_str"),
+    )
+    inferred = (
+        F.when(F.col("n_str") > 0, "string")
+        .when((F.col("n_bool") > 0) & (F.col("n_int") + F.col("n_num") > 0), "string")
+        .when(F.col("n_bool") > 0, "boolean")
+        .when(F.col("n_num") > 0, "double")
+        .when(F.col("n_int") > 0, "bigint")
+        .otherwise("null")
+    )
+    return counts.withColumn("inferred_type", inferred)

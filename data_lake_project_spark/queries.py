@@ -2101,6 +2101,71 @@ def q99_pagerank(spark, sf):
     return pagerank(edges, iters=3).orderBy("node")
 
 
+def q102_dedup_against(spark, sf):
+    """Incremental near-dup: the re-ingest batch (docs with
+    ``doc_id % 5 == 0``) is deduplicated AGAINST the standing corpus
+    (the rest) — asymmetric LSH band join (batch×corpus, never
+    corpus²) + exact Jaccard >= 0.5 verify; survivors are the batch
+    docs safe to append. See ``operators.dedup.dedup_against``."""
+    d = load_table(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    return (
+        D.dedup_against(corpus, batch, k=3, num_hashes=8, band_size=2)
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+def q101_bloom_decontaminate(spark, sf):
+    """Bloom-filter decontamination: the broadcast is md5-derived
+    4-hex-char position codes (3 per probe shingle) instead of raw
+    shingle strings — fixed-width, an order of magnitude smaller at
+    benchmark scale, no false negatives, deterministic FP so even the
+    approximate op is hash-checkable. Probe set: docs with
+    ``doc_id % 89 == 0``. See ``operators.dedup.bloom_decontaminate``."""
+    d = load_table(spark, sf, "documents")
+    probes = d.filter(F.col("doc_id") % 89 == 0).select("text")
+    return (
+        D.bloom_decontaminate(d, probes, k=3, n_hashes=3, hex_chars=4)
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+# Shared synth template for q100 (q34 pattern: the SAME SQL builds the
+# semi-structured input on both engines; the Spark side then runs the
+# real operator while the oracle re-derives the expected profile).
+_Q100_SYNTH = """
+    SELECT CASE event_type
+      WHEN 'click' THEN '{"k": ' || CAST(user_id AS BIGINT)
+           || ', "page": "p' || CAST(user_id AS BIGINT) || '"}'
+      WHEN 'error' THEN '{"k": ' || CAST(user_id AS BIGINT)
+           || ', "code": ' || CAST(floor(value) AS BIGINT)
+           || ', "fatal": true}'
+      WHEN 'view' THEN '{"k": ' || CAST(user_id AS BIGINT)
+           || ', "dwell": ' || CAST(floor(value) AS BIGINT) || '.25}'
+      WHEN 'signup' THEN '{"k": ' || CAST(user_id AS BIGINT)
+           || ', "ref": null}'
+      ELSE props
+    END AS doc
+    FROM __TBL__
+"""
+
+
+def q100_json_schema_infer(spark, sf):
+    """Semi-structured schema inference: per-JSON-key presence + type
+    histogram + coarsest admitting type over a synthesized landing-
+    zone payload column (mixed int/float/bool/null/string shapes per
+    event_type). Parse+explode is a pure map; ONE schema-breadth
+    shuffle. See ``operators.sketches.infer_json_schema``."""
+    from data_lake_project_spark.operators.sketches import infer_json_schema
+
+    load_table(spark, sf, "events").createOrReplaceTempView("q100_events")
+    j = spark.sql(_Q100_SYNTH.replace("__TBL__", "q100_events"))
+    return infer_json_schema(j, "doc").orderBy("key")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2205,6 +2270,9 @@ QUERIES: dict[str, QueryFn] = {
     "q97_chunk_documents": q97_chunk_documents,
     "q98_sorted_neighborhood": q98_sorted_neighborhood,
     "q99_pagerank": q99_pagerank,
+    "q100_json_schema_infer": q100_json_schema_infer,
+    "q101_bloom_decontaminate": q101_bloom_decontaminate,
+    "q102_dedup_against": q102_dedup_against,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -4212,3 +4280,122 @@ ORACLE: dict[str, str] = {
 # oracle serves both; divergence between the lanes would surface as a
 # q28b hash mismatch.
 ORACLE["q28b_embedding_neardup_arrow"] = ORACLE["q28_embedding_neardup"]
+
+# q100's oracle re-derives the schema profile from the SAME synth
+# template via DuckDB's JSON functions (json_keys / json_extract_string
+# mirror from_json map<string,string> text semantics exactly).
+ORACLE["q100_json_schema_infer"] = (
+    """
+    WITH j AS ("""
+    + _Q100_SYNTH.replace("__TBL__", "events")
+    + """),
+    e AS (
+        SELECT k AS key, json_extract_string(doc, '$.' || k) AS value
+        FROM j, unnest(json_keys(doc)) AS t(k)
+    ), c AS (
+        SELECT key,
+               count(*)::BIGINT AS n_present,
+               sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_null,
+               sum(CASE WHEN regexp_matches(value, '^-?[0-9]+$')
+                        THEN 1 ELSE 0 END)::BIGINT AS n_int,
+               sum(CASE WHEN regexp_matches(value, '^-?[0-9]+\\.[0-9]+$')
+                        THEN 1 ELSE 0 END)::BIGINT AS n_num,
+               sum(CASE WHEN regexp_matches(value, '^(true|false)$')
+                        THEN 1 ELSE 0 END)::BIGINT AS n_bool,
+               sum(CASE WHEN value IS NOT NULL
+                         AND NOT regexp_matches(value, '^-?[0-9]+$')
+                         AND NOT regexp_matches(value, '^-?[0-9]+\\.[0-9]+$')
+                         AND NOT regexp_matches(value, '^(true|false)$')
+                        THEN 1 ELSE 0 END)::BIGINT AS n_str
+        FROM e GROUP BY key
+    )
+    SELECT key, n_present, n_null, n_int, n_num, n_bool, n_str,
+           CASE WHEN n_str > 0 THEN 'string'
+                WHEN n_bool > 0 AND (n_int + n_num) > 0 THEN 'string'
+                WHEN n_bool > 0 THEN 'boolean'
+                WHEN n_num > 0 THEN 'double'
+                WHEN n_int > 0 THEN 'bigint'
+                ELSE 'null' END AS inferred_type
+    FROM c ORDER BY key
+    """
+)
+
+ORACLE["q101_bloom_decontaminate"] = """
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(len(toks) - 2),
+                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                      ELSE [array_to_string(toks, ' ')] END) AS shingle
+        FROM d
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle <> ''),
+    probe AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 89 = 0
+    ),
+    codes AS (
+        SELECT DISTINCT code FROM (
+            SELECT substr(md5('0:' || shingle), 1, 4) AS code FROM probe
+            UNION ALL
+            SELECT substr(md5('1:' || shingle), 1, 4) FROM probe
+            UNION ALL
+            SELECT substr(md5('2:' || shingle), 1, 4) FROM probe
+        )
+    ),
+    pos AS (
+        SELECT doc_id, shingle, 0 AS h,
+               substr(md5('0:' || shingle), 1, 4) AS code FROM sh
+        UNION ALL
+        SELECT doc_id, shingle, 1,
+               substr(md5('1:' || shingle), 1, 4) FROM sh
+        UNION ALL
+        SELECT doc_id, shingle, 2,
+               substr(md5('2:' || shingle), 1, 4) FROM sh
+    ),
+    contam AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT p.doc_id, p.shingle
+            FROM pos p JOIN codes c ON c.code = p.code
+            GROUP BY p.doc_id, p.shingle
+            HAVING count(DISTINCT p.h) = 3
+        )
+    )
+    SELECT doc_id, n_chars::BIGINT AS n_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ORDER BY doc_id
+"""
+
+# q102's oracle reuses the shared shingle/minhash/band CTE (its
+# symmetric `cand` leg goes unused) and adds the asymmetric
+# batch-vs-corpus candidate join + exact-Jaccard verify.
+ORACLE["q102_dedup_against"] = f"""
+    WITH {_SHINGLE_CTE},
+    sets AS (
+        SELECT doc_id, list_sort(list(DISTINCT shingle)) AS shs
+        FROM sh GROUP BY doc_id
+    ),
+    cand2 AS (
+        SELECT DISTINCT b.doc_id AS bid, a.doc_id AS cid
+        FROM band b JOIN band a
+          ON a.band = b.band AND a.bandsig = b.bandsig
+        WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+    ),
+    dup AS (
+        SELECT DISTINCT c.bid FROM cand2 c
+        JOIN sets x ON x.doc_id = c.bid
+        JOIN sets y ON y.doc_id = c.cid
+        WHERE len(list_intersect(x.shs, y.shs))::DOUBLE
+              / (len(x.shs) + len(y.shs)
+                 - len(list_intersect(x.shs, y.shs)))::DOUBLE >= 0.5
+    )
+    SELECT doc_id, n_chars::BIGINT AS n_chars
+    FROM documents
+    WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT bid FROM dup)
+    ORDER BY doc_id
+"""

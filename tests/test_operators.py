@@ -1624,3 +1624,64 @@ def test_pagerank_split_contributions(spark):
     ranks = {r.node: r.rank for r in pagerank(edges, iters=1).collect()}
     assert ranks["b"] == 0.575  # 0.15 + 0.85 * (1/2)
     assert ranks["c"] == 1.425  # 0.15 + 0.85 * (1/2 + 1/1)
+
+
+def test_infer_json_schema_type_lattice(spark):
+    from data_lake_project_spark.operators.sketches import infer_json_schema
+
+    df = spark.createDataFrame(
+        [
+            ('{"a": 1, "b": 1.5, "c": true, "d": null, "e": "x"}',),
+            ('{"a": 2.5, "b": 2, "c": false, "d": 3, "e": {"n": 1}}',),
+        ],
+        ["doc"],
+    )
+    out = {r.key: r for r in infer_json_schema(df, "doc").collect()}
+    assert out["a"].inferred_type == "double"  # int + float widens
+    assert out["b"].inferred_type == "double"
+    assert out["c"].inferred_type == "boolean"
+    assert out["d"].inferred_type == "bigint"  # null + int -> bigint
+    assert out["e"].inferred_type == "string"  # str/object dominates
+    assert out["d"].n_null == 1 and out["d"].n_int == 1
+    assert out["e"].n_str == 2 and out["e"].n_present == 2
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    from data_lake_project_spark.operators.dedup import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").limit(200)
+    probes = d.filter(F.col("doc_id") % 41 == 0).select("text")
+    exact = {r.doc_id for r in decontaminate(d, probes).select("doc_id").collect()}
+    bloom = {
+        r.doc_id
+        for r in bloom_decontaminate(d, probes, hex_chars=4)
+        .select("doc_id")
+        .collect()
+    }
+    # Bloom may drop extra docs (false positives) but never keeps a
+    # doc the exact rule drops (no false negatives).
+    assert bloom <= exact
+
+
+def test_dedup_against_drops_only_corpus_matches(spark):
+    from data_lake_project_spark.operators.dedup import dedup_against
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # dup
+            (11, "entirely different content about spark plans"),
+            (12, ""),  # empty: no bands, must survive
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {
+        r.doc_id for r in dedup_against(corpus, batch).select("doc_id").collect()
+    }
+    assert kept == {11, 12}
