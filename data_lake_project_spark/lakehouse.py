@@ -27,7 +27,7 @@ from __future__ import annotations
 import json
 import posixpath
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -441,4 +441,44 @@ def snapshot_diff(
     )
     return joined.select(
         *key_cols, verdict.alias("change_type")
+    )
+
+
+def cdc_apply(
+    log: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    deletes: tuple[str, ...] = ("D",),
+) -> DataFrame:
+    """Materialize the CURRENT snapshot from a CDC change log — the
+    merge-on-read collapse Delta/Hudi/Iceberg run at query time:
+    keep, per key, only the latest change (by ``order_cols``, which
+    must be a total order within a key — include a sequence column
+    to break timestamp ties), and drop the key entirely when that
+    latest change is a delete.
+
+    The complement of ``scd2_apply``: SCD2 keeps the full interval
+    history, ``cdc_apply`` answers "what does the table look like
+    NOW" from the same log. Unlike the SCD2 fold it needs no ordering
+    contract across batches — the window sees the whole log, so late
+    events land correctly wherever they sort.
+
+    Scale (100 TB of log): ONE keyed shuffle (window on the key,
+    sort by the order columns within each key partition) + a narrow
+    filter — the canonical distributed argmax. At real scale the log
+    is time-partitioned and the window reads only the key's partition
+    slice; no driver-side state, no iteration.
+    """
+    from data_lake_project_spark.functions import reserve_columns
+
+    reserve_columns(log, "cdc_apply", "__rn")
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(~F.col(op_col).isin(*deletes))
+        .drop("__rn", op_col)
     )

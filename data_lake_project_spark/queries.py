@@ -2101,6 +2101,77 @@ def q99_pagerank(spark, sf):
     return pagerank(edges, iters=3).orderBy("node")
 
 
+def q104_zorder_layout(spark, sf):
+    """Z-order (Morton) clustering readout: interleave customer-key
+    and price-bucket bits into a Z-value, bucket rows into the files
+    a range-partition on Z would produce, and report each file's
+    min/max envelope on BOTH dimensions — the parquet-stats pruning
+    surface Delta's OPTIMIZE ZORDER BY builds. Pure bit math + one
+    file-keyed roll-up. See ``operators.layout.zorder_file_stats``."""
+    from data_lake_project_spark.operators.layout import zorder_file_stats
+
+    o = load_table(spark, sf, "orders").select(
+        (F.col("o_orderkey") % 65536).cast("long").alias("x"),
+        (F.floor("o_totalprice").cast("long") % 65536).alias("y"),
+    )
+    return zorder_file_stats(o, "x", "y", bits=16, file_shift=22).orderBy(
+        "file_id"
+    )
+
+
+def q103_cdc_apply(spark, sf):
+    """CDC merge-on-read collapse: materialize the CURRENT snapshot
+    from a change log (insert + update + delete + tie-broken
+    same-timestamp ops + post-delete re-insert), keeping per key only
+    the latest op and dropping deleted keys. The log is a
+    deterministic mutation ladder over orders (q93's synth pattern).
+    One keyed window shuffle. See ``lakehouse.cdc_apply``."""
+    from data_lake_project_spark.lakehouse import cdc_apply
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    ins = o.select(
+        "o_orderkey",
+        F.lit(1).alias("ts"),
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    upd = o.filter(k % 7 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("ts"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    dele = o.filter(k % 13 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("ts"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    upd2 = o.filter(k % 11 == 0).select(
+        "o_orderkey",
+        F.lit(3).alias("ts"),
+        F.lit(0).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 9.0).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    log = ins.unionByName(upd).unionByName(dele).unionByName(upd2)
+    return (
+        cdc_apply(log, ["o_orderkey"], ["ts", "seq"], op_col="op")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
 def q102_dedup_against(spark, sf):
     """Incremental near-dup: the re-ingest batch (docs with
     ``doc_id % 5 == 0``) is deduplicated AGAINST the standing corpus
@@ -2273,6 +2344,8 @@ QUERIES: dict[str, QueryFn] = {
     "q100_json_schema_infer": q100_json_schema_infer,
     "q101_bloom_decontaminate": q101_bloom_decontaminate,
     "q102_dedup_against": q102_dedup_against,
+    "q103_cdc_apply": q103_cdc_apply,
+    "q104_zorder_layout": q104_zorder_layout,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -4398,4 +4471,52 @@ ORACLE["q102_dedup_against"] = f"""
     FROM documents
     WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT bid FROM dup)
     ORDER BY doc_id
+"""
+
+ORACLE["q103_cdc_apply"] = """
+    WITH o AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    ),
+    log AS (
+        SELECT o_orderkey, 1 AS ts, 0 AS seq, 'I' AS op,
+               o_totalprice, o_orderstatus FROM o
+        UNION ALL
+        SELECT o_orderkey, 2, 1, 'U', o_totalprice + 5.0, o_orderstatus
+        FROM o WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, 2, 2, 'D', o_totalprice, o_orderstatus
+        FROM o WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey, 3, 0, 'U', o_totalprice + 9.0, o_orderstatus
+        FROM o WHERE o_orderkey % 11 = 0
+    ),
+    latest AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderkey ORDER BY ts DESC, seq DESC
+        ) AS rn
+        FROM log
+    )
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    ORDER BY o_orderkey
+"""
+
+# q104's oracle interleaves the same 16 bit-pairs explicitly (the
+# Spark side builds the identical sum via shiftright/bitwiseAND).
+_Q104_ZEXPR = " + ".join(
+    f"((x >> {i}) & 1) * {2 ** (2 * i)} + ((y >> {i}) & 1) * {2 ** (2 * i + 1)}"
+    for i in range(16)
+)
+ORACLE["q104_zorder_layout"] = f"""
+    WITH b AS (
+        SELECT (o_orderkey % 65536)::BIGINT AS x,
+               (CAST(floor(o_totalprice) AS BIGINT) % 65536) AS y
+        FROM orders
+    ), z AS (
+        SELECT x, y, ({_Q104_ZEXPR})::BIGINT AS zval FROM b
+    )
+    SELECT (zval >> 22)::BIGINT AS file_id, count(*)::BIGINT AS n_rows,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM z GROUP BY file_id ORDER BY file_id
 """

@@ -1685,3 +1685,57 @@ def test_dedup_against_drops_only_corpus_matches(spark):
         r.doc_id for r in dedup_against(corpus, batch).select("doc_id").collect()
     }
     assert kept == {11, 12}
+
+
+def test_cdc_apply_last_op_wins(spark):
+    from data_lake_project_spark.lakehouse import cdc_apply
+
+    log = spark.createDataFrame(
+        [
+            # plain insert + later update: update wins
+            (1, 1, 0, "I", 10.0),
+            (1, 2, 0, "U", 11.0),
+            # delete wins a same-ts tie on seq
+            (2, 1, 0, "I", 20.0),
+            (2, 2, 1, "U", 21.0),
+            (2, 2, 2, "D", 21.0),
+            # re-insert after delete revives the key
+            (3, 1, 0, "I", 30.0),
+            (3, 2, 0, "D", 30.0),
+            (3, 3, 0, "I", 31.0),
+        ],
+        ["k", "ts", "seq", "op", "v"],
+    )
+    out = {r.k: r.v for r in cdc_apply(log, ["k"], ["ts", "seq"]).collect()}
+    assert out == {1: 11.0, 3: 31.0}
+
+
+def test_zvalue_interleaves_bits(spark):
+    from data_lake_project_spark.operators.layout import zvalue
+
+    df = spark.createDataFrame([(3, 5)], ["x", "y"])
+    # x=0b011 -> even positions 0,2 set; y=0b101 -> odd positions 1,5
+    got = df.select(zvalue(F.col("x"), F.col("y"), bits=3).alias("z")).first().z
+    assert got == 1 + 4 + 2 + 32
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bits"):
+        zvalue(F.col("x"), F.col("y"), bits=0)
+
+
+def test_zorder_envelopes_are_narrow(spark):
+    from data_lake_project_spark.operators.layout import zorder_file_stats
+
+    # full 64x64 grid: every file's envelope must be a 16x16 quadrant
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    stats = zorder_file_stats(grid, "x", "y", bits=6, file_shift=8).collect()
+    assert len(stats) == 16
+    # every Z-file's envelope is a strict sub-range on BOTH dims —
+    # the property single-dimension sorting cannot give for dim 2
+    for r in stats:
+        assert r.n_rows == 256
+        assert r.x_max - r.x_min == 15
+        assert r.y_max - r.y_min == 15
