@@ -296,3 +296,94 @@ def funnel_stages_eventtime(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def ewma_anomalies(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    value_col: str = "value",
+    k: int = 8,
+    alpha: float = 0.5,
+    threshold: float = 150.0,
+) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.ewma_residual`` + the
+    q96 anomaly filter: per-key ring buffer of the K most recent
+    values carried across micro-batches; each arriving event scores
+    against the finite-window EWMA of its predecessors and is emitted
+    iff ``|value - ewma_prev| > threshold``.
+
+    The Python fold accumulates ``num``/``den`` in exactly the batch
+    expression's order (most-recent lag first, weights alpha^j), so
+    with a power-of-two alpha the streamed residuals are BIT-identical
+    to the batch operator on an in-order stream
+    (``test_ewma_stream_equals_batch``). Cross-batch reordering
+    follows source delivery order — the same non-watermarked contract
+    as ``funnel_stages``.
+
+    State: K doubles + a fill count per key — O(K), store-backed.
+    Output (update mode): one row per anomalous event in the batch.
+    """
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (kk,) = key
+        if state.exists:
+            raw = list(state.get)
+            n = int(raw[-1])
+            buf = [float(v) for v in raw[:n]]  # most recent first
+        else:
+            buf = []
+        ids: list[int] = []
+        vals: list[float] = []
+        ews: list[float] = []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            for _, row in batch.sort_values([ts_col, seq_col]).iterrows():
+                x = float(row[value_col])
+                num = 0.0
+                den = 0.0
+                for j, v in enumerate(buf):
+                    w = alpha**j
+                    num = num + v * w
+                    den = den + w
+                if den > 0.0:
+                    ew = num / den
+                    if abs(x - ew) > threshold:
+                        ids.append(int(row[seq_col]))
+                        vals.append(x)
+                        ews.append(ew)
+                buf = [x] + buf[: k - 1]
+        state.update(tuple(buf + [0.0] * (k - len(buf))) + (len(buf),))
+        yield pd.DataFrame(
+            {
+                "key": [kk] * len(ids),
+                "seq": ids,
+                "value": vals,
+                "ewma_prev": ews,
+            }
+        )
+
+    filtered = (
+        events.filter(
+            F.col(ts_col).isNotNull()
+            & F.col(seq_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        ).selectExpr(
+            f"CAST({key_col} AS STRING) AS key",
+            f"unix_micros(CAST({ts_col} AS TIMESTAMP)) AS {ts_col}",
+            f"CAST({seq_col} AS LONG) AS {seq_col}",
+            f"CAST({value_col} AS DOUBLE) AS {value_col}",
+        )
+    )
+    state_fields = ", ".join(f"v{i} double" for i in range(k))
+    return filtered.groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType="key string, seq long, value double, "
+        "ewma_prev double",
+        stateStructType=f"{state_fields}, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -962,3 +962,63 @@ def test_funnel_eventtime_shuffled_fixture_equals_batch(spark, tmp_path):
         r.stage: r.n_users for r in QUERIES["q69_funnel"](spark, sf).collect()
     }
     assert stream_counts == batch_counts
+
+
+def test_ewma_stream_equals_batch(spark, tmp_path):
+    """Streamed EWMA anomalies over time-ordered micro-batches must
+    equal the q96 batch residual filter BIT-exactly: the stateful fold
+    accumulates the weighted sum in the batch expression's order with
+    power-of-two weights, so not even a rounding tolerance is needed."""
+    from data_lake_project_spark.operators.timeseries import ewma_residual
+    from data_lake_project_spark.streaming.stateful import ewma_anomalies
+    from data_lake_project_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    src = str(tmp_path / "ewma_src")
+    sliced = ev.withColumn(
+        "__slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 5):
+        sliced.filter(F.col("__slice") == i).drop("__slice").coalesce(
+            1
+        ).write.mode("append" if i > 1 else "overwrite").parquet(f"{src}/s{i}")
+    merged = str(tmp_path / "ewma_files")
+    os.makedirs(merged)
+    import glob as _glob
+    import shutil as _shutil
+
+    base = 1_700_000_000
+    for i in range(4):
+        for f in sorted(_glob.glob(f"{src}/s{i + 1}/part-*.parquet")):
+            dst = os.path.join(merged, f"{i:02d}.parquet")
+            _shutil.copy(f, dst)
+            os.utime(dst, (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(merged)
+    )
+    q = (
+        ewma_anomalies(stream, threshold=150.0)
+        .writeStream.format("memory")
+        .queryName("mem_ewma")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        (r.seq, r.value, r.ewma_prev)
+        for r in spark.table("mem_ewma").collect()
+    }
+    batch = {
+        (r.event_id, r.value, r.ewma_prev)
+        for r in ewma_residual(ev)
+        .filter(F.abs(F.col("resid")) > 150.0)
+        .collect()
+    }
+    assert streamed == batch and batch
