@@ -621,9 +621,12 @@ def ngram_lm_score(
     c2 = occ.groupBy("prefix", "word").agg(F.sum("__occ_n").alias("__c2"))
     c1 = c2.groupBy("prefix").agg(F.sum("__c2").alias("__c1"))
     v = c2.select("word").distinct().agg(F.count("*").alias("__v"))
+    # Fold the prefix marginal into the (vocabulary-sized) model FIRST
+    # so the data-sized occurrence stream is exchanged once, for a
+    # single co-partitioned join — not once per model table.
+    model = c2.join(c1, "prefix")
     scored = (
-        occ.join(c2, ["prefix", "word"])
-        .join(c1, "prefix")
+        occ.join(model, ["prefix", "word"])
         .crossJoin(F.broadcast(v))
         .withColumn(
             "__lp",
