@@ -19,7 +19,7 @@ bucket, so no distinct/shuffle is needed afterwards.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 RECT = ("x1", "y1", "x2", "y2")
@@ -143,3 +143,68 @@ def iou_join(
         (F.col("__bx") == first_shared_x) & (F.col("__by") == first_shared_y)
     )
     return joined.drop("__bx", "__by", "__first_b", "__first_b_box")
+
+
+def max_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Sweep-line max-overlap: for each time bucket that carries an
+    interval boundary, the maximum number of intervals simultaneously
+    open at any boundary event in that bucket — peak concurrent
+    sessions / connections / jobs, the capacity-planning readout.
+
+    Closed-interval semantics: at an identical timestamp, starts
+    count before ends (delta ordered DESC), so touching intervals
+    overlap. Among equal deltas at one timestamp the partial-sum
+    multiset is order-invariant, so the per-bucket max is
+    deterministic on any engine.
+
+    Scale: the global prefix sum distributes with the same two-phase
+    trick as the SNM rank (q98) — per-bucket running sums are an
+    ordinary partitioned window (parallel), and the cross-bucket
+    carry-in offsets come from ONE tiny window over per-bucket net
+    sums (buckets, not rows). Buckets with no boundary events emit no
+    row (an interval spanning a silent bucket keeps it at the
+    carry-in level — readable from the previous row's output).
+    """
+    from data_lake_project_spark.functions import reserve_columns
+
+    reserve_columns(
+        intervals, "max_concurrency",
+        "__t", "__delta", "__bkt", "__run", "__net", "__off",
+    )
+    s = F.col(start_col).cast("timestamp").cast("long")
+    e = F.col(end_col).cast("timestamp").cast("long")
+    deltas = intervals.select(
+        s.alias("__t"), F.lit(1).alias("__delta")
+    ).unionAll(intervals.select(e.alias("__t"), F.lit(-1).alias("__delta")))
+    deltas = deltas.withColumn(
+        "__bkt", F.floor(F.col("__t") / bucket_s).cast("long")
+    )
+    run_w = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col("__t"), F.col("__delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_bucket = deltas.withColumn("__run", F.sum("__delta").over(run_w))
+    nets = deltas.groupBy("__bkt").agg(F.sum("__delta").alias("__net"))
+    off_w = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = nets.select(
+        "__bkt",
+        F.coalesce(F.sum("__net").over(off_w), F.lit(0)).alias("__off"),
+    )
+    return (
+        per_bucket.join(F.broadcast(offsets), "__bkt")
+        .groupBy("__bkt")
+        .agg(
+            F.max(F.col("__off") + F.col("__run"))
+            .cast("long")
+            .alias("max_concurrent")
+        )
+        .select(F.col("__bkt").alias("bucket"), "max_concurrent")
+    )

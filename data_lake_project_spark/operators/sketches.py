@@ -161,3 +161,55 @@ def infer_json_schema(df: DataFrame, json_col: str) -> DataFrame:
         .otherwise("null")
     )
     return counts.withColumn("inferred_type", inferred)
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    c: float = 3.0,
+) -> DataFrame:
+    """Median/MAD outlier flags — the robust z-score the winsorize op
+    (q72) is the blunt cousin of: a row is an outlier when
+    ``|x - median| > c * MAD`` within its group (MAD = median absolute
+    deviation). Unlike mean/stddev, one wild value cannot drag the
+    threshold toward itself, which is exactly what a data-quality
+    gate wants on heavy-tailed columns.
+
+    Appends ``grp_median``, ``grp_mad``, ``is_outlier``. Exact
+    medians (in-group percentile, q63's semantics) — deterministic
+    and oracle-checkable; groups with MAD = 0 flag any deviation
+    (strict > keeps exact-constant groups clean).
+
+    Scale: two grouped exact-median passes (each one keyed shuffle,
+    group-state-sized output) + two broadcast-sized joins of the tiny
+    per-group stats back onto the stream. For very hot groups swap
+    the exact median for ``percentile_approx`` — same plan shape.
+    """
+    from data_lake_project_spark.functions import reserve_columns
+
+    reserve_columns(df, "robust_outliers", "grp_median", "grp_mad",
+                    "is_outlier")
+    keys = keys or []
+    if keys:
+        med = df.groupBy(*keys).agg(
+            F.median(value_col).alias("grp_median")
+        )
+        with_med = df.join(F.broadcast(med), keys)
+    else:
+        med = df.agg(F.median(value_col).alias("grp_median"))
+        with_med = df.crossJoin(F.broadcast(med))
+    dev = F.abs(F.col(value_col) - F.col("grp_median"))
+    if keys:
+        mad = with_med.groupBy(*keys).agg(
+            F.median(dev).alias("grp_mad")
+        )
+        full = with_med.join(F.broadcast(mad), keys)
+    else:
+        mad = with_med.agg(F.median(dev).alias("grp_mad"))
+        full = with_med.crossJoin(F.broadcast(mad))
+    return full.withColumn(
+        "is_outlier",
+        F.abs(F.col(value_col) - F.col("grp_median"))
+        > F.lit(c) * F.col("grp_mad"),
+    )

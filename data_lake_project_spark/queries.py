@@ -2101,6 +2101,56 @@ def q99_pagerank(spark, sf):
     return pagerank(edges, iters=3).orderBy("node")
 
 
+def q107_max_concurrency(spark, sf):
+    """Peak concurrent activity per hour: sweep-line max-overlap over
+    per-(user, day) activity spans [first event, last event] — the
+    capacity-planning readout. Distributed two-phase prefix sum
+    (per-hour windows + tiny carry-in offsets), starts-before-ends
+    tie rule. See ``operators.interval.max_concurrency``."""
+    from data_lake_project_spark.operators.interval import max_concurrency
+
+    e = load_table(spark, sf, "events")
+    iv = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    return max_concurrency(iv, "s", "e", bucket_s=3600).orderBy("bucket")
+
+
+def q106_skew_report(spark, sf):
+    """Pre-flight shuffle-skew diagnostic on the events key
+    ``event_type`` (5 hot keys): per-key row share, the load ratio of
+    its md5 hash bucket vs uniform, and the salt factor
+    ``salted_join`` would need — the report a pipeline reads before
+    picking a join strategy. One vocabulary-sized shuffle + scalar
+    total. See ``operators.skew.skew_report``."""
+    from data_lake_project_spark.operators.skew import skew_report
+
+    e = load_table(spark, sf, "events")
+    return skew_report(e, ["event_type"], hex_chars=1, top=10).orderBy(
+        F.col("n_rows").desc(), "event_type"
+    )
+
+
+def q105_robust_outliers(spark, sf):
+    """Median/MAD robust outlier gate per event_type over the heavy-
+    tailed value column — the outlier-safe twin of q72's winsorize
+    (one wild value cannot drag a median threshold the way it drags a
+    mean/stddev one). Two grouped exact-median passes + broadcast
+    joins of the 5-row stats. See
+    ``operators.sketches.robust_outliers``."""
+    from data_lake_project_spark.operators.sketches import robust_outliers
+
+    e = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return (
+        robust_outliers(e, "value", ["event_type"], c=3.0)
+        .filter(F.col("is_outlier"))
+        .select("event_id", "event_type", "value", "grp_median", "grp_mad")
+        .orderBy("event_id")
+    )
+
+
 def q104_zorder_layout(spark, sf):
     """Z-order (Morton) clustering readout: interleave customer-key
     and price-bucket bits into a Z-value, bucket rows into the files
@@ -2346,6 +2396,9 @@ QUERIES: dict[str, QueryFn] = {
     "q102_dedup_against": q102_dedup_against,
     "q103_cdc_apply": q103_cdc_apply,
     "q104_zorder_layout": q104_zorder_layout,
+    "q105_robust_outliers": q105_robust_outliers,
+    "q106_skew_report": q106_skew_report,
+    "q107_max_concurrency": q107_max_concurrency,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -4519,4 +4572,71 @@ ORACLE["q104_zorder_layout"] = f"""
            min(x) AS x_min, max(x) AS x_max,
            min(y) AS y_min, max(y) AS y_max
     FROM z GROUP BY file_id ORDER BY file_id
+"""
+
+ORACLE["q105_robust_outliers"] = """
+    WITH med AS (
+        SELECT event_type, median(value) AS grp_median
+        FROM events GROUP BY event_type
+    ),
+    a AS (
+        SELECT e.event_id, e.event_type, e.value, m.grp_median
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type,
+               median(abs(value - grp_median)) AS grp_mad
+        FROM a GROUP BY event_type
+    )
+    SELECT a.event_id, a.event_type, a.value, a.grp_median, d.grp_mad
+    FROM a JOIN mad d USING (event_type)
+    WHERE abs(a.value - a.grp_median) > 3.0 * d.grp_mad
+    ORDER BY a.event_id
+"""
+
+ORACLE["q106_skew_report"] = """
+    WITH per_key AS (
+        SELECT event_type, count(*)::BIGINT AS n_rows,
+               substr(md5(CAST(event_type AS VARCHAR)), 1, 1) AS bucket
+        FROM events GROUP BY event_type
+    ),
+    per_bucket AS (
+        SELECT bucket, sum(n_rows)::BIGINT AS bucket_rows
+        FROM per_key GROUP BY bucket
+    ),
+    tot AS (SELECT sum(n_rows)::BIGINT AS t FROM per_key)
+    SELECT k.event_type, k.n_rows,
+           floor((k.n_rows / t.t) * 1000000.0 + 0.5) / 1000000.0
+               AS row_share,
+           k.bucket, b.bucket_rows,
+           floor((b.bucket_rows / (t.t / 16.0)) * 1000.0 + 0.5) / 1000.0
+               AS bucket_skew,
+           CAST(ceil(k.n_rows / (t.t / 16.0)) AS BIGINT)
+               AS suggested_salts
+    FROM per_key k JOIN per_bucket b USING (bucket) CROSS JOIN tot t
+    ORDER BY k.n_rows DESC, k.event_type LIMIT 10
+"""
+
+ORACLE["q107_max_concurrency"] = """
+    WITH iv AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               floor(epoch(min(ts)))::BIGINT AS s,
+               floor(epoch(max(ts)))::BIGINT AS e
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    d AS (
+        SELECT s AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT e AS t, -1 AS delta FROM iv
+    ),
+    r AS (
+        SELECT t, delta, (t // CAST(3600 AS BIGINT)) AS bucket,
+               sum(delta) OVER (
+                   ORDER BY t, delta DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run
+        FROM d
+    )
+    SELECT bucket, max(run)::BIGINT AS max_concurrent
+    FROM r GROUP BY bucket ORDER BY bucket
 """

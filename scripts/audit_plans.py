@@ -43,6 +43,8 @@ BNLJ_ALLOWED: set[str] = {
     "q80_heavy_hitters_exact",
     # 1-row vocabulary-size scalar joined onto the occurrence stream.
     "q94_ngram_lm_score",
+    # 1-row total-rows scalar joined onto the per-key count table.
+    "q106_skew_report",
 }
 
 

@@ -1739,3 +1739,49 @@ def test_zorder_envelopes_are_narrow(spark):
         assert r.n_rows == 256
         assert r.x_max - r.x_min == 15
         assert r.y_max - r.y_min == 15
+
+
+def test_robust_outliers_resists_wild_values(spark):
+    from data_lake_project_spark.operators.sketches import robust_outliers
+
+    rows = [("g", float(v)) for v in [10, 11, 12, 13, 14, 1000]]
+    df = spark.createDataFrame(rows, ["grp", "x"])
+    out = robust_outliers(df, "x", ["grp"], c=3.0).collect()
+    flagged = {r.x for r in out if r.is_outlier}
+    assert flagged == {1000.0}  # the wild value can't hide the others
+    # constant group: MAD=0, strict > keeps exact-constant rows clean
+    const = spark.createDataFrame([("c", 5.0)] * 4, ["grp", "x"])
+    assert not any(
+        r.is_outlier for r in robust_outliers(const, "x", ["grp"]).collect()
+    )
+
+
+def test_skew_report_shares_and_salts(spark):
+    from data_lake_project_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame(
+        [("a",)] * 8 + [("b",)] * 2, ["k"]
+    )
+    out = {r.k: r for r in skew_report(df, ["k"], hex_chars=1).collect()}
+    assert out["a"].n_rows == 8 and out["a"].row_share == 0.8
+    # uniform bucket load = 10/16 rows; salts = ceil(8 / 0.625) = 13
+    assert out["a"].suggested_salts == 13
+    assert out["b"].suggested_salts == 4
+
+
+def test_max_concurrency_sweep_line(spark):
+    from data_lake_project_spark.operators.interval import max_concurrency
+
+    iv = spark.createDataFrame(
+        [(0, 10), (5, 15), (20, 30), (3600, 3605), (3605, 3610)],
+        ["s", "e"],
+    ).select(
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    out = {
+        r.bucket: r.max_concurrent
+        for r in max_concurrency(iv, "s", "e", bucket_s=3600).collect()
+    }
+    # [0,10] and [5,15] overlap; touching intervals at 3605 overlap too
+    assert out[0] == 2 and out[1] == 2
