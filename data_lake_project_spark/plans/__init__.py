@@ -54,10 +54,24 @@ def join_strategies(df: DataFrame) -> list[str]:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the plan (lower = fewer wide
-    dependencies; broadcast exchanges are not counted)."""
+    """Number of hash/range shuffle exchanges in the plan (lower =
+    fewer wide dependencies; broadcast, round-robin ``spread()`` and
+    SinglePartition exchanges are not counted).
+
+    Matches BOTH plan syntaxes: simple mode inlines ``Exchange
+    hashpartitioning(...)``, formatted mode splits the node into
+    ``(N) Exchange`` + an ``Arguments: hashpartitioning(...)`` detail
+    line — counting only the simple-mode shape silently returned 0 on
+    every formatted plan and made the single-shuffle guardrails
+    vacuous (caught when a genuinely-1-shuffle op counted 0)."""
     plan = explain_str(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
+    n = len(
+        re.findall(
+            r"\bExchange (?:hash|range)partitioning", plan
+        )
+    )
+    n += len(re.findall(r"Arguments: (?:hash|range)partitioning", plan))
+    return n
 
 
 def codegen_stage_count(df: DataFrame) -> int:

@@ -299,3 +299,78 @@ def test_ivf_codebook_validation_fails_fast(spark):
     empty = e.filter("vec_id < 0")
     with _pytest.raises(ValueError, match="empty"):
         ivf_topk(empty, probes, n_centroids=2)
+
+
+def test_chunk_documents_is_pure_map(spark):
+    """Chunking must add ZERO shuffles — tokenize, sequence, slice
+    are all narrow; the explode inherits scan partitioning."""
+    from data_lake_project_spark.operators.dataset import chunk_documents
+
+    d = load_table(spark, SF_DIR, "documents")
+    assert P.exchange_count(chunk_documents(d)) == 0
+
+
+def test_zvalue_is_pure_map_and_stats_single_shuffle(spark):
+    """The Morton key is a pure expression; the file-stats roll-up is
+    one partial-agg'd shuffle on the file id."""
+    from data_lake_project_spark.operators.layout import (
+        zorder_file_stats,
+        zvalue,
+    )
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        (F.col("o_orderkey") % 65536).cast("long").alias("x"),
+        (F.floor("o_totalprice").cast("long") % 65536).alias("y"),
+    )
+    assert P.exchange_count(o.select(zvalue(F.col("x"), F.col("y")))) == 0
+    assert P.exchange_count(zorder_file_stats(o, "x", "y")) == 1
+
+
+def test_cdc_apply_single_shuffle(spark):
+    """The merge-on-read collapse is the canonical distributed argmax:
+    exactly one keyed exchange (the window), nothing else."""
+    from data_lake_project_spark.lakehouse import cdc_apply
+
+    log = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        F.lit(1).alias("ts"),
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+        "o_totalprice",
+    )
+    assert P.exchange_count(cdc_apply(log, ["o_orderkey"], ["ts", "seq"])) == 1
+
+
+def test_bloom_decontaminate_broadcasts_codes(spark):
+    """The probe side must reach the corpus as a BROADCAST of position
+    codes — the corpus never shuffles for the probe."""
+    from data_lake_project_spark.operators.dedup import bloom_decontaminate
+
+    d = load_table(spark, SF_DIR, "documents")
+    probes = d.filter(F.col("doc_id") % 89 == 0).select("text")
+    df = bloom_decontaminate(d, probes)
+    P.assert_broadcast(df)
+    P.assert_no_cartesian(df)
+
+
+def test_skyline_no_cartesian(spark):
+    """Two-phase skyline is windows only — no join at all, so no
+    cartesian/BNLJ degeneration is even possible; pin it anyway."""
+    from data_lake_project_spark.operators.frontier import skyline2d
+
+    p = load_table(spark, SF_DIR, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("size"),
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    P.assert_no_cartesian(skyline2d(p, "cents", "size"))
+
+
+def test_ewma_single_window_shuffle(spark):
+    """All K lags and the residual ride ONE keyed window exchange."""
+    from data_lake_project_spark.operators.timeseries import ewma_residual
+
+    e = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    assert P.exchange_count(ewma_residual(e)) == 1
