@@ -467,3 +467,95 @@ def test_fuzzy_join_equals_bruteforce(spark, rows):
                 if d <= max_dist:
                     want[(i, j)] = d
     assert got == want
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_equals_bruteforce(spark, pts):
+    from data_lake_project_spark.operators.frontier import skyline2d
+
+    rows = [(i, c, g) for i, (c, g) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id int, cost long, gain long")
+    got = {r.id for r in skyline2d(df, "cost", "gain", n_blocks=3).collect()}
+    want = {
+        i
+        for i, c, g in rows
+        if not any(
+            c2 <= c and g2 >= g and (c2 < c or g2 > g) for _, c2, g2 in rows
+        )
+    }
+    assert got == want
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(st.integers(0, 50), min_size=0, max_size=120),
+    st.integers(4, 16),
+    st.integers(0, 3),
+)
+def test_chunk_documents_lossless_cover(spark, tok_ids, size, ov):
+    """Every token appears in some chunk at its original position;
+    consecutive chunks overlap by exactly `ov` (except the clipped
+    tail); reassembly reproduces the document."""
+    from data_lake_project_spark.operators.dataset import chunk_documents
+
+    toks = [f"w{t}" for t in tok_ids]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id int, text string")
+    out = sorted(
+        chunk_documents(df, chunk_size=size, overlap=ov).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    stride = size - ov
+    rebuilt: list[str] = []
+    for r in out:
+        chunk = r.chunk_text.split(" ") if r.chunk_text else []
+        assert len(chunk) == r.n_chunk_toks <= size
+        assert chunk == toks[r.chunk_id * stride : r.chunk_id * stride + size]
+        rebuilt += chunk if r.chunk_id == 0 else chunk[ov:]
+    if toks:
+        assert rebuilt == toks
+    else:
+        assert [r.n_chunk_toks for r in out] == [0]
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 3000)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(60, 600),
+)
+def test_max_concurrency_equals_bruteforce(spark, spans, bucket):
+    from pyspark.sql import functions as F
+
+    from data_lake_project_spark.operators.interval import max_concurrency
+
+    iv = [(s, s + d) for s, d in spans]
+    df = spark.createDataFrame(iv, "a int, b int").select(
+        F.col("a").cast("timestamp").alias("a"),
+        F.col("b").cast("timestamp").alias("b"),
+    )
+    got = {
+        r.bucket: r.max_concurrent
+        for r in max_concurrency(df, "a", "b", bucket_s=bucket).collect()
+    }
+    # brute force: concurrency at every boundary point (starts first)
+    events = sorted(
+        [(s, 1) for s, _ in iv] + [(e, -1) for _, e in iv],
+        key=lambda t: (t[0], -t[1]),
+    )
+    run = 0
+    want: dict[int, int] = {}
+    for t, d in events:
+        run += d
+        b = t // bucket
+        want[b] = max(want.get(b, run), run)
+    assert got == want
