@@ -213,3 +213,92 @@ def robust_outliers(
         F.abs(F.col(value_col) - F.col("grp_median"))
         > F.lit(c) * F.col("grp_mad"),
     )
+
+
+def count_min_sketch(
+    items: DataFrame,
+    item_col: str,
+    depth: int = 3,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Count-min sketch of an item stream: ``depth`` independent
+    md5-derived hash rows x ``16^hex_chars`` buckets, each cell the
+    count of items hashing into it. The mergeable fixed-size
+    frequency summary — at 100 TB the sketch is depth x width cells
+    per partition, partial-aggregated like any groupBy, while an
+    exact count table grows with vocabulary.
+
+    md5 hashing makes the sketch DETERMINISTIC, so estimates (and
+    their collision overestimates) are identical on any engine —
+    the approximate structure is still exactly oracle-checkable.
+
+    Output: (row, bucket, cnt) — one cell per non-empty bucket.
+    """
+    cells = items.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{i}:"),
+                                F.col(item_col).cast("string"),
+                            )
+                        ),
+                        1,
+                        hex_chars,
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("row", "bucket")
+    )
+    return cells.groupBy("row", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = 3,
+    hex_chars: int = 2,
+) -> DataFrame:
+    """Point-frequency estimates from a :func:`count_min_sketch`:
+    min over the ``depth`` rows of the probed cell — an upper bound
+    on the true count (collisions only ever inflate). Probes explode
+    into (row, bucket) keys and equi-join the sketch; missing cells
+    read as 0.
+
+    Output: (item, cms_count).
+    """
+    pb = probes.select(
+        F.col(item_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{i}:"),
+                                F.col(item_col).cast("string"),
+                            )
+                        ),
+                        1,
+                        hex_chars,
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    return (
+        pb.join(sketch, ["row", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("cms_count")
+        )
+    )

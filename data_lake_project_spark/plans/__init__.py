@@ -63,14 +63,26 @@ def exchange_count(df: DataFrame) -> int:
     ``(N) Exchange`` + an ``Arguments: hashpartitioning(...)`` detail
     line — counting only the simple-mode shape silently returned 0 on
     every formatted plan and made the single-shuffle guardrails
-    vacuous (caught when a genuinely-1-shuffle op counted 0)."""
+    vacuous (caught when a genuinely-1-shuffle op counted 0).
+
+    Once AQE finalizes a plan (any action ran), explain appends an
+    ``== Initial Plan ==`` tree whose nodes ALSO get detail blocks —
+    each shuffle would count twice. Only node ids appearing in the
+    tree BEFORE that marker (the final plan) are counted."""
     plan = explain_str(df)
-    n = len(
-        re.findall(
-            r"\bExchange (?:hash|range)partitioning", plan
-        )
-    )
-    n += len(re.findall(r"Arguments: (?:hash|range)partitioning", plan))
+    tree = plan.split("== Initial Plan ==", 1)[0]
+    # simple mode: partitioning is inline in the (final-plan) tree
+    n = len(re.findall(r"\bExchange (?:hash|range)partitioning", tree))
+    # formatted mode: map final-tree node ids to their detail blocks
+    final_ids = set(re.findall(r"\bExchange \((\d+)\)", tree))
+    for m in re.finditer(
+        r"^\((\d+)\) Exchange\n(?:(?!\(\d+\) )[^\n]*\n)*?"
+        r"Arguments: (?:hash|range)partitioning",
+        plan,
+        re.M,
+    ):
+        if m.group(1) in final_ids:
+            n += 1
     return n
 
 

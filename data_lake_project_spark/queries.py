@@ -2101,6 +2101,72 @@ def q99_pagerank(spark, sf):
     return pagerank(edges, iters=3).orderBy("node")
 
 
+def q109_categorical_drift(spark, sf):
+    """Source-mix drift monitor: two-sample chi-square over the order
+    priority mix of finished ('F') vs open ('O') orders — per-category
+    contributions localize WHERE the mix moved. Vocabulary-sized
+    groupBys + full-outer join + broadcast totals. See
+    ``operators.drift.categorical_drift``."""
+    from data_lake_project_spark.operators.drift import categorical_drift
+
+    o = load_table(spark, sf, "orders")
+    return categorical_drift(
+        o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority"),
+        o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority"),
+        "o_orderpriority",
+    ).orderBy("o_orderpriority")
+
+
+def q110_ks_drift(spark, sf):
+    """Numeric-feature drift monitor: exact two-sample KS statistic
+    between the totalprice distributions of finished vs open orders.
+    Per-distinct-value collapse + the two-phase distributed CDF
+    prefix (per-block windows + tiny carry-in offsets). See
+    ``operators.drift.ks_drift``."""
+    from data_lake_project_spark.operators.drift import ks_drift
+
+    o = load_table(spark, sf, "orders")
+    return ks_drift(
+        o.filter(F.col("o_orderstatus") == "F").select("o_totalprice"),
+        o.filter(F.col("o_orderstatus") == "O").select("o_totalprice"),
+        "o_totalprice",
+        block_width=1000.0,
+    )
+
+
+def q108_count_min(spark, sf):
+    """Count-min sketch frequency estimates vs their exact twin for
+    the corpus top-20 tokens — the fixed-size mergeable summary
+    (3 md5 rows x 256 buckets) whose deterministic hashing keeps even
+    the collision overestimates oracle-checkable. See
+    ``operators.sketches.count_min_sketch`` / ``count_min_estimate``."""
+    from data_lake_project_spark.functions import spread, tokens
+    from data_lake_project_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    d = load_table(spark, sf, "documents")
+    tok = spread(d).select(
+        F.explode(
+            F.filter(tokens(F.lower(F.col("text"))), lambda t: t != "")
+        ).alias("tok")
+    )
+    exact = tok.groupBy("tok").agg(
+        F.count("*").cast("long").alias("exact_count")
+    )
+    probes = exact.orderBy(F.col("exact_count").desc(), "tok").limit(20)
+    sketch = count_min_sketch(tok, "tok", depth=3, hex_chars=2)
+    est = count_min_estimate(
+        sketch, probes.select("tok"), "tok", depth=3, hex_chars=2
+    )
+    return (
+        probes.join(est, "tok")
+        .select("tok", "exact_count", "cms_count")
+        .orderBy(F.col("exact_count").desc(), "tok")
+    )
+
+
 def q107_max_concurrency(spark, sf):
     """Peak concurrent activity per hour: sweep-line max-overlap over
     per-(user, day) activity spans [first event, last event] — the
@@ -2399,6 +2465,9 @@ QUERIES: dict[str, QueryFn] = {
     "q105_robust_outliers": q105_robust_outliers,
     "q106_skew_report": q106_skew_report,
     "q107_max_concurrency": q107_max_concurrency,
+    "q108_count_min": q108_count_min,
+    "q109_categorical_drift": q109_categorical_drift,
+    "q110_ks_drift": q110_ks_drift,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -4639,4 +4708,102 @@ ORACLE["q107_max_concurrency"] = """
     )
     SELECT bucket, max(run)::BIGINT AS max_concurrent
     FROM r GROUP BY bucket ORDER BY bucket
+"""
+
+ORACLE["q108_count_min"] = """
+    WITH tok AS (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   x -> x <> '')) AS tok
+        FROM documents
+    ),
+    exact AS (
+        SELECT tok, count(*)::BIGINT AS exact_count FROM tok GROUP BY tok
+    ),
+    probes AS (
+        SELECT tok, exact_count FROM exact
+        ORDER BY exact_count DESC, tok LIMIT 20
+    ),
+    hs AS (SELECT unnest([0, 1, 2]) AS rr),
+    sketch AS (
+        SELECT rr, substr(md5(rr || ':' || t.tok), 1, 2) AS bucket,
+               count(*)::BIGINT AS cnt
+        FROM tok t, hs GROUP BY rr, substr(md5(rr || ':' || t.tok), 1, 2)
+    ),
+    pb AS (
+        SELECT p.tok, p.exact_count, hs.rr,
+               substr(md5(hs.rr || ':' || p.tok), 1, 2) AS bucket
+        FROM probes p, hs
+    )
+    SELECT pb.tok, pb.exact_count,
+           min(coalesce(s.cnt, 0))::BIGINT AS cms_count
+    FROM pb LEFT JOIN sketch s
+      ON s.rr = pb.rr AND s.bucket = pb.bucket
+    GROUP BY pb.tok, pb.exact_count
+    ORDER BY exact_count DESC, tok
+"""
+
+ORACLE["q109_categorical_drift"] = """
+    WITH o AS (
+        SELECT o_orderpriority AS k, count(*)::BIGINT AS n_old
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+    ),
+    n AS (
+        SELECT o_orderpriority AS k, count(*)::BIGINT AS n_new
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
+    ),
+    j AS (
+        SELECT coalesce(o.k, n.k) AS k,
+               coalesce(o.n_old, 0)::BIGINT AS n_old,
+               coalesce(n.n_new, 0)::BIGINT AS n_new
+        FROM o FULL OUTER JOIN n ON o.k = n.k
+    ),
+    t AS (
+        SELECT sum(n_old)::BIGINT AS to_, sum(n_new)::BIGINT AS tn_ FROM j
+    )
+    SELECT j.k AS o_orderpriority, j.n_old, j.n_new,
+           floor((j.n_old / t.to_) * 1000000.0 + 0.5) / 1000000.0
+               AS share_old,
+           floor((j.n_new / t.tn_) * 1000000.0 + 0.5) / 1000000.0
+               AS share_new,
+           floor((
+               (j.n_old - ((j.n_old + j.n_new) / (t.to_ + t.tn_)) * t.to_)
+               * (j.n_old - ((j.n_old + j.n_new) / (t.to_ + t.tn_)) * t.to_)
+               / (((j.n_old + j.n_new) / (t.to_ + t.tn_)) * t.to_)
+             + (j.n_new - ((j.n_old + j.n_new) / (t.to_ + t.tn_)) * t.tn_)
+               * (j.n_new - ((j.n_old + j.n_new) / (t.to_ + t.tn_)) * t.tn_)
+               / (((j.n_old + j.n_new) / (t.to_ + t.tn_)) * t.tn_)
+           ) * 1000000.0 + 0.5) / 1000000.0 AS chi2
+    FROM j CROSS JOIN t
+    ORDER BY o_orderpriority
+"""
+
+ORACLE["q110_ks_drift"] = """
+    WITH u AS (
+        SELECT o_totalprice::DOUBLE AS v, 1 AS is_o, 0 AS is_n
+        FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_totalprice::DOUBLE AS v, 0 AS is_o, 1 AS is_n
+        FROM orders WHERE o_orderstatus = 'O'
+    ),
+    pv AS (
+        SELECT v, sum(is_o)::BIGINT AS o_, sum(is_n)::BIGINT AS n_
+        FROM u GROUP BY v
+    ),
+    t AS (
+        SELECT sum(o_)::BIGINT AS n_old, sum(n_)::BIGINT AS n_new FROM pv
+    ),
+    r AS (
+        SELECT v,
+               sum(o_) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)::BIGINT AS co,
+               sum(n_) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)::BIGINT AS cn
+        FROM pv
+    )
+    SELECT t.n_old, t.n_new,
+           floor(max(abs(co / t.n_old - cn / t.n_new)) * 1000000.0 + 0.5)
+               / 1000000.0 AS ks_stat
+    FROM r CROSS JOIN t
+    GROUP BY t.n_old, t.n_new
 """

@@ -45,6 +45,9 @@ BNLJ_ALLOWED: set[str] = {
     "q94_ngram_lm_score",
     # 1-row total-rows scalar joined onto the per-key count table.
     "q106_skew_report",
+    # 1-row totals scalar joined onto the category / CDF tables.
+    "q109_categorical_drift",
+    "q110_ks_drift",
 }
 
 

@@ -1785,3 +1785,50 @@ def test_max_concurrency_sweep_line(spark):
     }
     # [0,10] and [5,15] overlap; touching intervals at 3605 overlap too
     assert out[0] == 2 and out[1] == 2
+
+
+def test_count_min_never_underestimates(spark):
+    from data_lake_project_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    items = spark.createDataFrame(
+        [(w,) for w in ["a"] * 5 + ["b"] * 3 + ["c"] * 1], ["tok"]
+    )
+    sketch = count_min_sketch(items, "tok", depth=3, hex_chars=1)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], ["tok"])
+    est = {
+        r.tok: r.cms_count
+        for r in count_min_estimate(
+            sketch, probes, "tok", depth=3, hex_chars=1
+        ).collect()
+    }
+    exact = {"a": 5, "b": 3, "c": 1, "zz": 0}
+    for tok, true_n in exact.items():
+        assert est[tok] >= true_n  # the CMS one-sided error guarantee
+
+
+def test_categorical_drift_zero_on_identical_mix(spark):
+    from data_lake_project_spark.operators.drift import categorical_drift
+
+    a = spark.createDataFrame([("x",)] * 6 + [("y",)] * 4, ["k"])
+    out = {r.k: r for r in categorical_drift(a, a, "k").collect()}
+    assert all(r.chi2 == 0.0 for r in out.values())
+    assert out["x"].share_old == 0.6 and out["x"].share_new == 0.6
+    # a category missing on one side carries the drift signal
+    b = spark.createDataFrame([("x",)] * 6 + [("z",)] * 4, ["k"])
+    shifted = {r.k: r for r in categorical_drift(a, b, "k").collect()}
+    assert shifted["y"].n_new == 0 and shifted["y"].chi2 > 0
+    assert shifted["z"].n_old == 0 and shifted["z"].chi2 > 0
+
+
+def test_ks_drift_bounds(spark):
+    from data_lake_project_spark.operators.drift import ks_drift
+
+    a = spark.createDataFrame([(float(i),) for i in range(10)], ["v"])
+    same = ks_drift(a, a, "v", block_width=3.0).first()
+    assert same.ks_stat == 0.0
+    b = spark.createDataFrame([(float(i + 100),) for i in range(10)], ["v"])
+    apart = ks_drift(a, b, "v", block_width=3.0).first()
+    assert apart.ks_stat == 1.0  # disjoint supports: maximal drift
