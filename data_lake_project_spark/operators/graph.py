@@ -1,4 +1,4 @@
-"""Graph analytics over edge DataFrames (PageRank).
+"""Graph analytics over edge DataFrames (PageRank, triangle counting).
 
 Companion to the label-propagation connected components in
 ``operators.dedup`` — where components answer "which records are the
@@ -85,3 +85,80 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected graph —
+    clustering-structure analytics (community density, spam/bot ring
+    detection in an interaction graph) computed with the classic
+    degree-ordered orientation so it scales to power-law graphs.
+
+    Input edges may be directed/duplicated/self-looped; they are
+    canonicalized to distinct undirected pairs first. Every triangle
+    is then found exactly once: orienting each edge from the
+    (degree, node)-smaller endpoint to the larger one turns the graph
+    into a DAG where each triangle has one apex with out-edges to the
+    other two corners, and the closing edge exists in exactly one
+    orientation — so wedges (two out-edges of one node) equi-join the
+    oriented edge list with NO double counting and no |V|² blowup.
+
+    Scale: orientation caps every out-degree at O(sqrt(|E|)) — the
+    wedge join is sum(outdeg²) ≤ |E|^1.5 pairs, the known optimum for
+    exact counting, and every join is a keyed equi-join (wedge →
+    closing edge probes on the (v, w) pair key). A hub node with 10⁶
+    neighbors contributes only its back-edges to HIGHER-degree nodes
+    as wedge sources, which is what makes this survive power-law skew
+    at 100 TB of edges.
+
+    Output: ``(node, n_triangles)`` for every node, zeros included.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused 4x below: cut lineage once
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("__deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("__deg").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("__deg").alias("__db"))
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .localCheckpoint(eager=True)  # wedge join reads it 3x
+    )
+    e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = e1.join(e2, "u").filter(F.col("x") != F.col("y"))
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"])
+    corner_counts = (
+        tris.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(corner_counts, "node", "left")
+        .na.fill({"n_triangles": 0})
+    )

@@ -2167,6 +2167,100 @@ def q108_count_min(spark, sf):
     )
 
 
+def q111_triangles(spark, sf):
+    """Per-node triangle counts over the supplier co-occurrence graph
+    (suppliers joined by sharing >= 5 orders — the co-occurrence
+    threshold that keeps a 100 TB interaction graph sparse before any
+    triangle work starts). Degree-ordered orientation bounds the
+    wedge join at |E|^1.5 pairs regardless of hub skew. See
+    ``operators.graph.triangle_count``."""
+    from data_lake_project_spark.operators.graph import triangle_count
+
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .select("s1", "s2")
+    )
+    return triangle_count(edges, "s1", "s2").orderBy("node")
+
+
+def q112_markov_transitions(spark, sf):
+    """Event-path analysis: the first-order Markov transition matrix
+    over per-user event sequences — which action follows which, and
+    with what probability (product analytics' "next step" readout).
+    One window pass (lag to the next event) + a vocabulary-sized
+    transition agg; probabilities are exact small-integer ratios."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("src_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("src_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = Window.partitionBy("src_type")
+    return pairs.select(
+        "src_type",
+        "next_type",
+        "n",
+        pround(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    ).orderBy("src_type", "next_type")
+
+
+def q113_attribution(spark, sf):
+    """Marketing-style conversion attribution: each purchase credits
+    the user's FIRST preceding non-purchase touch (first-touch model)
+    and the LAST one (last-touch model); purchases with no prior
+    touch credit 'direct'. One window pass with IGNORE NULLS
+    first/last over the preceding frame — no per-conversion self-join
+    — then two vocabulary-sized aggs full-outer-joined into the
+    side-by-side model comparison."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    attributed = e.select(
+        "event_type",
+        F.coalesce(F.first(touch, ignorenulls=True).over(w), F.lit("direct"))
+        .alias("ft"),
+        F.coalesce(F.last(touch, ignorenulls=True).over(w), F.lit("direct"))
+        .alias("lt"),
+    ).filter(F.col("event_type") == "purchase")
+    first = attributed.groupBy(F.col("ft").alias("channel")).agg(
+        F.count("*").cast("long").alias("first_touch")
+    )
+    last = attributed.groupBy(F.col("lt").alias("channel")).agg(
+        F.count("*").cast("long").alias("last_touch")
+    )
+    return (
+        first.join(last, "channel", "full_outer")
+        .na.fill({"first_touch": 0, "last_touch": 0})
+        .orderBy("channel")
+    )
+
+
 def q107_max_concurrency(spark, sf):
     """Peak concurrent activity per hour: sweep-line max-overlap over
     per-(user, day) activity spans [first event, last event] — the
@@ -2468,6 +2562,9 @@ QUERIES: dict[str, QueryFn] = {
     "q108_count_min": q108_count_min,
     "q109_categorical_drift": q109_categorical_drift,
     "q110_ks_drift": q110_ks_drift,
+    "q111_triangles": q111_triangles,
+    "q112_markov_transitions": q112_markov_transitions,
+    "q113_attribution": q113_attribution,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -4806,4 +4903,102 @@ ORACLE["q110_ks_drift"] = """
                / 1000000.0 AS ks_stat
     FROM r CROSS JOIN t
     GROUP BY t.n_old, t.n_new
+"""
+
+ORACLE["q111_triangles"] = """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+    ),
+    und AS (
+        SELECT a.s AS a, b.s AS b
+        FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s
+        GROUP BY a.s, b.s HAVING count(*) >= 5
+    ),
+    deg AS (
+        SELECT node, count(*)::BIGINT AS d FROM (
+            SELECT a AS node FROM und
+            UNION ALL SELECT b AS node FROM und
+        ) GROUP BY node
+    ),
+    o AS (
+        SELECT CASE WHEN (da.d, und.a) < (db.d, und.b)
+                    THEN und.a ELSE und.b END AS u,
+               CASE WHEN (da.d, und.a) < (db.d, und.b)
+                    THEN und.b ELSE und.a END AS v
+        FROM und
+        JOIN deg da ON da.node = und.a
+        JOIN deg db ON db.node = und.b
+    ),
+    tri AS (
+        SELECT e1.u AS u, e1.v AS x, e2.v AS y
+        FROM o e1
+        JOIN o e2 ON e1.u = e2.u AND e1.v <> e2.v
+        JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    corners AS (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT x AS node FROM tri
+        UNION ALL SELECT y AS node FROM tri
+    )
+    SELECT deg.node,
+           coalesce(c.n, 0)::BIGINT AS n_triangles
+    FROM deg LEFT JOIN (
+        SELECT node, count(*)::BIGINT AS n FROM corners GROUP BY node
+    ) c ON c.node = deg.node
+    ORDER BY deg.node
+"""
+
+ORACLE["q112_markov_transitions"] = """
+    WITH seq AS (
+        SELECT event_type AS src_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT src_type, next_type, count(*)::BIGINT AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY src_type, next_type
+    )
+    SELECT src_type, next_type, n,
+           floor((n / (sum(n) OVER (PARTITION BY src_type)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS p
+    FROM pairs
+    ORDER BY src_type, next_type
+"""
+
+ORACLE["q113_attribution"] = """
+    WITH touched AS (
+        SELECT event_type,
+               coalesce(first_value(
+                   CASE WHEN event_type <> 'purchase'
+                        THEN event_type END IGNORE NULLS
+               ) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 'direct') AS ft,
+               coalesce(last_value(
+                   CASE WHEN event_type <> 'purchase'
+                        THEN event_type END IGNORE NULLS
+               ) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 'direct') AS lt
+        FROM events
+    ),
+    conv AS (SELECT ft, lt FROM touched WHERE event_type = 'purchase'),
+    f AS (
+        SELECT ft AS channel, count(*)::BIGINT AS first_touch
+        FROM conv GROUP BY ft
+    ),
+    l AS (
+        SELECT lt AS channel, count(*)::BIGINT AS last_touch
+        FROM conv GROUP BY lt
+    )
+    SELECT coalesce(f.channel, l.channel) AS channel,
+           coalesce(f.first_touch, 0)::BIGINT AS first_touch,
+           coalesce(l.last_touch, 0)::BIGINT AS last_touch
+    FROM f FULL OUTER JOIN l ON f.channel = l.channel
+    ORDER BY channel
 """

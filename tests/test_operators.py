@@ -1832,3 +1832,49 @@ def test_ks_drift_bounds(spark):
     b = spark.createDataFrame([(float(i + 100),) for i in range(10)], ["v"])
     apart = ks_drift(a, b, "v", block_width=3.0).first()
     assert apart.ks_stat == 1.0  # disjoint supports: maximal drift
+
+
+def test_triangle_count_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from data_lake_project_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    nodes = list(range(12))
+    # random directed, duplicated, self-looped mess — the operator
+    # must canonicalize before counting
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(60)
+    ] + [(3, 3), (5, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r.node: r.n_triangles for r in triangle_count(df).collect()
+    }
+    adj = {frozenset(e) for e in edges if e[0] != e[1]}
+    want = {n: 0 for n in {x for e in adj for x in e}}
+    for tri in itertools.combinations(sorted(want), 3):
+        if all(
+            frozenset(p) in adj for p in itertools.combinations(tri, 2)
+        ):
+            for n in tri:
+                want[n] += 1
+    assert got == want
+
+
+def test_triangle_count_zero_and_complete(spark):
+    from data_lake_project_spark.operators.graph import triangle_count
+
+    # a path graph has no triangles; K4 has 3 per node
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src int, dst int"
+    )
+    assert all(
+        r.n_triangles == 0 for r in triangle_count(path).collect()
+    )
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src int, dst int",
+    )
+    out = triangle_count(k4).collect()
+    assert len(out) == 4 and all(r.n_triangles == 3 for r in out)
