@@ -482,3 +482,65 @@ def cdc_apply(
         .filter(~F.col(op_col).isin(*deletes))
         .drop("__rn", op_col)
     )
+
+
+def ivm_apply(
+    base: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    count_col: str = "n",
+    sum_cols: dict[str, str] | None = None,
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental view maintenance for a keyed COUNT/SUM aggregate:
+    fold a batch of row-level changes (``op_col`` = +1 insert, -1
+    delete) into an existing materialized aggregate WITHOUT touching
+    the base data — the O(delta) maintenance step that keeps a gold
+    rollup fresh at 100 TB where recompute is a full scan.
+
+    ``base`` holds (key_cols..., count_col, <agg per sum_cols value>)
+    — e.g. the output of a previous ``ivm_apply`` or the initial
+    groupBy. ``sum_cols`` maps source value columns in ``delta`` to
+    their aggregate column names in ``base``; sums are maintained as
+    DECIMAL so +x followed by -x restores the exact prior state (a
+    float fold would drift and never re-converge). Keys whose count
+    reaches zero are DROPPED (not kept as zero rows), matching what a
+    recompute would produce; a negative count raises at read time in
+    the caller's integrity checks rather than silently going wrong —
+    deletes of never-inserted rows are a data bug upstream.
+
+    Plan: ONE vocabulary-sized partial-agg of the delta + ONE
+    full-outer equi-join on the key — the aggregate table never
+    rescans its history and the delta never joins the base data.
+    """
+    sum_cols = sum_cols or {}
+    sgn = F.col(op_col).cast("long")
+    aggs = [F.sum(sgn).cast("long").alias("__dn")]
+    for src, out in sum_cols.items():
+        aggs.append(
+            F.sum(sgn.cast("decimal(20,2)") * F.col(src).cast("decimal(20,2)"))
+            .cast("decimal(38,2)")
+            .alias(f"__d_{out}")
+        )
+    d = delta.groupBy(*key_cols).agg(*aggs)
+    merged = base.join(d, key_cols, "full_outer")
+    new_n = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(
+        F.col("__dn"), F.lit(0)
+    )
+    out_cols = [F.col(c) for c in key_cols] + [
+        new_n.cast("long").alias(count_col)
+    ]
+    for out in sum_cols.values():
+        out_cols.append(
+            (
+                F.coalesce(
+                    F.col(out), F.lit(0).cast("decimal(38,2)")
+                )
+                + F.coalesce(
+                    F.col(f"__d_{out}"), F.lit(0).cast("decimal(38,2)")
+                )
+            )
+            .cast("decimal(38,2)")
+            .alias(out)
+        )
+    return merged.select(*out_cols).filter(F.col(count_col) != 0)

@@ -429,3 +429,81 @@ def chunk_documents(
             F.array_join("__chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    order_col: str,
+    block: int = 1024,
+) -> DataFrame:
+    """Weight-proportional (PPS) systematic sample of ~``k`` rows:
+    lay every row's integer weight end-to-end along a line in
+    ``order_col`` order and keep each row whose span covers a
+    multiple of ``total/k`` — heavier rows are proportionally more
+    likely, and the whole selection is INTEGER arithmetic
+    (``floor(cum*k/total)`` transitions), so it is exactly
+    reproducible on any engine with no RNG and no float thresholds.
+    The weighted companion to the uniform ``hash_split``/
+    ``sample_column`` family (a heavy document's tokens are what a
+    mixture actually budgets, not its row count).
+
+    A row heavier than ``total/k`` spans several multiples but is
+    emitted once, so the sample can come up short of ``k`` — the
+    standard PPS-systematic behavior (such rows are certainties, not
+    duplicates).
+
+    Bound: ``total_weight * k`` must fit in a signed 64-bit long
+    (ANSI mode raises loudly on overflow, it cannot corrupt the
+    sample); for corpus weights near 2^63/k, pre-scale the weight
+    column down — selection only depends on weight RATIOS.
+
+    Scale: cumulative weights use the two-phase distributed prefix
+    (per-``block``-of-``order_col`` running windows + a carry-in
+    offset table over block aggregates — the ``ks_drift`` /
+    ``max_concurrency`` recipe), so nothing data-sized ever sorts on
+    one partition. Output: input columns + ``cum_w`` (inclusive
+    prefix weight).
+    """
+    if k < 1:
+        raise ValueError("systematic_sample: k must be >= 1")
+    for c in ("__blk", "__w", "__run", "__off", "cum_w"):
+        if c in df.columns:
+            raise ValueError(
+                f"systematic_sample: input may not carry column {c!r}"
+            )
+    w_int = F.col(weight_col).cast("long")
+    staged = df.withColumn("__w", w_int).withColumn(
+        "__blk", F.floor(F.col(order_col).cast("long") / block)
+    )
+    run_w = (
+        Window.partitionBy("__blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = staged.withColumn("__run", F.sum("__w").over(run_w))
+    nets = staged.groupBy("__blk").agg(F.sum("__w").alias("__w"))
+    off_w = Window.orderBy("__blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = nets.select(
+        "__blk",
+        F.coalesce(F.sum("__w").over(off_w), F.lit(0)).alias("__off"),
+    )
+    total = int(
+        staged.agg(F.sum("__w")).first()[0] or 0
+    )  # 1-row driver scalar: the stride denominator
+    if total < 1:
+        raise ValueError("systematic_sample: total weight must be >= 1")
+    cum = F.col("__run") + F.col("__off")
+    # pure BIGINT division on both engines — no float stride anywhere
+    return (
+        runs.join(F.broadcast(offsets), "__blk")
+        .withColumn("cum_w", cum)
+        .filter(
+            F.expr(f"((__run + __off) * {k}) div {total}")
+            > F.expr(f"((__run + __off - __w) * {k}) div {total}")
+        )
+        .drop("__blk", "__w", "__run", "__off")
+    )

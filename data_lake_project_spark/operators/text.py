@@ -648,3 +648,65 @@ def ngram_lm_score(
             ),
         )
     )
+
+
+PHONE_RE = r"[+][0-9]{7,12}"
+IDNUM_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_PII_S_PHONE = "\ue002"
+_PII_S_ID = "\ue003"
+
+
+def pii_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Typed PII exposure report per group: how many documents carry
+    each PII class and how many spans total — the compliance readout
+    a corpus owner checks BEFORE deciding what ``redact_pii`` must
+    scrub. Types: email, international phone (+digits), SSN-shaped id.
+
+    Same engine-portable sentinel trick as ``redact_pii``: one regex
+    pass per type collapses spans to a private-use char (longest/most
+    specific pattern first so an email's digits can't re-match as a
+    phone), then every count is length arithmetic — no
+    ``regexp_extract_all`` arrays, no second regex evaluation. All
+    patterns are RE2-safe (no backrefs/lookaround) so the DuckDB
+    oracle runs them verbatim.
+
+    Output: (group..., docs_scanned, docs_email, n_email, docs_phone,
+    n_phone, docs_id, n_id) — one vocabulary-sized partial-agg'd
+    groupBy over a pure narrow map.
+    """
+    group_cols = group_cols or []
+    m = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), EMAIL_RE, _PII_S_EMAIL),
+            IDNUM_RE,
+            _PII_S_ID,
+        ),
+        PHONE_RE,
+        _PII_S_PHONE,
+    )
+
+    def n_of(s: str) -> Column:
+        return (
+            F.length("__m")
+            - F.length(F.replace(F.col("__m"), F.lit(s), F.lit("")))
+        ).cast("long")
+
+    staged = spread(docs).select(*group_cols, m.alias("__m")).select(
+        *group_cols,
+        n_of(_PII_S_EMAIL).alias("__e"),
+        n_of(_PII_S_PHONE).alias("__p"),
+        n_of(_PII_S_ID).alias("__i"),
+    )
+    return staged.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("docs_scanned"),
+        F.count(F.when(F.col("__e") > 0, 1)).cast("long").alias("docs_email"),
+        F.sum("__e").cast("long").alias("n_email"),
+        F.count(F.when(F.col("__p") > 0, 1)).cast("long").alias("docs_phone"),
+        F.sum("__p").cast("long").alias("n_phone"),
+        F.count(F.when(F.col("__i") > 0, 1)).cast("long").alias("docs_id"),
+        F.sum("__i").cast("long").alias("n_id"),
+    )

@@ -2261,6 +2261,292 @@ def q113_attribution(spark, sf):
     )
 
 
+def q114_forward_fill(spark, sf):
+    """LOCF gap fill: carry each user's last purchase amount forward
+    onto every subsequent event (NULL before the first purchase) —
+    sparse-to-dense repair in one keyed window pass, no self-join.
+    See ``operators.timeseries.forward_fill``."""
+    from data_lake_project_spark.operators.timeseries import forward_fill
+
+    e = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "purchase_value"
+        ),
+    )
+    return forward_fill(
+        e, "user_id", "ts", "event_id", "purchase_value", "carried"
+    ).select(
+        "event_id",
+        "user_id",
+        _ts(F.col("ts")).alias("ts_str"),
+        "carried",
+    ).orderBy("event_id")
+
+
+def q115_autocorrelation(spark, sf):
+    """Per-user sample autocorrelation of event values at lags 1-3 —
+    the memory/seasonality readout of each entity's metric series.
+    Decimal-exact sums make r engine-identical; one window pass + one
+    partial-agg'd groupBy. See ``operators.timeseries.autocorrelation``."""
+    from data_lake_project_spark.operators.timeseries import autocorrelation
+
+    e = load_table(spark, sf, "events")
+    return autocorrelation(
+        e, "user_id", "ts", "event_id", "value", max_lag=3
+    ).orderBy("user_id", "lag")
+
+
+def q116_cusum_changepoint(spark, sf):
+    """Per-user CUSUM level-shift detector: the event where the
+    running sum of deviations from the user's mean value peaks in
+    magnitude — "when did this metric move". Decimal running sums keep
+    the argmax engine-exact; one window pass + one max_by agg. See
+    ``operators.timeseries.cusum_changepoint``."""
+    from data_lake_project_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    e = load_table(spark, sf, "events")
+    out = cusum_changepoint(e, "user_id", "ts", "event_id", "value")
+    return out.select(
+        "user_id",
+        "n",
+        _ts(F.col("cp_ts")).alias("cp_ts"),
+        "cp_seq",
+        "cusum",
+    ).orderBy("user_id")
+
+
+def q117_unpivot_profile(spark, sf):
+    """Wide→long reshape (melt/UNPIVOT) + long-format profile: the
+    four lineitem measures unpivot into (metric, val) rows in one
+    narrow Expand pass — no per-column scans — then a vocabulary-sized
+    agg profiles each metric (count, decimal-exact sum, min/max,
+    portable mean)."""
+    l = load_table(spark, sf, "lineitem")
+    long = l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("val").cast("decimal(20,2)"))
+            .cast("decimal(38,2)")
+            .cast("string")
+            .alias("total"),
+            F.min("val").alias("vmin"),
+            F.max("val").alias("vmax"),
+            pround(
+                F.sum(F.col("val").cast("decimal(20,2)")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("mean"),
+        )
+        .orderBy("metric")
+    )
+
+
+def q118_correlation_matrix(spark, sf):
+    """Pairwise Pearson correlation across the four lineitem measures
+    in ONE aggregation pass (15 decimal-exact sums, no per-pair
+    scans): r = (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) *
+    sqrt(n*syy - sy*sy)) — sqrt and the divisions are the only
+    floats, all correctly-rounded on exact inputs, so the matrix is
+    engine-identical before rounding."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    l = load_table(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(20,2)")  # noqa: E731
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(dec(c)).cast("decimal(38,6)").alias(f"s_{c}"))
+        aggs.append(
+            F.sum(dec(c) * dec(c)).cast("decimal(38,6)").alias(f"ss_{c}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum(dec(a) * dec(b))
+                .cast("decimal(38,6)")
+                .alias(f"sxy_{a}_{b}")
+            )
+    one = l.agg(*aggs)
+    n = F.col("n").cast("double")
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sx = F.col(f"s_{a}").cast("double")
+            sy = F.col(f"s_{b}").cast("double")
+            sxx = F.col(f"ss_{a}").cast("double")
+            syy = F.col(f"ss_{b}").cast("double")
+            sxy = F.col(f"sxy_{a}_{b}").cast("double")
+            r = (n * sxy - sx * sy) / (
+                F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    pround(r, 6).alias("r"),
+                )
+            )
+    return (
+        one.select(F.explode(F.array(*pairs)).alias("__p"))
+        .select("__p.col_a", "__p.col_b", "__p.r")
+        .orderBy("col_a", "col_b")
+    )
+
+
+def q119_systematic_sample(spark, sf):
+    """Weight-proportional systematic sample: ~50 documents drawn
+    PPS by character count with pure BIGINT stride arithmetic — the
+    deterministic weighted companion to q41's uniform hash split
+    (token-budgeted mixtures sample what they'll actually train on).
+    Distributed prefix weights via the two-phase block trick. See
+    ``operators.dataset.systematic_sample``."""
+    d = load_table(spark, sf, "documents")
+    return (
+        DS.systematic_sample(
+            d.select("doc_id", "source", "n_chars"),
+            "n_chars",
+            k=50,
+            order_col="doc_id",
+        )
+        .select("doc_id", "source", "n_chars", "cum_w")
+        .orderBy("doc_id")
+    )
+
+
+def q120_ivm_apply(spark, sf):
+    """Incremental view maintenance: a per-customer (order count,
+    spend) rollup materialized on pre-1996 orders absorbs one change
+    batch — inserts of the 1996+ orders plus deletes of every tenth
+    old order — via O(delta) fold (delta agg + one full-outer join),
+    never rescanning base data. Decimal sums make delete-then-insert
+    exactly restorative. Oracle recomputes from scratch; the
+    maintained view must match it bit-for-bit. See
+    ``lakehouse.ivm_apply``."""
+    from data_lake_project_spark.lakehouse import ivm_apply
+
+    o = load_table(spark, sf, "orders")
+    cutoff = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    base = (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)"))
+            .cast("decimal(38,2)")
+            .alias("spend"),
+        )
+    )
+    inserts = o.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_custkey", "o_totalprice", F.lit(1).alias("op")
+    )
+    deletes = o.filter(
+        (F.col("o_orderdate") < cutoff) & (F.col("o_orderkey") % 10 == 0)
+    ).select("o_custkey", "o_totalprice", F.lit(-1).alias("op"))
+    delta = inserts.unionAll(deletes)
+    return (
+        ivm_apply(
+            base,
+            delta,
+            ["o_custkey"],
+            count_col="n",
+            sum_cols={"o_totalprice": "spend"},
+        )
+        .select(
+            "o_custkey", "n", F.col("spend").cast("string").alias("spend")
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# q121 synth corpus (q34 pattern: the SAME SQL template builds the
+# PII-bearing text on both engines; Spark runs the real report
+# operator, the oracle re-counts with the same RE2-safe patterns).
+_Q121_SYNTH = """
+    SELECT
+      c_custkey,
+      CASE WHEN c_custkey % 4 = 0 THEN 'segment-a' ELSE 'segment-b'
+      END AS segment,
+      'account ' || c_name
+      || CASE WHEN c_custkey % 3 <> 0
+              THEN ' mail user' || CAST(c_custkey AS BIGINT)
+                   || '@corp.example and backup.'
+                   || CAST(c_custkey AS BIGINT) || '@mail.example'
+              ELSE ' no contact on file' END
+      || CASE WHEN c_custkey % 5 = 0
+              THEN ' call +33140' || CAST(100000 + c_custkey AS BIGINT)
+              ELSE '' END
+      || CASE WHEN c_custkey % 7 = 0
+              THEN ' ref 123-45-'
+                   || CAST(1000 + (c_custkey % 8999) AS BIGINT)
+              ELSE '' END AS text
+    FROM __TBL__
+"""
+
+
+def q121_pii_report(spark, sf):
+    """Typed PII exposure report (emails / +phones / SSN-shaped ids)
+    per customer segment over a synthesized contact-note corpus —
+    sentinel-collapse counting, one regex pass per type, one
+    vocabulary-sized agg. See ``operators.text.pii_report``."""
+    load_table(spark, sf, "customer").createOrReplaceTempView(
+        "q121_customer"
+    )
+    docs = spark.sql(_Q121_SYNTH.replace("__TBL__", "q121_customer"))
+    return TX.pii_report(docs, "text", ["segment"]).orderBy("segment")
+
+
+def q122_snapshot_novelty(spark, sf):
+    """Corpus-refresh novelty: per source, how many of the NEW
+    snapshot's distinct 3-token shingles were never seen in the OLD
+    snapshot (even/odd doc split stands in for two crawl dates) —
+    the freshness/contamination readout before a retrain. Distinct
+    shingle sets + one left-anti join on the shingle key; exact
+    integer ratio."""
+    d = load_table(spark, sf, "documents")
+    old_sh = (
+        D.shingle_sets(d.filter(F.col("doc_id") % 2 == 0), k=3)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    new_docs = d.filter(F.col("doc_id") % 2 == 1)
+    new_sh = D.shingle_sets(new_docs, k=3).join(
+        new_docs.select("doc_id", "source"), "doc_id"
+    )
+    per_source = new_sh.select(
+        "source", F.explode("sh").alias("shingle")
+    ).distinct()
+    novel = per_source.join(old_sh, "shingle", "left_anti")
+    tot = per_source.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    nov = novel.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_novel")
+    )
+    return (
+        tot.join(nov, "source", "left")
+        .na.fill({"n_novel": 0})
+        .select(
+            "source",
+            "n_shingles",
+            "n_novel",
+            pround(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def q107_max_concurrency(spark, sf):
     """Peak concurrent activity per hour: sweep-line max-overlap over
     per-(user, day) activity spans [first event, last event] — the
@@ -2565,6 +2851,15 @@ QUERIES: dict[str, QueryFn] = {
     "q111_triangles": q111_triangles,
     "q112_markov_transitions": q112_markov_transitions,
     "q113_attribution": q113_attribution,
+    "q114_forward_fill": q114_forward_fill,
+    "q115_autocorrelation": q115_autocorrelation,
+    "q116_cusum_changepoint": q116_cusum_changepoint,
+    "q117_unpivot_profile": q117_unpivot_profile,
+    "q118_correlation_matrix": q118_correlation_matrix,
+    "q119_systematic_sample": q119_systematic_sample,
+    "q120_ivm_apply": q120_ivm_apply,
+    "q121_pii_report": q121_pii_report,
+    "q122_snapshot_novelty": q122_snapshot_novelty,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -5001,4 +5296,316 @@ ORACLE["q113_attribution"] = """
            coalesce(l.last_touch, 0)::BIGINT AS last_touch
     FROM f FULL OUTER JOIN l ON f.channel = l.channel
     ORDER BY channel
+"""
+
+ORACLE["q114_forward_fill"] = """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           last_value(
+               CASE WHEN event_type = 'purchase' THEN value END
+               IGNORE NULLS
+           ) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS carried
+    FROM events
+    ORDER BY event_id
+"""
+
+ORACLE["q115_autocorrelation"] = """
+    WITH lagged AS (
+        SELECT user_id,
+               CAST(value AS DECIMAL(20,2)) AS x,
+               lag(CAST(value AS DECIMAL(20,2)), 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS l1,
+               lag(CAST(value AS DECIMAL(20,2)), 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS l2,
+               lag(CAST(value AS DECIMAL(20,2)), 3) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS l3
+        FROM events
+    ),
+    per AS (
+        SELECT user_id,
+               count(*)::BIGINT AS n,
+               CAST(sum(x) AS DECIMAL(38,6)) AS s,
+               CAST(sum(x * x) AS DECIMAL(38,6)) AS ss,
+               count(l1)::BIGINT AS n1,
+               CAST(sum(CASE WHEN l1 IS NOT NULL THEN x END)
+                    AS DECIMAL(38,6)) AS sa1,
+               CAST(sum(l1) AS DECIMAL(38,6)) AS sb1,
+               CAST(sum(x * l1) AS DECIMAL(38,6)) AS sxy1,
+               count(l2)::BIGINT AS n2,
+               CAST(sum(CASE WHEN l2 IS NOT NULL THEN x END)
+                    AS DECIMAL(38,6)) AS sa2,
+               CAST(sum(l2) AS DECIMAL(38,6)) AS sb2,
+               CAST(sum(x * l2) AS DECIMAL(38,6)) AS sxy2,
+               count(l3)::BIGINT AS n3,
+               CAST(sum(CASE WHEN l3 IS NOT NULL THEN x END)
+                    AS DECIMAL(38,6)) AS sa3,
+               CAST(sum(l3) AS DECIMAL(38,6)) AS sb3,
+               CAST(sum(x * l3) AS DECIMAL(38,6)) AS sxy3
+        FROM lagged GROUP BY user_id
+    ),
+    m AS (
+        SELECT *,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+               CAST(ss AS DOUBLE)
+                 - 2.0 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       * CAST(s AS DOUBLE)
+                 + CAST(n AS DOUBLE)
+                       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS den
+        FROM per
+    ),
+    rows_ AS (
+        SELECT user_id, 1 AS lag, n1 AS n_pairs,
+               (CAST(sxy1 AS DOUBLE)
+                  - mu * (CAST(sa1 AS DOUBLE) + CAST(sb1 AS DOUBLE))
+                  + CAST(n1 AS DOUBLE) * mu * mu)
+                 / nullif(den, 0.0) AS raw
+        FROM m
+        UNION ALL
+        SELECT user_id, 2, n2,
+               (CAST(sxy2 AS DOUBLE)
+                  - mu * (CAST(sa2 AS DOUBLE) + CAST(sb2 AS DOUBLE))
+                  + CAST(n2 AS DOUBLE) * mu * mu)
+                 / nullif(den, 0.0)
+        FROM m
+        UNION ALL
+        SELECT user_id, 3, n3,
+               (CAST(sxy3 AS DOUBLE)
+                  - mu * (CAST(sa3 AS DOUBLE) + CAST(sb3 AS DOUBLE))
+                  + CAST(n3 AS DOUBLE) * mu * mu)
+                 / nullif(den, 0.0)
+        FROM m
+    )
+    SELECT user_id, lag::INT AS lag, n_pairs,
+           floor(raw * 1000000.0 + 0.5) / 1000000.0 AS r
+    FROM rows_
+    ORDER BY user_id, lag
+"""
+
+ORACLE["q116_cusum_changepoint"] = """
+    WITH staged AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(CAST(value AS DECIMAL(20,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DECIMAL(38,6)) AS cum,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               )::BIGINT AS i,
+               CAST(sum(CAST(value AS DECIMAL(20,2))) OVER (
+                   PARTITION BY user_id
+               ) AS DECIMAL(38,6)) AS tot,
+               count(*) OVER (PARTITION BY user_id)::BIGINT AS cnt
+        FROM events
+    ),
+    scored AS (
+        SELECT user_id, ts, event_id, cnt,
+               floor((CAST(cum AS DOUBLE)
+                      - CAST(i AS DOUBLE)
+                        * (CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS s
+        FROM staged
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY abs(s) DESC, ts, event_id
+        ) AS rn
+        FROM scored
+    )
+    SELECT user_id, cnt AS n,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS cp_ts,
+           event_id AS cp_seq, s AS cusum
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+"""
+
+ORACLE["q117_unpivot_profile"] = """
+    WITH long AS (
+        SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT metric,
+           count(*)::BIGINT AS n,
+           CAST(CAST(sum(CAST(val AS DECIMAL(20,2))) AS DECIMAL(38,2))
+                AS VARCHAR) AS total,
+           min(val) AS vmin,
+           max(val) AS vmax,
+           floor((CAST(sum(CAST(val AS DECIMAL(20,2))) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) * 1000000.0 + 0.5)
+               / 1000000.0 AS mean
+    FROM long GROUP BY metric ORDER BY metric
+"""
+
+ORACLE["q118_correlation_matrix"] = """
+    WITH a AS (
+        SELECT count(*)::BIGINT AS n,
+            CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS s_q,
+            CAST(sum(CAST(l_quantity AS DECIMAL(20,2)) * CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS ss_q,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS s_e,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS ss_e,
+            CAST(sum(CAST(l_discount AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS s_d,
+            CAST(sum(CAST(l_discount AS DECIMAL(20,2)) * CAST(l_discount AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS ss_d,
+            CAST(sum(CAST(l_tax AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS s_t,
+            CAST(sum(CAST(l_tax AS DECIMAL(20,2)) * CAST(l_tax AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS ss_t,
+            CAST(sum(CAST(l_quantity AS DECIMAL(20,2)) * CAST(l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS sxy_q_e,
+            CAST(sum(CAST(l_quantity AS DECIMAL(20,2)) * CAST(l_discount AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS sxy_q_d,
+            CAST(sum(CAST(l_quantity AS DECIMAL(20,2)) * CAST(l_tax AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS sxy_q_t,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(l_discount AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS sxy_e_d,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(l_tax AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS sxy_e_t,
+            CAST(sum(CAST(l_discount AS DECIMAL(20,2)) * CAST(l_tax AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS sxy_d_t
+        FROM lineitem
+    ),
+    pairs AS (
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+               (CAST(n AS DOUBLE) * CAST(sxy_q_e AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_e AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(ss_e AS DOUBLE) - CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE))) AS raw
+        FROM a
+        UNION ALL
+        SELECT 'l_discount', 'l_tax',
+               (CAST(n AS DOUBLE) * CAST(sxy_d_t AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_t AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)))
+        FROM a
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount',
+               (CAST(n AS DOUBLE) * CAST(sxy_e_d AS DOUBLE) - CAST(s_e AS DOUBLE) * CAST(s_d AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(ss_e AS DOUBLE) - CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)))
+        FROM a
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_tax',
+               (CAST(n AS DOUBLE) * CAST(sxy_e_t AS DOUBLE) - CAST(s_e AS DOUBLE) * CAST(s_t AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(ss_e AS DOUBLE) - CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)))
+        FROM a
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount',
+               (CAST(n AS DOUBLE) * CAST(sxy_q_d AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)))
+        FROM a
+        UNION ALL
+        SELECT 'l_quantity', 'l_tax',
+               (CAST(n AS DOUBLE) * CAST(sxy_q_t AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_t AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)))
+        FROM a
+    )
+    SELECT col_a, col_b,
+           floor(raw * 1000000.0 + 0.5) / 1000000.0 AS r
+    FROM pairs ORDER BY col_a, col_b
+"""
+
+ORACLE["q119_systematic_sample"] = """
+    WITH t AS (SELECT sum(n_chars)::BIGINT AS total FROM documents),
+    c AS (
+        SELECT doc_id, source, n_chars,
+               sum(n_chars) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS cum_w
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, cum_w
+    FROM c CROSS JOIN t
+    WHERE (cum_w * 50) // total > ((cum_w - n_chars) * 50) // total
+    ORDER BY doc_id
+"""
+
+ORACLE["q120_ivm_apply"] = """
+    SELECT o_custkey,
+           count(*)::BIGINT AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
+                     AS DECIMAL(38,2)) AS VARCHAR) AS spend
+    FROM orders
+    WHERE NOT (o_orderdate < TIMESTAMP '1996-01-01'
+               AND o_orderkey % 10 = 0)
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+"""
+
+ORACLE["q121_pii_report"] = f"""
+    WITH docs AS ({_Q121_SYNTH.replace("__TBL__", "customer")}),
+    counted AS (
+        SELECT segment,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+'))
+                   ::BIGINT AS e,
+               len(regexp_extract_all(text,
+                   '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}'))::BIGINT AS i,
+               len(regexp_extract_all(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+',
+                           chr(57344), 'g'),
+                       '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}',
+                       chr(57347), 'g'),
+                   '[+][0-9]{{7,12}}'))::BIGINT AS p
+        FROM docs
+    )
+    SELECT segment,
+           count(*)::BIGINT AS docs_scanned,
+           count(CASE WHEN e > 0 THEN 1 END)::BIGINT AS docs_email,
+           sum(e)::BIGINT AS n_email,
+           count(CASE WHEN p > 0 THEN 1 END)::BIGINT AS docs_phone,
+           sum(p)::BIGINT AS n_phone,
+           count(CASE WHEN i > 0 THEN 1 END)::BIGINT AS docs_id,
+           sum(i)::BIGINT AS n_id
+    FROM counted GROUP BY segment ORDER BY segment
+"""
+
+ORACLE["q122_snapshot_novelty"] = """
+    WITH d AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id, source,
+               unnest(CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(len(toks) - 2),
+                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                      ELSE [array_to_string(toks, ' ')] END) AS shingle
+        FROM d
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, source, shingle FROM sh0
+        WHERE shingle <> ''
+    ),
+    old_sh AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0
+    ),
+    per_source AS (
+        SELECT DISTINCT source, shingle FROM sh WHERE doc_id % 2 = 1
+    ),
+    tot AS (
+        SELECT source, count(*)::BIGINT AS n_shingles
+        FROM per_source GROUP BY source
+    ),
+    nov AS (
+        SELECT p.source, count(*)::BIGINT AS n_novel
+        FROM per_source p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM old_sh o WHERE o.shingle = p.shingle
+        )
+        GROUP BY p.source
+    )
+    SELECT t.source, t.n_shingles,
+           coalesce(n.n_novel, 0)::BIGINT AS n_novel,
+           floor((coalesce(n.n_novel, 0) / t.n_shingles)
+                 * 1000000.0 + 0.5) / 1000000.0 AS novelty
+    FROM tot t LEFT JOIN nov n ON n.source = t.source
+    ORDER BY t.source
 """

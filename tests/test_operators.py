@@ -1878,3 +1878,173 @@ def test_triangle_count_zero_and_complete(spark):
     )
     out = triangle_count(k4).collect()
     assert len(out) == 4 and all(r.n_triangles == 3 for r in out)
+
+
+def test_forward_fill_carries_last_observation(spark):
+    from data_lake_project_spark.operators.timeseries import forward_fill
+
+    rows = [
+        (1, 1, None), (1, 2, 5.0), (1, 3, None), (1, 4, 7.0), (1, 5, None),
+        (2, 1, None),
+    ]
+    df = spark.createDataFrame(rows, "k int, seq int, v double")
+    out = {
+        (r.k, r.seq): r.filled
+        for r in forward_fill(df, "k", "seq", "seq", "v").collect()
+    }
+    assert out == {
+        (1, 1): None, (1, 2): 5.0, (1, 3): 5.0, (1, 4): 7.0, (1, 5): 7.0,
+        (2, 1): None,
+    }
+
+
+def test_autocorrelation_matches_numpy(spark):
+    import numpy as np
+
+    from data_lake_project_spark.operators.timeseries import autocorrelation
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k int, seq int, v double"
+    )
+    got = {
+        r.lag: r.r
+        for r in autocorrelation(df, "k", "seq", "seq", "v", max_lag=2)
+        .collect()
+    }
+    x = np.array(vals)
+    m = x.mean()
+    den = ((x - m) ** 2).sum()
+    for k in (1, 2):
+        want = ((x[k:] - m) * (x[:-k] - m)).sum() / den
+        # r is pround'ed to 6 digits — allow the quantization step
+        assert abs(got[k] - want) <= 5e-7
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    from data_lake_project_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    # 10 at seq 1-5, then 20 at seq 6-10: |S| peaks at the last
+    # pre-shift row (seq 5), where S = 5*10 - 5*15 = -25
+    rows = [(1, s, 10.0) for s in range(1, 6)] + [
+        (1, s, 20.0) for s in range(6, 11)
+    ]
+    df = spark.createDataFrame(rows, "k int, seq int, v double")
+    r = cusum_changepoint(df, "k", "seq", "seq", "v").first()
+    assert r.cp_seq == 5 and r.cusum == -25.0 and r.n == 10
+
+
+def test_systematic_sample_pps_properties(spark):
+    from data_lake_project_spark.operators.dataset import systematic_sample
+
+    rows = [(i, (i % 7) + 1) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "doc_id int, w int")
+    total = sum(w for _, w in rows)
+    out = systematic_sample(df, "w", k=20, order_col="doc_id").collect()
+    ids = [r.doc_id for r in out]
+    # deterministic
+    again = [
+        r.doc_id
+        for r in systematic_sample(
+            df, "w", k=20, order_col="doc_id"
+        ).collect()
+    ]
+    assert ids == again
+    # exactly k rows when no weight exceeds the stride
+    assert len(ids) == 20
+    # cum_w is the true inclusive prefix sum in doc_id order
+    prefix = {}
+    c = 0
+    for i, w in rows:
+        c += w
+        prefix[i] = c
+    for r in out:
+        assert r.cum_w == prefix[r.doc_id]
+    # every selected row's span covers a stride multiple
+    for r in out:
+        lo = r.cum_w - dict(rows)[r.doc_id]
+        assert (r.cum_w * 20) // total > (lo * 20) // total
+
+
+def test_systematic_sample_heavy_row_is_certainty(spark):
+    from data_lake_project_spark.operators.dataset import systematic_sample
+
+    # one row holds >half the mass: always selected, never duplicated
+    rows = [(1, 5), (2, 100), (3, 5), (4, 5), (5, 5)]
+    df = spark.createDataFrame(rows, "doc_id int, w int")
+    out = [
+        r.doc_id
+        for r in systematic_sample(df, "w", k=4, order_col="doc_id")
+        .collect()
+    ]
+    assert out.count(2) == 1 and len(out) <= 4
+
+
+def test_ivm_apply_matches_recompute_and_restores(spark):
+    from data_lake_project_spark.lakehouse import ivm_apply
+
+    base_rows = [("a", 10.0), ("a", 20.0), ("b", 5.0)]
+    base = (
+        spark.createDataFrame(base_rows, "k string, v double")
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("v").cast("decimal(20,2)"))
+            .cast("decimal(38,2)")
+            .alias("sv"),
+        )
+    )
+    delta = spark.createDataFrame(
+        [
+            ("a", 10.0, -1),   # delete one of a's rows
+            ("c", 7.0, 1),     # brand-new key
+            ("b", 5.0, -1),    # b's count reaches zero -> dropped
+        ],
+        "k string, v double, op int",
+    )
+    out = {
+        r.k: (r.n, float(r.sv))
+        for r in ivm_apply(
+            base, delta, ["k"], count_col="n", sum_cols={"v": "sv"}
+        ).collect()
+    }
+    assert out == {"a": (1, 20.0), "c": (1, 7.0)}
+    # insert-then-delete of the same rows restores the base exactly
+    noop = delta.withColumn("op", -F.col("op"))
+    round_trip = ivm_apply(
+        ivm_apply(base, delta, ["k"], "n", {"v": "sv"}),
+        noop,
+        ["k"],
+        "n",
+        {"v": "sv"},
+    )
+    want = {(r.k, r.n, str(r.sv)) for r in base.collect()}
+    assert {(r.k, r.n, str(r.sv)) for r in round_trip.collect()} == want
+
+
+def test_pii_report_types_and_masking_order(spark):
+    from data_lake_project_spark.operators.text import pii_report
+
+    docs = spark.createDataFrame(
+        [
+            ("g1", "mail a@b.com and c@d.org plus +12345678"),
+            ("g1", "id 123-45-6789 only"),
+            ("g2", "clean text"),
+            # digits inside the email must NOT re-match as a phone,
+            # and the id inside the email is swallowed by the email
+            ("g2", "x123-45-6789+12345678@ex.com"),
+        ],
+        "g string, text string",
+    )
+    out = {r.g: r for r in pii_report(docs, "text", ["g"]).collect()}
+    assert (out["g1"].docs_email, out["g1"].n_email) == (1, 2)
+    assert (out["g1"].docs_phone, out["g1"].n_phone) == (1, 1)
+    assert (out["g1"].docs_id, out["g1"].n_id) == (1, 1)
+    assert (out["g2"].n_email, out["g2"].n_phone, out["g2"].n_id) == (
+        1,
+        0,
+        0,
+    )
+    assert out["g2"].docs_scanned == 2
