@@ -2547,6 +2547,259 @@ def q122_snapshot_novelty(spark, sf):
     )
 
 
+def q123_radius_join(spark, sf):
+    """Planar radius join: purchase events paired with error events
+    within Euclidean distance 1.5 in a derived (value, event_id mod 997)
+    point space — grid-cell blocking (3x3 neighbor probe on one side,
+    equi-join on the cell key) instead of an all-pairs distance scan.
+    Squared-distance predicate, sqrt only on survivors. See
+    ``operators.spatial.radius_join``."""
+    from data_lake_project_spark.operators.spatial import radius_join
+
+    e = load_table(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").alias("x"),
+        (F.col("event_id") % 997).cast("double").alias("y"),
+    )
+    a = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "x", "y"
+    )
+    b = e.filter(F.col("event_type") == "error").select(
+        "event_id", "x", "y"
+    )
+    j = radius_join(a, b, "x", "y", radius=1.5)
+    dx = F.col("x_a") - F.col("x_b")
+    dy = F.col("y_a") - F.col("y_b")
+    return j.select(
+        F.col("event_id_a"),
+        F.col("event_id_b"),
+        pround(F.sqrt(dx * dx + dy * dy), 6).alias("dist"),
+    ).orderBy("event_id_a", "event_id_b")
+
+
+def q124_session_paths(spark, sf):
+    """Top user-journey paths: each (user, day) session's ordered
+    event-type sequence collapses to a '>'-joined path string in ONE
+    grouped pass (sorted collect, no self-joins), then a
+    vocabulary-sized path count ranks the 20 most common journeys."""
+    e = load_table(spark, sf, "events")
+    day = F.to_date("ts").alias("day")
+    paths = (
+        e.select("user_id", day, "ts", "event_id", "event_type")
+        .groupBy("user_id", "day")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+def q125_rolling_active_users(spark, sf):
+    """Trailing-7-day active users per observed day: each distinct
+    (user, day) fact explodes into the <=7 window-days it supports (a
+    bounded literal-sequence explode — never a range self-join of
+    data against data), then one distinct + one count per day.
+    Restricting output to OBSERVED days keeps the report aligned with
+    the calendar the data actually covers."""
+    e = load_table(spark, sf, "events")
+    ud = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    support = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_day"),
+    ).distinct()
+    return (
+        support.join(days, support["win_day"] == days["day"])
+        .groupBy("win_day")
+        .agg(F.count("*").cast("long").alias("active_users"))
+        .select(
+            F.col("win_day").cast("string").alias("win_day"),
+            "active_users",
+        )
+        .orderBy("win_day")
+    )
+
+
+_BENFORD = {
+    1: 0.301030,
+    2: 0.176091,
+    3: 0.124939,
+    4: 0.096910,
+    5: 0.079181,
+    6: 0.066947,
+    7: 0.057992,
+    8: 0.051153,
+    9: 0.045757,
+}
+
+
+def q126_benford(spark, sf):
+    """Benford's-law forensic profile of order totals: observed
+    leading-digit shares vs the Benford expectation (shared 6-digit
+    literals on both engines — no engine-variant log10 anywhere),
+    with per-digit chi-square contributions to localize the
+    distortion. First digit extracted via string arithmetic (exact),
+    one vocabulary-sized agg + broadcast total."""
+    o = load_table(spark, sf, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("__t"))
+    expected = F.create_map(
+        *[
+            x
+            for d, p in _BENFORD.items()
+            for x in (F.lit(d), F.lit(p))
+        ]
+    )
+    share = F.col("n") / F.col("__t")
+    exp_p = expected[F.col("digit")]
+    contrib = (share - exp_p) * (share - exp_p) / exp_p
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            pround(share, 6).alias("share"),
+            exp_p.alias("expected"),
+            pround(contrib, 6).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )
+
+
+def q127_conversion_lag(spark, sf):
+    """Time-to-convert quantiles per user cohort: each purchase's lag
+    since the user's most recent view (one IGNORE NULLS window pass),
+    then NEAREST-RANK medians/p90s — rank arithmetic on integer
+    seconds, no interpolation formula for engines to disagree on.
+    One window + one vocabulary-sized conditional agg."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        e.select(
+            (F.col("user_id") % 4).cast("int").alias("cohort"),
+            "event_type",
+            "event_id",
+            F.col("ts"),
+            last_view.alias("__lv"),
+        )
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("__lv").isNotNull()
+        )
+        .select(
+            "cohort",
+            "event_id",
+            (
+                (F.unix_micros(F.col("ts").cast("timestamp"))
+                 - F.unix_micros(F.col("__lv").cast("timestamp")))
+                / F.lit(1000000)
+            ).cast("long").alias("gap_s"),
+        )
+    )
+    rw = Window.partitionBy("cohort").orderBy("gap_s", "event_id")
+    cw = Window.partitionBy("cohort")
+    ranked = conv.select(
+        "cohort",
+        "gap_s",
+        F.row_number().over(rw).cast("long").alias("__rn"),
+        F.count("*").over(cw).cast("long").alias("__n"),
+    )
+    k50 = F.ceil(F.col("__n") * 0.5).cast("long")
+    k90 = F.ceil(F.col("__n") * 0.9).cast("long")
+    return (
+        ranked.groupBy("cohort")
+        .agg(
+            F.max("__n").alias("n_conversions"),
+            F.max(F.when(F.col("__rn") == k50, F.col("gap_s"))).alias(
+                "med_lag_s"
+            ),
+            F.max(F.when(F.col("__rn") == k90, F.col("gap_s"))).alias(
+                "p90_lag_s"
+            ),
+        )
+        .orderBy("cohort")
+    )
+
+
+def q128_equidepth_hist(spark, sf):
+    """EXACT equi-depth (equal-frequency) histogram of order totals:
+    10 buckets holding n/10 rows each, boundaries at true rank
+    positions — the statistics a cost-based optimizer actually wants,
+    complementing q60's equi-width buckets. One rank window + one
+    10-row agg; all bucket math is integer rank arithmetic."""
+    o = load_table(spark, sf, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    # two-phase distributed global rank (per-price-block row_number +
+    # carry-in offsets over block counts) — no single-partition sort
+    # of the data, the ks_drift / sorted-neighborhood recipe
+    staged = o.withColumn(
+        "__blk", F.floor(F.col("o_totalprice") / 10000).cast("long")
+    )
+    bw = Window.partitionBy("__blk").orderBy("o_totalprice", "o_orderkey")
+    runs = staged.withColumn(
+        "__rnl", F.row_number().over(bw).cast("long")
+    )
+    nets = staged.groupBy("__blk").agg(F.count("*").alias("__c"))
+    off_w = Window.orderBy("__blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = nets.select(
+        "__blk",
+        F.coalesce(F.sum("__c").over(off_w), F.lit(0)).alias("__off"),
+    )
+    n = o.count()  # 1-row driver scalar: fixes the bucket width
+    ranked = runs.join(F.broadcast(offsets), "__blk").select(
+        "o_totalprice",
+        (F.col("__off") + F.col("__rnl")).alias("__rn"),
+    )
+    bucket = F.expr(f"((__rn - 1) * 10) div {n}")
+    return (
+        ranked.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q107_max_concurrency(spark, sf):
     """Peak concurrent activity per hour: sweep-line max-overlap over
     per-(user, day) activity spans [first event, last event] — the
@@ -2860,6 +3113,12 @@ QUERIES: dict[str, QueryFn] = {
     "q120_ivm_apply": q120_ivm_apply,
     "q121_pii_report": q121_pii_report,
     "q122_snapshot_novelty": q122_snapshot_novelty,
+    "q123_radius_join": q123_radius_join,
+    "q124_session_paths": q124_session_paths,
+    "q125_rolling_active_users": q125_rolling_active_users,
+    "q126_benford": q126_benford,
+    "q127_conversion_lag": q127_conversion_lag,
+    "q128_equidepth_hist": q128_equidepth_hist,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -5608,4 +5867,117 @@ ORACLE["q122_snapshot_novelty"] = """
                  * 1000000.0 + 0.5) / 1000000.0 AS novelty
     FROM tot t LEFT JOIN nov n ON n.source = t.source
     ORDER BY t.source
+"""
+
+ORACLE["q123_radius_join"] = """
+    WITH pts AS (
+        SELECT event_id, event_type,
+               value AS x, (event_id % 997)::DOUBLE AS y
+        FROM events
+    ),
+    a AS (SELECT event_id, x, y FROM pts WHERE event_type = 'purchase'),
+    b AS (SELECT event_id, x, y FROM pts WHERE event_type = 'error')
+    SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+           floor(sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y))
+                 * 1000000.0 + 0.5) / 1000000.0 AS dist
+    FROM a JOIN b
+      ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2.25
+    ORDER BY event_id_a, event_id_b
+"""
+
+ORACLE["q124_session_paths"] = """
+    WITH paths AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT path, count(*)::BIGINT AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path LIMIT 20
+"""
+
+ORACLE["q125_rolling_active_users"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT strftime(d.day, '%Y-%m-%d') AS win_day,
+           count(DISTINCT u.user_id)::BIGINT AS active_users
+    FROM days d
+    JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day ORDER BY win_day
+"""
+
+ORACLE["q126_benford"] = """
+    WITH c AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit,
+               count(*)::BIGINT AS n
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT sum(n)::BIGINT AS tot FROM c),
+    e AS (
+        SELECT * FROM (VALUES
+            (1, 0.301030), (2, 0.176091), (3, 0.124939),
+            (4, 0.096910), (5, 0.079181), (6, 0.066947),
+            (7, 0.057992), (8, 0.051153), (9, 0.045757)
+        ) AS v(digit, p)
+    )
+    SELECT c.digit, c.n,
+           floor((c.n / t.tot) * 1000000.0 + 0.5) / 1000000.0 AS share,
+           e.p::DOUBLE AS expected,
+           floor(((c.n / t.tot - e.p::DOUBLE)
+                  * (c.n / t.tot - e.p::DOUBLE) / e.p::DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS chi2_contrib
+    FROM c CROSS JOIN t JOIN e ON e.digit = c.digit
+    ORDER BY c.digit
+"""
+
+ORACLE["q127_conversion_lag"] = """
+    WITH conv AS (
+        SELECT (user_id % 4)::INT AS cohort, event_id,
+               ((epoch_us(ts) - epoch_us(lv)) // 1000000)::BIGINT AS gap_s
+        FROM (
+            SELECT user_id, event_type, event_id, ts,
+                   last_value(
+                       CASE WHEN event_type = 'view' THEN ts END
+                       IGNORE NULLS
+                   ) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS lv
+            FROM events
+        )
+        WHERE event_type = 'purchase' AND lv IS NOT NULL
+    ),
+    ranked AS (
+        SELECT cohort, gap_s,
+               row_number() OVER (
+                   PARTITION BY cohort ORDER BY gap_s, event_id
+               )::BIGINT AS rn,
+               count(*) OVER (PARTITION BY cohort)::BIGINT AS n
+        FROM conv
+    )
+    SELECT cohort,
+           max(n) AS n_conversions,
+           max(CASE WHEN rn = ceil(n * 0.5) THEN gap_s END) AS med_lag_s,
+           max(CASE WHEN rn = ceil(n * 0.9) THEN gap_s END) AS p90_lag_s
+    FROM ranked GROUP BY cohort ORDER BY cohort
+"""
+
+ORACLE["q128_equidepth_hist"] = """
+    WITH ranked AS (
+        SELECT o_totalprice,
+               row_number() OVER (
+                   ORDER BY o_totalprice, o_orderkey
+               )::BIGINT AS rn,
+               count(*) OVER ()::BIGINT AS n
+        FROM orders
+    )
+    SELECT ((rn - 1) * 10) // n AS bucket,
+           count(*)::BIGINT AS n_rows,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM ranked GROUP BY 1 ORDER BY bucket
 """

@@ -48,6 +48,8 @@ BNLJ_ALLOWED: set[str] = {
     # 1-row totals scalar joined onto the category / CDF tables.
     "q109_categorical_drift",
     "q110_ks_drift",
+    # 1-row total joined onto the 9-digit count table.
+    "q126_benford",
 }
 
 

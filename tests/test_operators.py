@@ -2048,3 +2048,35 @@ def test_pii_report_types_and_masking_order(spark):
         0,
     )
     assert out["g2"].docs_scanned == 2
+
+
+def test_radius_join_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from data_lake_project_spark.operators.spatial import radius_join
+
+    rng = random.Random(11)
+    pts_a = [(i, rng.uniform(0, 20), rng.uniform(0, 20)) for i in range(40)]
+    pts_b = [
+        (i, rng.uniform(0, 20), rng.uniform(0, 20)) for i in range(100, 160)
+    ]
+    a = spark.createDataFrame(pts_a, "pid int, x double, y double")
+    b = spark.createDataFrame(pts_b, "pid int, x double, y double")
+    got = {
+        (r.pid_a, r.pid_b)
+        for r in radius_join(a, b, "x", "y", radius=2.5).collect()
+    }
+    want = {
+        (i, j)
+        for (i, xa, ya), (j, xb, yb) in itertools.product(pts_a, pts_b)
+        if (xa - xb) ** 2 + (ya - yb) ** 2 <= 2.5**2
+    }
+    assert got == want
+    # boundary inclusion and no duplicates
+    a1 = spark.createDataFrame([(1, 0.0, 0.0)], "pid int, x double, y double")
+    b1 = spark.createDataFrame(
+        [(2, 3.0, 4.0), (3, 3.0, 4.001)], "pid int, x double, y double"
+    )
+    rows = radius_join(a1, b1, "x", "y", radius=5.0).collect()
+    assert [(r.pid_a, r.pid_b) for r in rows] == [(1, 2)]
