@@ -491,6 +491,7 @@ def ivm_apply(
     count_col: str = "n",
     sum_cols: dict[str, str] | None = None,
     op_col: str = "op",
+    keep_zero: bool = False,
 ) -> DataFrame:
     """Incremental view maintenance for a keyed COUNT/SUM aggregate:
     fold a batch of row-level changes (``op_col`` = +1 insert, -1
@@ -505,7 +506,10 @@ def ivm_apply(
     DECIMAL so +x followed by -x restores the exact prior state (a
     float fold would drift and never re-converge). Keys whose count
     reaches zero are DROPPED (not kept as zero rows), matching what a
-    recompute would produce; a negative count raises at read time in
+    recompute would produce — unless ``keep_zero`` is set, which
+    keeps them as tombstones for keyed-MERGE storage that cannot
+    delete rows (``write_stream_ivm``); a negative count raises at
+    read time in
     the caller's integrity checks rather than silently going wrong —
     deletes of never-inserted rows are a data bug upstream.
 
@@ -543,4 +547,9 @@ def ivm_apply(
             .cast("decimal(38,2)")
             .alias(out)
         )
-    return merged.select(*out_cols).filter(F.col(count_col) != 0)
+    out = merged.select(*out_cols)
+    if keep_zero:
+        # tombstone mode for keyed-MERGE storage (no row deletes):
+        # zero-count rows persist and the reader filters them out
+        return out
+    return out.filter(F.col(count_col) != 0)

@@ -351,18 +351,12 @@ def scd2_marker_gc(
     window. Returns the number of markers deleted. Run it from the
     same maintenance cadence as ``compact``.
     """
-    import time
-
-    commits_dir = f"{table_path.rstrip('/')}/_scd2_committed"
-    cutoff = (
-        now_ms if now_ms is not None else int(time.time() * 1000)
-    ) - int(max_age_s * 1000)
-    deleted = 0
-    for name, _size, mtime in fs.list_statuses(spark, commits_dir):
-        if mtime < cutoff and fs.read_text(spark, name).strip() == "committed":
-            fs.delete(spark, name, recursive=False)
-            deleted += 1
-    return deleted
+    return marker_gc(
+        spark,
+        f"{table_path.rstrip('/')}/_scd2_committed",
+        max_age_s,
+        now_ms=now_ms,
+    )
 
 
 def ensure_topic(
@@ -395,3 +389,121 @@ def ensure_topic(
         pass
     finally:
         admin.close()
+
+
+def write_stream_ivm(
+    stream: DataFrame,
+    table,
+    checkpoint_dir: str,
+    key_col: str,
+    count_col: str = "n",
+    sum_cols: dict[str, str] | None = None,
+    op_col: str = "op",
+):
+    """Streaming continuous aggregate: each micro-batch of row-level
+    changes (``op_col`` = +1 insert / -1 delete) folds into a keyed
+    COUNT/SUM materialized view held in a :class:`KeyedTable` via
+    ``lakehouse.ivm_apply`` — the stream-maintained rollup that keeps
+    a gold table fresh without ever rescanning base data. Per batch:
+    bucket-prune-read the touched keys' current rows, fold the delta,
+    MERGE back — O(batch + touched buckets) regardless of view size.
+
+    The keyed MERGE cannot delete rows, so keys folded to zero
+    persist as count-0 TOMBSTONES (``ivm_apply(keep_zero=True)``);
+    read the view through :func:`read_ivm`, which filters them.
+
+    Like the SCD2 sink (and unlike the plain keyed upsert), the fold
+    reads its own prior output, so replays need the content-marker
+    protocol, not merge idempotence: a batch fingerprint (count +
+    order-independent hash over the full change tuple) is written
+    ``pending`` before the merge and flipped to ``committed`` after;
+    an already-committed fingerprint is skipped, a pending one raises
+    for operator repair. Prune old markers with
+    :func:`marker_gc` on the ``_ivm_committed`` dir.
+    """
+    from data_lake_project_spark.lakehouse import ivm_apply
+
+    sum_cols = sum_cols or {}
+    commits_dir = f"{table.path}/_ivm_committed"
+    hash_cols = ", ".join(
+        f"`{c}`" for c in [op_col, key_col, *sum_cols.keys()]
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fp_row = batch_df.agg(
+            F.count("*").alias("n"),
+            F.expr(f"bit_xor(xxhash64({hash_cols}))").alias("h"),
+        ).first()
+        if fp_row["n"] == 0:
+            return
+        marker = f"{commits_dir}/{fp_row['n']}_{fp_row['h']}"
+        if fs.exists(spark, marker):
+            if fs.read_text(spark, marker).strip() == "committed":
+                return  # same batch content already folded
+            raise RuntimeError(
+                f"ivm sink: marker {marker} is 'pending' — a prior "
+                "attempt on this batch started and did not commit. "
+                "Verify the touched keys against the change batch "
+                "(or recompute them), then delete the marker."
+            )
+        fs.write_text(spark, marker, "pending")
+        touched = batch_df.select(key_col).distinct()
+        existing = table.read_for(touched, keys_col=key_col)
+        if count_col in existing.columns:
+            base = existing.select(
+                key_col, count_col, *sum_cols.values()
+            )
+        else:  # first batch, table not created yet: empty base
+            base = touched.limit(0).withColumn(
+                count_col, F.lit(0).cast("long")
+            )
+            for out in sum_cols.values():
+                base = base.withColumn(
+                    out, F.lit(0).cast("decimal(38,2)")
+                )
+        folded = ivm_apply(
+            base,
+            batch_df,
+            [key_col],
+            count_col=count_col,
+            sum_cols=sum_cols,
+            op_col=op_col,
+            keep_zero=True,
+        )
+        table.upsert(folded)
+        fs.write_text(spark, marker, "committed")
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def read_ivm(table, count_col: str = "n") -> DataFrame:
+    """The live view behind :func:`write_stream_ivm`: the maintained
+    aggregate minus the zero-count tombstones the keyed MERGE cannot
+    physically delete."""
+    return table.read().filter(F.col(count_col) != 0)
+
+
+def marker_gc(
+    spark, commits_dir: str, max_age_s: float, now_ms: int | None = None
+) -> int:
+    """Prune ``committed`` replay markers older than ``max_age_s``
+    seconds from any content-marker sink dir (``_scd2_committed``,
+    ``_ivm_committed``). ``pending`` markers are NEVER pruned — they
+    flag an unrepaired crash window. Returns markers deleted."""
+    import time
+
+    cutoff = (
+        now_ms if now_ms is not None else int(time.time() * 1000)
+    ) - int(max_age_s * 1000)
+    deleted = 0
+    for name, _size, mtime in fs.list_statuses(spark, commits_dir):
+        if mtime < cutoff and fs.read_text(spark, name).strip() == "committed":
+            fs.delete(spark, name, recursive=False)
+            deleted += 1
+    return deleted

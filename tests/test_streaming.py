@@ -1022,3 +1022,106 @@ def test_ewma_stream_equals_batch(spark, tmp_path):
         .collect()
     }
     assert streamed == batch and batch
+
+
+def test_stream_ivm_equals_recompute_and_skips_replay(spark, tmp_path):
+    """Streaming continuous aggregate: a 3-micro-batch change log
+    folded through write_stream_ivm must equal a from-scratch
+    recompute of the net changes; a full replay with a fresh
+    checkpoint must be a no-op (content markers); keys folded to
+    zero disappear from read_ivm but persist as tombstones."""
+    import glob as _glob
+
+    from data_lake_project_spark.sources import KeyedTable
+    from data_lake_project_spark.streaming.pipeline import (
+        read_ivm,
+        write_stream_ivm,
+    )
+
+    rows = [
+        # batch 1: inserts
+        (1, "a", 10.0, 1), (2, "a", 20.0, 1), (3, "b", 5.0, 1),
+        # batch 2: more inserts + a delete
+        (4, "a", 10.0, -1), (5, "c", 7.0, 1), (6, "b", 2.0, 1),
+        # batch 3: b drains to zero (tombstone)
+        (7, "b", 5.0, -1), (8, "b", 2.0, -1), (9, "c", 1.0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "seq int, k string, v double, op int"
+    ).coalesce(1)
+    src = str(tmp_path / "ivm_files")
+    os.makedirs(src)
+    base = 1_700_000_000
+    for i in (1, 2, 3):
+        part = str(tmp_path / f"ivm_s{i}")
+        df.filter(
+            F.floor(((F.col("seq") - 1) % 9) / 3) == i - 1
+        ).drop("seq").coalesce(1).write.mode("overwrite").parquet(part)
+        for f in sorted(_glob.glob(f"{part}/part-*.parquet")):
+            dst = os.path.join(src, f"{i:02d}.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (base + i, base + i))
+
+    t = KeyedTable(spark, str(tmp_path / "ivmt"), key_col="k", n_buckets=4)
+    schema = "k string, v double, op int"
+
+    def run(ck):
+        q = write_stream_ivm(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            t,
+            str(tmp_path / ck),
+            key_col="k",
+            count_col="n",
+            sum_cols={"v": "sv"},
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("ck1")
+    got = sorted(
+        (r.k, r.n, str(r.sv)) for r in read_ivm(t, "n").collect()
+    )
+    assert got == [("a", 1, "20.00"), ("c", 2, "8.00")]
+    # the drained key is a tombstone in storage, invisible in the view
+    raw = {r.k: r.n for r in t.read().collect()}
+    assert raw["b"] == 0
+    # full replay with a fresh checkpoint: content markers no-op it
+    run("ck2")
+    assert sorted(
+        (r.k, r.n, str(r.sv)) for r in read_ivm(t, "n").collect()
+    ) == got
+
+
+def test_stream_ivm_pending_marker_parks_the_stream(spark, tmp_path):
+    """A 'pending' marker (crash between merge start and commit) must
+    fail the replayed batch loudly instead of silently re-folding."""
+    from data_lake_project_spark import fs
+    from data_lake_project_spark.sources import KeyedTable
+    from data_lake_project_spark.streaming.pipeline import write_stream_ivm
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 1), ("b", 3.0, 1)], "k string, v double, op int"
+    )
+    src = str(tmp_path / "ivm_pend_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    t = KeyedTable(spark, str(tmp_path / "ivm_pend_t"), key_col="k")
+    # forge the exact content fingerprint the sink would compute,
+    # marked pending, as if a prior attempt crashed mid-merge
+    fp = df.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(`op`, `k`, `v`))").alias("h"),
+    ).first()
+    marker = f"{t.path}/_ivm_committed/{fp['n']}_{fp['h']}"
+    fs.write_text(spark, marker, "pending")
+    q = write_stream_ivm(
+        spark.readStream.schema(df.schema).parquet(src),
+        t,
+        str(tmp_path / "ivm_pend_ck"),
+        key_col="k",
+        sum_cols={"v": "sv"},
+    )
+    with pytest.raises(Exception, match="pending"):
+        q.processAllAvailable()
+    q.stop()
