@@ -518,6 +518,21 @@ def q38_language_id_ngram(spark, sf):
     return language_id_ngram(d).orderBy("doc_id")
 
 
+def q129_pq_topk(spark, sf):
+    """Approximate ANN via product quantization (ADC scan) — rows-only
+    check like q33/q37 (quantization error is the point; recall floor
+    vs the exact baseline is CI-pinned). 128-bit codes (16 subspaces
+    x 64 codes), Arrow-batched encoding, m-lookup ADC scoring. See
+    ``operators.similarity.pq_topk``."""
+    e = load_table(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return SIM.pq_topk(e, probes, k=10, dim=64).orderBy(
+        "probe_id", "vec_id"
+    )
+
+
 def q37_ivf_topk(spark, sf):
     """Approximate ANN via IVF coarse quantizer — rows-only check
     (recall depends on nprobe; exact baseline is q22, LSH variant q33).
@@ -3031,6 +3046,7 @@ QUERIES: dict[str, QueryFn] = {
     "q35_deplot_parse": q35_deplot_parse,
     "q36_keyword_scan": q36_keyword_scan,
     "q37_ivf_topk": q37_ivf_topk,
+    "q129_pq_topk": q129_pq_topk,
     "q38_language_id_ngram": q38_language_id_ngram,
     "q39_sentence_facts": q39_sentence_facts,
     "q40_term_frequency": q40_term_frequency,

@@ -37,6 +37,9 @@ BNLJ_ALLOWED: set[str] = {
     # Brute-force scoring IS a deliberate broadcast cross product:
     # every probe against every corpus vector, probe side tiny.
     "q22_similarity_topk",
+    # ADC scan: tiny per-probe lookup tables broadcast against the
+    # encoded corpus — m adds per pair, the PQ payoff.
+    "q129_pq_topk",
     # 1-row corpus-count literal joined onto per-doc tf counts.
     "q45_tfidf_topterms",
     # 1-row total-count scalar joined onto vocab-sized term counts.

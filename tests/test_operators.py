@@ -2080,3 +2080,50 @@ def test_radius_join_matches_brute_force(spark):
     )
     rows = radius_join(a1, b1, "x", "y", radius=5.0).collect()
     assert [(r.pid_a, r.pid_b) for r in rows] == [(1, 2)]
+
+
+def test_pq_topk_recall_determinism_and_codebook_path(spark):
+    """q129's quality contract: PQ at the default 16x64 config must
+    recover >= 0.4 of the exact top-10 at sf0.001 (measured ~0.58);
+    same corpus -> same codebooks -> identical result; a supplied
+    codebook skips training and must validate its shape."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+    from data_lake_project_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = e.filter("vec_id < 5").selectExpr(
+        "vec_id as probe_id", "embedding"
+    )
+    exact_pairs = {
+        (r.probe_id, r.vec_id)
+        for r in brute_force_topk(e, probes, k=10).collect()
+    }
+    approx = pq_topk(e, probes, k=10, dim=64)
+    approx_pairs = {(r.probe_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.4, f"PQ recall too low: {recall}"
+    again = {
+        (r.probe_id, r.vec_id)
+        for r in pq_topk(e, probes, k=10, dim=64).collect()
+    }
+    assert again == approx_pairs  # no RNG anywhere
+    # wrong-shape codebook fails fast driver-side
+    with _pytest.raises(ValueError, match="codebooks shape"):
+        pq_topk(e, probes, codebooks=[[[0.0] * 4] * 8] * 4)
+    # a valid external codebook is honored (zero training jobs)
+    import numpy as np
+
+    rows = np.array(
+        [[float(x) for x in r.embedding] for r in e.limit(64).collect()]
+    )
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    cb = np.stack(
+        [rows[:64, s * 4 : (s + 1) * 4] for s in range(16)]
+    )
+    out = pq_topk(e, probes, k=5, codebooks=cb, dim=64)
+    assert out.count() == 25  # 5 probes x k

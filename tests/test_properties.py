@@ -11,6 +11,7 @@ import math
 
 import numpy as np
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from data_lake_project_spark.operators.grid import _nms, reconstruct_page
 
@@ -558,4 +559,155 @@ def test_max_concurrency_equals_bruteforce(spark, spans, bucket):
         run += d
         b = t // bucket
         want[b] = max(want.get(b, run), run)
+    assert got == want
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=30),
+    st.lists(st.sampled_from("abcdef"), min_size=0, max_size=30),
+)
+def test_categorical_drift_properties(spark, old, new):
+    from data_lake_project_spark.operators.drift import categorical_drift
+
+    if not old or not new:
+        return  # chi2 needs mass on both sides
+    a = spark.createDataFrame([(k,) for k in old], "k string")
+    b = spark.createDataFrame([(k,) for k in new], "k string")
+    rows = categorical_drift(a, b, "k").collect()
+    # every category from either side appears exactly once
+    assert sorted(r.k for r in rows) == sorted(set(old) | set(new))
+    # counts are conserved and chi2 contributions are non-negative
+    assert sum(r.n_old for r in rows) == len(old)
+    assert sum(r.n_new for r in rows) == len(new)
+    assert all(r.chi2 >= 0 for r in rows)
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.floats(-100, 100, allow_nan=False).map(lambda v: round(v, 2)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.floats(-100, 100, allow_nan=False).map(lambda v: round(v, 2)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_ks_drift_equals_brute_force(spark, xs, ys):
+    from data_lake_project_spark.operators.drift import ks_drift
+
+    a = spark.createDataFrame([(v,) for v in xs], "v double")
+    b = spark.createDataFrame([(v,) for v in ys], "v double")
+    got = ks_drift(a, b, "v", block_width=7.0).first()
+    support = sorted(set(xs) | set(ys))
+    want = max(
+        abs(
+            sum(1 for x in xs if x <= v) / len(xs)
+            - sum(1 for y in ys if y <= v) / len(ys)
+        )
+        for v in support
+    )
+    assert got.n_old == len(xs) and got.n_new == len(ys)
+    assert abs(got.ks_stat - want) <= 5e-7  # pround quantization
+    assert 0.0 <= got.ks_stat <= 1.0
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abcdefgh"), st.integers(1, 5)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_count_min_upper_bounds_every_probe(spark, items):
+    from data_lake_project_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    flat = [t for t, n in items for _ in range(n)]
+    df = spark.createDataFrame([(t,) for t in flat], "tok string")
+    sketch = count_min_sketch(df, "tok", depth=3, hex_chars=1)
+    probes = spark.createDataFrame(
+        [(t,) for t in sorted({t for t, _ in items})], "tok string"
+    )
+    est = {
+        r.tok: r.cms_count
+        for r in count_min_estimate(
+            sketch, probes, "tok", depth=3, hex_chars=1
+        ).collect()
+    }
+    from collections import Counter
+
+    true = Counter(flat)
+    # one-sided error: never underestimates, total mass bounds it
+    for t, n in true.items():
+        assert n <= est[t] <= len(flat)
+
+
+@SPARK_SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from("abcd"),
+            st.floats(0, 50, allow_nan=False).map(lambda v: round(v, 2)),
+            st.sampled_from([1, -1]),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_ivm_apply_equals_recompute(spark, changes):
+    from collections import defaultdict
+
+    from data_lake_project_spark.lakehouse import ivm_apply
+
+    # split the log arbitrarily into base-inserts and a delta batch;
+    # guard: a delete with no prior insert is an upstream data bug,
+    # so only generate deletes covered by inserts
+    inserts = [(k, v, 1) for k, v, op in changes if op == 1]
+    seen = defaultdict(int)
+    deletes = []
+    for k, v, op in changes:
+        if op == 1:
+            seen[(k, v)] += 1
+        elif seen[(k, v)] > 0:
+            seen[(k, v)] -= 1
+            deletes.append((k, v, -1))
+    half = len(inserts) // 2
+    base_rows = inserts[:half]
+    delta_rows = inserts[half:] + deletes
+    if not base_rows and not delta_rows:
+        return
+    schema = "k string, v double, op int"
+    base = (
+        spark.createDataFrame(base_rows or [], schema)
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("v").cast("decimal(20,2)"))
+            .cast("decimal(38,2)")
+            .alias("sv"),
+        )
+    )
+    delta = spark.createDataFrame(delta_rows or [], schema)
+    got = {
+        r.k: (r.n, str(r.sv))
+        for r in ivm_apply(
+            base, delta, ["k"], count_col="n", sum_cols={"v": "sv"}
+        ).collect()
+    }
+    net = defaultdict(lambda: [0, 0])
+    for k, v, op in base_rows + delta_rows:
+        net[k][0] += op
+        net[k][1] += op * round(v * 100)
+    want = {
+        k: (n, f"{cents / 100:.2f}")
+        for k, (n, cents) in net.items()
+        if n != 0
+    }
     assert got == want
