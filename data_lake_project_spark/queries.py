@@ -2815,6 +2815,82 @@ def q128_equidepth_hist(spark, sf):
     )
 
 
+def q130_source_overlap(spark, sf):
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct 3-gram shingles they share and the containment
+    ratio (shared / smaller side) — which feeds deduped-mixture
+    weighting and catches a crawl that re-scraped another source.
+    Distinct (source, shingle) facts equi-join on the shingle key
+    (pairs bounded by sources² per shingle, sources are
+    vocabulary-sized); never a doc-level all-pairs."""
+    d = load_table(spark, sf, "documents")
+    ss = (
+        D.shingle_sets(d, k=3)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("source", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    sizes = ss.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_sh")
+    )
+    a = ss.select(F.col("source").alias("src_a"), "shingle")
+    b = ss.select(F.col("source").alias("src_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        shared.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            pround(
+                F.col("n_shared") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def q131_cluster_safe_split(spark, sf):
+    """Leakage-proof train/val/test split: near-dup FAMILIES (q51's
+    connected components over verified Jaccard pairs) are assigned as
+    a unit — the split hashes the family key (cluster id for members,
+    own doc id for singletons), so two near-duplicate documents can
+    never land in different splits and leak eval data into training.
+    The md5-threshold assignment stays a pure map; only the family
+    derivation shuffles."""
+    from data_lake_project_spark.operators.dataset import split_column
+
+    d = load_table(spark, sf, "documents")
+    sets = D.shingle_sets(d, k=3)
+    sig = D.minhash_sets(sets, num_hashes=8)
+    cand = D.minhash_candidates_sets(sig, band_size=2)
+    pairs = D.jaccard_verify_sets(cand, sets, threshold=0.5)
+    comp = D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    fam = d.select("doc_id").join(comp, "doc_id", "left")
+    family = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return fam.select(
+        "doc_id",
+        family.alias("family"),
+        split_column(
+            family, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).alias("split"),
+    ).orderBy("doc_id")
+
+
 def q107_max_concurrency(spark, sf):
     """Peak concurrent activity per hour: sweep-line max-overlap over
     per-(user, day) activity spans [first event, last event] — the
@@ -3135,6 +3211,8 @@ QUERIES: dict[str, QueryFn] = {
     "q126_benford": q126_benford,
     "q127_conversion_lag": q127_conversion_lag,
     "q128_equidepth_hist": q128_equidepth_hist,
+    "q130_source_overlap": q130_source_overlap,
+    "q131_cluster_safe_split": q131_cluster_safe_split,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
@@ -5996,4 +6074,83 @@ ORACLE["q128_equidepth_hist"] = """
            min(o_totalprice) AS lo,
            max(o_totalprice) AS hi
     FROM ranked GROUP BY 1 ORDER BY bucket
+"""
+
+
+ORACLE["q130_source_overlap"] = """
+    WITH d AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id, source,
+               unnest(CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(len(toks) - 2),
+                           i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                      ELSE [array_to_string(toks, ' ')] END) AS shingle
+        FROM d
+    ),
+    ss AS (
+        SELECT DISTINCT source, shingle FROM sh0 WHERE shingle <> ''
+    ),
+    sizes AS (
+        SELECT source, count(*)::BIGINT AS n_sh FROM ss GROUP BY source
+    ),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*)::BIGINT AS n_shared
+        FROM ss a JOIN ss b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT s.src_a, s.src_b, s.n_shared,
+           floor((s.n_shared / least(sa.n_sh, sb.n_sh))
+                 * 1000000.0 + 0.5) / 1000000.0 AS containment
+    FROM shared s
+    JOIN sizes sa ON sa.source = s.src_a
+    JOIN sizes sb ON sb.source = s.src_b
+    ORDER BY s.src_a, s.src_b
+"""
+
+ORACLE["q131_cluster_safe_split"] = f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sets AS (
+        SELECT doc_id, list_sort(list(DISTINCT shingle)) AS shs
+        FROM sh GROUP BY doc_id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sets a ON a.doc_id = c.id_a
+        JOIN sets b ON b.doc_id = c.id_b
+        WHERE len(list_intersect(a.shs, b.shs))::DOUBLE
+              / (len(a.shs) + len(b.shs)
+                 - len(list_intersect(a.shs, b.shs)))::DOUBLE >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.src, re.r FROM edges e JOIN reach re ON re.id = e.dst
+    ),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    fam AS (
+        SELECT d2.doc_id,
+               coalesce(c.cluster_id, d2.doc_id) AS family
+        FROM documents d2 LEFT JOIN comp c ON c.id = d2.doc_id
+    )
+    SELECT doc_id, family,
+           CASE
+               WHEN substr(md5(CAST(family AS VARCHAR)), 1, 8)
+                    < 'cccccccc' THEN 'train'
+               WHEN substr(md5(CAST(family AS VARCHAR)), 1, 8)
+                    < 'e6666666' THEN 'val'
+               ELSE 'test' END AS split
+    FROM fam ORDER BY doc_id
 """
