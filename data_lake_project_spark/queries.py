@@ -2891,6 +2891,28 @@ def q131_cluster_safe_split(spark, sf):
     ).orderBy("doc_id")
 
 
+def q132_expectations(spark, sf):
+    """Declarative data-quality gate over orders: non-null keys,
+    status vocabulary, price range, unique order ids, and referential
+    integrity against customer — one aggregation pass for every
+    column-local rule plus one broadcast anti-join for the foreign
+    key. The Deequ/dbt-test shape as an engine operator. See
+    ``operators.expectations.validate``."""
+    from data_lake_project_spark.operators.expectations import validate
+
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    rules = [
+        ("not_null", "o_custkey"),
+        ("not_null", "o_orderdate"),
+        ("accepted_values", "o_orderstatus", ["F", "O", "P"]),
+        ("range", "o_totalprice", 0.0, 1000000.0),
+        ("unique", "o_orderkey"),
+        ("in_set", "o_custkey", c, "c_custkey"),
+    ]
+    return validate(o, rules).orderBy("rule", "column")
+
+
 def q107_max_concurrency(spark, sf):
     """Peak concurrent activity per hour: sweep-line max-overlap over
     per-(user, day) activity spans [first event, last event] — the
@@ -3212,6 +3234,7 @@ QUERIES: dict[str, QueryFn] = {
     "q127_conversion_lag": q127_conversion_lag,
     "q128_equidepth_hist": q128_equidepth_hist,
     "q130_source_overlap": q130_source_overlap,
+    "q132_expectations": q132_expectations,
     "q131_cluster_safe_split": q131_cluster_safe_split,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
@@ -6153,4 +6176,49 @@ ORACLE["q131_cluster_safe_split"] = f"""
                     < 'e6666666' THEN 'val'
                ELSE 'test' END AS split
     FROM fam ORDER BY doc_id
+"""
+
+
+ORACLE["q132_expectations"] = """
+    WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM orders),
+    r AS (
+        SELECT 'not_null' AS rule, 'o_custkey' AS "column", n.n_rows,
+               (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                   ::BIGINT AS n_violations
+        FROM n
+        UNION ALL
+        SELECT 'not_null', 'o_orderdate', n.n_rows,
+               (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+                   ::BIGINT
+        FROM n
+        UNION ALL
+        SELECT 'accepted_values', 'o_orderstatus', n.n_rows,
+               (SELECT count(*) FROM orders
+                WHERE o_orderstatus IS NOT NULL
+                  AND o_orderstatus NOT IN ('F', 'O', 'P'))::BIGINT
+        FROM n
+        UNION ALL
+        SELECT 'range', 'o_totalprice', n.n_rows,
+               (SELECT count(*) FROM orders
+                WHERE o_totalprice < 0.0
+                   OR o_totalprice > 1000000.0)::BIGINT
+        FROM n
+        UNION ALL
+        SELECT 'unique', 'o_orderkey', n.n_rows,
+               (SELECT count(o_orderkey) - count(DISTINCT o_orderkey)
+                FROM orders)::BIGINT
+        FROM n
+        UNION ALL
+        SELECT 'in_set', 'o_custkey', n.n_rows,
+               (SELECT count(*) FROM orders o
+                WHERE o.o_custkey IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+                   ::BIGINT
+        FROM n
+    )
+    SELECT rule, "column", n_rows, n_violations,
+           n_violations = 0 AS passed
+    FROM r
+    ORDER BY rule, "column"
 """

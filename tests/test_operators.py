@@ -2127,3 +2127,43 @@ def test_pq_topk_recall_determinism_and_codebook_path(spark):
     )
     out = pq_topk(e, probes, k=5, codebooks=cb, dim=64)
     assert out.count() == 25  # 5 probes x k
+
+
+def test_expectations_validate_all_rule_kinds(spark):
+    from data_lake_project_spark.operators.expectations import validate
+
+    df = spark.createDataFrame(
+        [
+            (1, "ok", 5.0, "a-1"),
+            (2, "ok", 50.0, "b-2"),
+            (2, "bad", -1.0, "nope"),
+            (None, None, 200.0, "c-3"),
+        ],
+        "id int, status string, v double, code string",
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "id int")
+    out = {
+        (r.rule, r.column): (r.n_rows, r.n_violations, r.passed)
+        for r in validate(
+            df,
+            [
+                ("not_null", "id"),
+                ("unique", "id"),
+                ("accepted_values", "status", ["ok"]),
+                ("range", "v", 0.0, 100.0),
+                ("matches", "code", "^[a-z]-[0-9]$"),
+                ("in_set", "id", dim, "id"),
+            ],
+        ).collect()
+    }
+    assert out[("not_null", "id")] == (4, 1, False)
+    assert out[("unique", "id")] == (4, 1, False)  # id=2 twice
+    assert out[("accepted_values", "status")] == (4, 1, False)
+    assert out[("range", "v")] == (4, 2, False)  # -1 and 200
+    assert out[("matches", "code")] == (4, 1, False)
+    assert out[("in_set", "id")] == (4, 0, True)  # nulls skipped
+    # unknown rule fails fast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown rule kind"):
+        validate(df, [("no_such", "id")])
