@@ -374,3 +374,39 @@ def test_ewma_single_window_shuffle(spark):
         "event_id", "user_id", "ts", "value"
     )
     assert P.exchange_count(ewma_residual(e)) == 1
+
+
+@pytest.mark.parametrize(
+    "qname,max_exchanges",
+    [
+        # one keyed window + the presentation sort
+        ("q114_forward_fill", 2),
+        ("q115_autocorrelation", 2),
+        ("q116_cusum_changepoint", 2),
+        # narrow Expand + one vocab agg + sort
+        ("q117_unpivot_profile", 2),
+        # ONE aggregation pass: the whole matrix with zero keyed
+        # shuffles (global agg is SinglePartition, not counted)
+        ("q118_correlation_matrix", 0),
+        # delta agg + full-outer merge + sort — never rescans base
+        ("q120_ivm_apply", 3),
+        # broadcast cell join: the only counted exchange is the sort
+        ("q123_radius_join", 1),
+        # single agg pass + broadcast FK anti-join + rules-sized sort
+        ("q132_expectations", 1),
+    ],
+)
+def test_round4_operators_pin_their_shuffle_budget(
+    spark, qname, max_exchanges
+):
+    """Plan-shape pins for the round-4 surface: a regression that
+    de-optimizes one of these (extra window, lost broadcast, lost
+    exchange reuse) fails here, not as a 100x slowdown at scale."""
+    from data_lake_project_spark.queries import QUERIES
+
+    df = QUERIES[qname](spark, "/root/testdata/sf0.001")
+    n = P.exchange_count(df)
+    assert n <= max_exchanges, (
+        f"{qname}: {n} exchanges > {max_exchanges}\n"
+        + P.explain_str(df)[:3000]
+    )
