@@ -725,3 +725,181 @@ def pq_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m_subspaces: int = 16,
+    n_codes: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    dim: int | None = None,
+    lloyd_iters: int = 8,
+) -> DataFrame:
+    """IVF + PQ composed — the production FAISS index shape: a coarse
+    quantizer prunes the scan to ``nprobe``/``n_centroids`` of the
+    corpus (IVF's win) and product-quantized codes make the surviving
+    scan m-lookups-per-row cheap and m-bytes-per-row small (PQ's
+    win). Against q129's full ADC scan, the bucket equi-join replaces
+    the broadcast cross product: candidates = corpus x
+    (nprobe/n_centroids), keyed on the bucket id.
+
+    Training mirrors ``ivf_topk``/``pq_topk``: one bounded lowest-id
+    sample collect trains BOTH the coarse centroids (cosine k-means)
+    and the per-subspace codebooks (L2 k-means on unit vectors) —
+    deterministic throughout, no RNG. One Arrow pass encodes each
+    corpus vector to (bucket, codes). Probes resolve their nprobe
+    buckets and lookup tables driver-side (bounded probe contract)
+    and meet the corpus in a broadcast equi-join on the bucket key.
+
+    Rows-only correctness; recall floor CI-pinned. Output:
+    (probe_id, vec_id, score) — ADC approximate cosine, ranked
+    (round(score, 4) DESC, id).
+    """
+    import numpy as np
+
+    sample_size = max(n_codes * 32, n_centroids * 32, 256)
+    sample = np.array(
+        [
+            [float(x) for x in r[0]]
+            for r in corpus.select(vec_col, id_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        ]
+    )
+    if sample.size == 0:
+        raise ValueError("ivfpq_topk: corpus is empty")
+    d = sample.shape[1]
+    if dim is not None and d != dim:
+        raise ValueError(f"ivfpq_topk: embedding width {d} != dim={dim}")
+    if d % m_subspaces != 0:
+        raise ValueError(
+            f"ivfpq_topk: dim {d} not divisible by m_subspaces="
+            f"{m_subspaces}"
+        )
+    if sample.shape[0] < max(n_codes, n_centroids):
+        raise ValueError(
+            f"ivfpq_topk: sample of {sample.shape[0]} vectors is "
+            f"smaller than the codebook/centroid count"
+        )
+    dsub = d // m_subspaces
+    nrm = np.linalg.norm(sample, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    unit = sample / nrm
+
+    # coarse centroids: cosine k-means, lowest-id seeds (ivf recipe)
+    seeds = sample[:n_centroids].copy()
+    for _ in range(max(1, lloyd_iters)):
+        cn = np.linalg.norm(seeds, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        assign = np.argmax(unit @ (seeds / cn).T, axis=1)
+        for ci in range(n_centroids):
+            members = sample[assign == ci]
+            if len(members):
+                seeds[ci] = members.mean(axis=0)
+    cn = np.linalg.norm(seeds, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    cent_unit = seeds / cn
+
+    # per-subspace codebooks on unit vectors (pq recipe)
+    cb = np.empty((m_subspaces, n_codes, dsub))
+    for s in range(m_subspaces):
+        sub = unit[:, s * dsub : (s + 1) * dsub]
+        cseeds = sub[:n_codes].copy()
+        for _ in range(max(1, lloyd_iters)):
+            d2 = ((sub[:, None, :] - cseeds[None, :, :]) ** 2).sum(axis=2)
+            a2 = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = sub[a2 == c]
+                if len(members):
+                    cseeds[c] = members.mean(axis=0)
+        cb[s] = cseeds
+
+    cb_list = [[[float(x) for x in code] for code in sub] for sub in cb]
+    cent_list = [[float(x) for x in v] for v in cent_unit]
+    m_, dsub_ = int(m_subspaces), int(dsub)
+    id_type = dict(corpus.dtypes)[id_col]
+    vec_name = vec_col
+
+    def encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        cbs = _np.array(cb_list)
+        cents = _np.array(cent_list)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np.array(
+                [_np.asarray(v, dtype=float) for v in pdf[vec_name]]
+            )
+            n_ = _np.linalg.norm(V, axis=1, keepdims=True)
+            n_[n_ == 0] = 1.0
+            U = V / n_
+            bucket = _np.argmax(U @ cents.T, axis=1).astype(_np.int32)
+            out = _np.empty((len(U), m_), dtype=_np.int32)
+            for s in range(m_):
+                sub = U[:, s * dsub_ : (s + 1) * dsub_]
+                d2 = ((sub[:, None, :] - cbs[s][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                out[:, s] = _np.argmin(d2, axis=1)
+            yield _pd.DataFrame(
+                {
+                    "__id": pdf[id_col].values,
+                    "__bucket": bucket,
+                    "__codes": out.tolist(),
+                }
+            )
+
+    encoded = corpus.select(id_col, vec_col).mapInPandas(
+        encode, f"__id {id_type}, __bucket int, __codes array<int>"
+    ).withColumnRenamed("__id", id_col)
+
+    probe_rows = probes.select(probe_id_col, vec_col).orderBy(
+        probe_id_col
+    ).collect()
+    if not probe_rows:
+        raise ValueError("ivfpq_topk: probe set is empty")
+    rows = []
+    for r in probe_rows:
+        p = np.array([float(x) for x in r[1]])
+        n_ = np.linalg.norm(p)
+        p = p / (n_ if n_ > 0 else 1.0)
+        lut = [
+            float(p[s * dsub : (s + 1) * dsub] @ cb[s][c])
+            for s in range(m_subspaces)
+            for c in range(n_codes)
+        ]
+        order = np.argsort(-(cent_unit @ p))
+        for b in order[:nprobe]:
+            rows.append((r[0], int(b), lut))
+    lut_df = probes.sparkSession.createDataFrame(
+        rows, f"{probe_id_col} long, __bucket int, __lut array<double>"
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("__lut"),
+            s * n_codes + F.element_at(F.col("__codes"), s + 1) + 1,
+        ),
+    )
+    scored = encoded.join(F.broadcast(lut_df), "__bucket").select(
+        probe_id_col, id_col, pround(score, 4).alias("score")
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

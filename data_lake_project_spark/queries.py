@@ -533,6 +533,22 @@ def q129_pq_topk(spark, sf):
     )
 
 
+def q133_ivfpq_topk(spark, sf):
+    """IVF+PQ composed ANN — the production FAISS shape: coarse
+    buckets prune the scan to nprobe/n_centroids of the corpus, PQ
+    codes make the surviving candidates m-lookups cheap, and the
+    probe LUTs meet the corpus in a broadcast EQUI-join on the bucket
+    key (vs q129's full ADC cross). Rows-only like q33/q37/q129;
+    recall floor CI-pinned. See ``operators.similarity.ivfpq_topk``."""
+    e = load_table(spark, sf, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return SIM.ivfpq_topk(e, probes, k=10, dim=64).orderBy(
+        "probe_id", "vec_id"
+    )
+
+
 def q37_ivf_topk(spark, sf):
     """Approximate ANN via IVF coarse quantizer — rows-only check
     (recall depends on nprobe; exact baseline is q22, LSH variant q33).
@@ -3145,6 +3161,7 @@ QUERIES: dict[str, QueryFn] = {
     "q36_keyword_scan": q36_keyword_scan,
     "q37_ivf_topk": q37_ivf_topk,
     "q129_pq_topk": q129_pq_topk,
+    "q133_ivfpq_topk": q133_ivfpq_topk,
     "q38_language_id_ngram": q38_language_id_ngram,
     "q39_sentence_facts": q39_sentence_facts,
     "q40_term_frequency": q40_term_frequency,

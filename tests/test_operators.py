@@ -2167,3 +2167,34 @@ def test_expectations_validate_all_rule_kinds(spark):
 
     with _pytest.raises(ValueError, match="unknown rule kind"):
         validate(df, [("no_such", "id")])
+
+
+def test_ivfpq_topk_recall_and_determinism(spark):
+    """q133's quality contract: the composed IVF+PQ index at nprobe=4
+    of 16 buckets must recover >= 0.4 of the exact top-10 at sf0.001
+    (measured ~0.60); fully deterministic."""
+    from data_lake_project_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+    from data_lake_project_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = e.filter("vec_id < 5").selectExpr(
+        "vec_id as probe_id", "embedding"
+    )
+    exact_pairs = {
+        (r.probe_id, r.vec_id)
+        for r in brute_force_topk(e, probes, k=10).collect()
+    }
+    approx = {
+        (r.probe_id, r.vec_id)
+        for r in ivfpq_topk(e, probes, k=10, dim=64).collect()
+    }
+    recall = len(exact_pairs & approx) / len(exact_pairs)
+    assert recall >= 0.4, f"IVFPQ recall too low: {recall}"
+    again = {
+        (r.probe_id, r.vec_id)
+        for r in ivfpq_topk(e, probes, k=10, dim=64).collect()
+    }
+    assert again == approx
