@@ -377,3 +377,32 @@ def test_audio_features_embedding_shaped(spark):
     probes = corpus.limit(1).selectExpr("vec_id AS probe_id", "embedding")
     top = brute_force_topk(corpus, probes, k=3)
     assert top.count() == 3
+
+
+def test_audio_features_compose_with_pq_index(spark):
+    """The multimodal feature column feeds the PQ/IVFPQ ANN family
+    unchanged: 16-dim audio features (m=4 subspaces x 8 codes) index
+    and search end-to-end — the plumbing contract that makes the
+    dedup/similarity ladder multimodal-agnostic."""
+    from data_lake_project_spark.multimodal.av import audio_features
+    from data_lake_project_spark.operators.similarity import pq_topk
+
+    auds = spark.createDataFrame(
+        [(str(i), f"clip-{i}".encode()) for i in range(40)],
+        "path string, content binary",
+    )
+    corpus = audio_features(auds).selectExpr(
+        "CAST(path AS LONG) AS vec_id", "features AS embedding"
+    )
+    probes = corpus.filter("vec_id < 2").selectExpr(
+        "vec_id AS probe_id", "embedding"
+    )
+    out = pq_topk(
+        corpus, probes, k=5, m_subspaces=4, n_codes=8, dim=16
+    ).collect()
+    assert len(out) == 10  # 2 probes x k
+    # every probe's own vector (score ~1) is its top hit
+    best = {}
+    for r in sorted(out, key=lambda r: (r.probe_id, -r.score, r.vec_id)):
+        best.setdefault(r.probe_id, r.vec_id)
+    assert best == {0: 0, 1: 1}
