@@ -2929,6 +2929,63 @@ def q132_expectations(spark, sf):
     return validate(o, rules).orderBy("rule", "column")
 
 
+def q134_new_vs_returning(spark, sf):
+    """Daily growth split: per observed day, how many active users
+    were first-ever-seen that day vs returning — the activation
+    readout. One per-user min-day agg joined back to the distinct
+    (user, day) facts; both shuffles keyed on user_id (exchange
+    reuse), then a vocabulary-sized day agg."""
+    e = load_table(spark, sf, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ud.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("day") == F.col("first_day"), 1))
+            .cast("long")
+            .alias("new_users"),
+            F.count(F.when(F.col("day") != F.col("first_day"), 1))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "new_users",
+            "returning_users",
+        )
+        .orderBy("day")
+    )
+
+
+def q135_dup_source_mix(spark, sf):
+    """Near-dup provenance: verified Jaccard pairs (the q26 pipeline)
+    classified intra-source vs cross-source — whether duplication is
+    a within-crawl artifact or cross-source contamination (drives
+    which dedup key the curation ladder needs). Two broadcast-sized
+    joins of the pair list against the doc->source map."""
+    d = load_table(spark, sf, "documents")
+    sets = D.shingle_sets(d, k=3)
+    sig = D.minhash_sets(sets, num_hashes=8)
+    cand = D.minhash_candidates_sets(sig, band_size=2)
+    pairs = D.jaccard_verify_sets(cand, sets, threshold=0.5)
+    src = d.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+    )
+    tagged = pairs.join(sa, "id_a").join(sb, "id_b")
+    return (
+        tagged.groupBy(
+            (F.col("src_a") == F.col("src_b")).alias("intra_source")
+        )
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("intra_source")
+    )
+
+
 def q107_max_concurrency(spark, sf):
     """Peak concurrent activity per hour: sweep-line max-overlap over
     per-(user, day) activity spans [first event, last event] — the
@@ -3252,6 +3309,8 @@ QUERIES: dict[str, QueryFn] = {
     "q128_equidepth_hist": q128_equidepth_hist,
     "q130_source_overlap": q130_source_overlap,
     "q132_expectations": q132_expectations,
+    "q134_new_vs_returning": q134_new_vs_returning,
+    "q135_dup_source_mix": q135_dup_source_mix,
     "q131_cluster_safe_split": q131_cluster_safe_split,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
@@ -6238,4 +6297,44 @@ ORACLE["q132_expectations"] = """
            n_violations = 0 AS passed
     FROM r
     ORDER BY rule, "column"
+"""
+
+
+ORACLE["q134_new_vs_returning"] = '''
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    first AS (
+        SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id
+    )
+    SELECT strftime(ud.day, '%Y-%m-%d') AS day,
+           count(CASE WHEN ud.day = f.first_day THEN 1 END)::BIGINT
+               AS new_users,
+           count(CASE WHEN ud.day <> f.first_day THEN 1 END)::BIGINT
+               AS returning_users
+    FROM ud JOIN first f ON f.user_id = ud.user_id
+    GROUP BY ud.day ORDER BY day
+'''
+
+ORACLE["q135_dup_source_mix"] = f"""
+    WITH {_SHINGLE_CTE},
+    sets AS (
+        SELECT doc_id, list_sort(list(DISTINCT shingle)) AS shs
+        FROM sh GROUP BY doc_id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sets a ON a.doc_id = c.id_a
+        JOIN sets b ON b.doc_id = c.id_b
+        WHERE len(list_intersect(a.shs, b.shs))::DOUBLE
+              / (len(a.shs) + len(b.shs)
+                 - len(list_intersect(a.shs, b.shs)))::DOUBLE >= 0.5
+    )
+    SELECT (da.source = db.source) AS intra_source,
+           count(*)::BIGINT AS n_pairs
+    FROM verified v
+    JOIN documents da ON da.doc_id = v.id_a
+    JOIN documents db ON db.doc_id = v.id_b
+    GROUP BY 1 ORDER BY intra_source
 """
