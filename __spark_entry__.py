@@ -37,9 +37,10 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for each oracle-checkable query.
 
     Keys absent here (q32_approx_distinct, q33_lsh_topk, q37_ivf_topk,
-    q88_kmeans_clusters, q129_pq_topk, q133_ivfpq_topk) are approximate/iterative operators — the
+    q88_kmeans_clusters, q129_pq_topk, q133_ivfpq_topk,
+    q137_ann_index_search) are approximate/iterative operators — the
     driver records a rows-only check; their quality contracts are
     CI-pinned instead (recall floors, inertia monotonicity,
-    determinism).
+    determinism, persisted-index ≡ inline equality).
     """
     return dict(ORACLE)

@@ -41,9 +41,23 @@ def main() -> None:
         sf_val = sf
 
     spark = get_spark("bench")
-    # Warm the JVM + parquet footers once so per-query numbers measure
-    # the plan, not session startup.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM + EVERY fixture table's parquet footer once so
+    # per-query numbers measure the plan, not session startup or
+    # first-touch footer loads (round-4 driver sweeps read 3-6x on the
+    # suite head q01-q13 purely from this cold tax).
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            spark.read.parquet(p).count()
+    # Warm the window-exchange + codegen path (q11-q13 class) with a
+    # throwaway ranked scan.
+    spark.sql(
+        "SELECT max(rn) FROM (SELECT row_number() OVER "
+        "(PARTITION BY id % 4 ORDER BY id) AS rn FROM range(1000))"
+    ).collect()
     # Warm the Python worker pool too: the first pandas-UDF query in a
     # session otherwise eats ~1.5s of daemon/worker spinup that isn't
     # its plan's cost (measured on q28b: 2.2s cold vs 0.7s warm).

@@ -1,0 +1,264 @@
+"""Persisted ANN indexes: train once, encode once, search many times.
+
+The one-shot operators (``similarity.ivf_topk`` / ``pq_topk`` /
+``ivfpq_topk``) compose training + corpus encode + search inline, which
+re-derives the codebooks and re-encodes the corpus on every call — fine
+for an exploratory query, wasteful as a serving path: at 100 TB the
+encode pass IS the dominant cost, and the production FAISS shape trains
+once, persists the index, and amortizes it across every subsequent
+query batch.
+
+This module is that shape, Spark-first:
+
+- the **model** (coarse centroids and/or PQ codebooks — kilobytes) is a
+  JSON document written through the URI-agnostic ``fs`` helpers, so it
+  lands on HDFS/S3/local alike;
+- the **codes** (one row per corpus vector: bucket and/or PQ codes, and
+  for IVF the double vector + its norm) are a parquet table partitioned
+  like any other corpus-keyed table — the 100 TB object. Encoding runs
+  once per corpus version, searches never touch the raw embedding
+  column again (PQ kinds) or re-derive assignments (IVF).
+
+``build → save → load → search`` produces IDENTICAL top-k to the
+corresponding inline operator because both compose the same stage
+functions (``similarity._train_* / _pq_encode / _adc_search /
+_ivf_assign / _ivf_search``) — the round-trip equivalence is CI-pinned
+in ``tests/test_operators.py``.
+
+Reference parity: the reference has no ANN at all; this extends the
+LLM-pipeline surface (SURVEY.md §2.9) the same way q33/q37/q129/q133
+do, adding the index lifecycle those queries priced inline.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_lake_project_spark import fs
+from data_lake_project_spark.operators.similarity import (
+    _adc_search,
+    _ivf_assign,
+    _ivf_search,
+    _pq_encode,
+    _train_cosine_centroids,
+    _train_pq_codebooks,
+)
+
+_KINDS = ("ivf", "pq", "ivfpq")
+
+
+@dataclass
+class AnnIndex:
+    """A built ANN index: tiny driver-side model + distributed codes.
+
+    ``centroids``: raw-space for ``ivf`` (cosine ranking is
+    norm-invariant), unit-normalized for ``ivfpq`` (the ADC probe
+    resolution dots against unit centroids). ``codes`` schema by kind:
+    ``ivf`` (id, __bucket, __v, __nrm), ``pq`` (id, __codes),
+    ``ivfpq`` (id, __bucket, __codes).
+    """
+
+    kind: str
+    params: dict
+    centroids: list | None
+    codebooks: list | None
+    codes: DataFrame
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    kind: str = "ivfpq",
+    *,
+    n_centroids: int = 16,
+    m_subspaces: int = 16,
+    n_codes: int = 64,
+    dim: int | None = None,
+    lloyd_iters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> AnnIndex:
+    """Train the model on a bounded lowest-id sample (deterministic —
+    no RNG, same corpus → same index) and encode the corpus in ONE
+    pass. The returned ``codes`` DataFrame is lazy; ``save_ann_index``
+    or any action materializes the encode.
+
+    ``lloyd_iters`` defaults per kind to the one-shot operators'
+    defaults (ivf: 1, pq/ivfpq: 8) so a round-trip reproduces their
+    exact output.
+    """
+    import numpy as np
+
+    if kind not in _KINDS:
+        raise ValueError(f"build_ann_index: unknown kind {kind!r}")
+    ctx = f"build_ann_index[{kind}]"
+    if kind == "ivf":
+        iters = 1 if lloyd_iters is None else lloyd_iters
+        sample_size = max(n_centroids * 32, 256)
+    else:
+        iters = 8 if lloyd_iters is None else lloyd_iters
+        sample_size = max(n_codes * 32, n_centroids * 32, 256)
+    sample = np.array(
+        [
+            [float(x) for x in r[0]]
+            for r in corpus.select(vec_col, id_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        ]
+    )
+    if sample.size == 0:
+        raise ValueError(f"{ctx}: corpus is empty — cannot train")
+    d = sample.shape[1]
+    if dim is not None and d != dim:
+        raise ValueError(f"{ctx}: embedding width {d} != dim={dim}")
+
+    params = {
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "dim": d,
+        "n_centroids": n_centroids,
+        "m_subspaces": m_subspaces,
+        "n_codes": n_codes,
+        "lloyd_iters": iters,
+    }
+
+    if kind == "ivf":
+        if sample.shape[0] < n_centroids:
+            raise ValueError(
+                f"{ctx}: corpus has {sample.shape[0]} vectors, fewer "
+                f"than n_centroids={n_centroids}"
+            )
+        seeds = _train_cosine_centroids(sample, n_centroids, max(0, iters))
+        cents_vals = [
+            [float(x) for x in seeds[i]] for i in range(n_centroids)
+        ]
+        codes = _ivf_assign(corpus, cents_vals, id_col, vec_col).select(
+            id_col, "__bucket", "__v", "__nrm"
+        )
+        return AnnIndex(kind, params, cents_vals, None, codes)
+
+    if d % m_subspaces != 0:
+        raise ValueError(
+            f"{ctx}: dim {d} not divisible by m_subspaces={m_subspaces}"
+        )
+    if sample.shape[0] < max(n_codes, n_centroids if kind == "ivfpq" else 0):
+        raise ValueError(
+            f"{ctx}: sample of {sample.shape[0]} vectors is smaller "
+            "than the codebook/centroid count"
+        )
+    dsub = d // m_subspaces
+    nrm = np.linalg.norm(sample, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    unit = sample / nrm
+    cb = _train_pq_codebooks(unit, m_subspaces, n_codes, dsub, max(1, iters))
+    cb_out = [[[float(x) for x in code] for code in sub] for sub in cb]
+
+    if kind == "pq":
+        codes = _pq_encode(corpus, cb, None, id_col, vec_col)
+        return AnnIndex(kind, params, None, cb_out, codes)
+
+    seeds = _train_cosine_centroids(sample, n_centroids, max(1, iters))
+    cn = np.linalg.norm(seeds, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    cent_unit = seeds / cn
+    cents_vals = [[float(x) for x in v] for v in cent_unit]
+    codes = _pq_encode(corpus, cb, cent_unit, id_col, vec_col)
+    return AnnIndex(kind, params, cents_vals, cb_out, codes)
+
+
+def search_ann_index(
+    index: AnnIndex,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int | None = None,
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Serve a probe batch against a built (or reloaded) index — NO
+    training, NO corpus encode: the only distributed work is the
+    bucket-pruned (or full-codes) scoring scan plus the per-probe
+    top-k. ``nprobe`` defaults match the one-shot operators (ivf: 2,
+    ivfpq: 4); plain ``pq`` scans all codes and ignores it.
+
+    Output matches the inline operators: (probe_id, id, cosine) for
+    ivf, (probe_id, id, score) for pq/ivfpq — ranked
+    (rounded metric DESC, id ASC).
+    """
+    import numpy as np
+
+    p = index.params
+    if index.kind == "ivf":
+        return _ivf_search(
+            index.codes,
+            probes,
+            index.centroids,
+            2 if nprobe is None else nprobe,
+            k,
+            p["id_col"],
+            p["vec_col"],
+            probe_id_col,
+        )
+    cb = np.asarray(index.codebooks, dtype=float)
+    dsub = cb.shape[2]
+    cent_unit = (
+        np.asarray(index.centroids, dtype=float)
+        if index.kind == "ivfpq"
+        else None
+    )
+    return _adc_search(
+        index.codes,
+        probes,
+        cb,
+        k,
+        p["m_subspaces"],
+        p["n_codes"],
+        dsub,
+        p["id_col"],
+        probe_id_col,
+        p["vec_col"],
+        ctx=f"search_ann_index[{index.kind}]",
+        cent_unit=cent_unit,
+        nprobe=(4 if nprobe is None else nprobe)
+        if index.kind == "ivfpq"
+        else None,
+    )
+
+
+def save_ann_index(index: AnnIndex, path: str) -> None:
+    """Persist the index: codes as parquet (the distributed object),
+    model as one small JSON through the URI-agnostic ``fs`` layer.
+    Overwrites an existing index at ``path`` atomically enough for a
+    single writer (codes first, model last — a reader that sees the
+    new model sees the new codes)."""
+    path = path.rstrip("/")
+    index.codes.write.mode("overwrite").parquet(f"{path}/codes")
+    spark = index.codes.sparkSession
+    model = {
+        "kind": index.kind,
+        "params": index.params,
+        "centroids": index.centroids,
+        "codebooks": index.codebooks,
+    }
+    fs.write_text(spark, f"{path}/model.json", json.dumps(model))
+
+
+def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
+    """Reload a saved index. The codes frame is a plain parquet scan —
+    partition pruning / pushdown apply as with any table."""
+    path = path.rstrip("/")
+    model = json.loads(fs.read_text(spark, f"{path}/model.json"))
+    if model["kind"] not in _KINDS:
+        raise ValueError(
+            f"load_ann_index: unknown kind {model['kind']!r} in "
+            f"{path}/model.json"
+        )
+    codes = spark.read.parquet(f"{path}/codes")
+    return AnnIndex(
+        model["kind"],
+        model["params"],
+        model["centroids"],
+        model["codebooks"],
+        codes,
+    )

@@ -437,6 +437,7 @@ def systematic_sample(
     k: int,
     order_col: str,
     block: int = 1024,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Weight-proportional (PPS) systematic sample of ~``k`` rows:
     lay every row's integer weight end-to-end along a line in
@@ -459,6 +460,13 @@ def systematic_sample(
     sample); for corpus weights near 2^63/k, pre-scale the weight
     column down — selection only depends on weight RATIOS.
 
+    Determinism contract: the running prefix is ordered by
+    ``order_col`` alone, so ``order_col`` values must be UNIQUE for
+    the sample to be exactly reproducible; with duplicate keys pass
+    ``tiebreak_col`` (a unique column appended to the window
+    ordering) to make the order total — otherwise which duplicate
+    crosses a stride boundary is engine/run-dependent.
+
     Scale: cumulative weights use the two-phase distributed prefix
     (per-``block``-of-``order_col`` running windows + a carry-in
     offset table over block aggregates — the ``ks_drift`` /
@@ -477,9 +485,12 @@ def systematic_sample(
     staged = df.withColumn("__w", w_int).withColumn(
         "__blk", F.floor(F.col(order_col).cast("long") / block)
     )
+    order_keys = (
+        [order_col, tiebreak_col] if tiebreak_col else [order_col]
+    )
     run_w = (
         Window.partitionBy("__blk")
-        .orderBy(order_col)
+        .orderBy(*order_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     runs = staged.withColumn("__run", F.sum("__w").over(run_w))

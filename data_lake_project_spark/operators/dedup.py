@@ -956,6 +956,7 @@ def prefix_filter_join(
     threshold: tuple[int, int] = (3, 5),
     id_col: str = "doc_id",
     set_col: str = "sh",
+    positional: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering (the
     PPJoin family) — the deterministic complement to the MinHash/LSH
@@ -981,51 +982,22 @@ def prefix_filter_join(
     the anti-skew property the whole algorithm exists for (a join on
     arbitrary elements would hot-spot on stopword shingles). Verify
     touches candidates only, joining the set arrays back by id.
+
+    ``positional`` adds PPJoin's positional filter (on by default;
+    the flag exists so CI can measure the pruning): a pair's FIRST
+    common element in the canonical (df, element) order — provably
+    the minimal matched prefix element, since any smaller common
+    element would sit earlier in both sorted sets and hence inside
+    both prefixes — bounds the overlap at ``1 + min(|x|-i, |y|-j)``
+    (every other common element lies strictly after position i in x
+    AND after j in y). Pairs whose bound cannot reach the required
+    overlap ``alpha = ceil(num*(|x|+|y|)/(num+den))`` are pruned
+    BEFORE the verify join ever fetches their set arrays — zero
+    semantic change (CI pins positional ≡ non-positional ≡ brute
+    force), strictly fewer verify rows.
     """
     num, den = threshold
-    if not (0 < num <= den):
-        raise ValueError(f"prefix_filter_join: need 0 < num <= den, got {threshold}")
-    ex = sets.select(F.col(id_col), F.explode(set_col).alias("__el"))
-    freq = ex.groupBy("__el").agg(F.count("*").alias("__df"))
-    # canonical global rarity order: (df, element) — total, engine-free
-    ordered = (
-        ex.join(freq, "__el")
-        .groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("__df"), F.col("__el")))
-            ).alias("__ord"),
-            F.count("*").cast("long").alias("__n"),
-        )
-    )
-    # p = n - ceil(num*n/den) + 1, all-integer: ceil(a/b) = (a+b-1) div b
-    plen = (
-        F.col("__n")
-        - F.floor((F.lit(num) * F.col("__n") + F.lit(den - 1)) / F.lit(den))
-        + 1
-    ).cast("int")
-    pref = ordered.select(
-        F.col(id_col),
-        F.col("__n"),
-        F.explode(F.slice("__ord", 1, plen)).alias("__p"),
-    ).select(id_col, "__n", F.col("__p.__el").alias("__el"))
-    a = pref.select(
-        F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__el"
-    )
-    b = pref.select(
-        F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__el"
-    )
-    cand = (
-        a.join(b, "__el")
-        .filter(F.col("id_a") < F.col("id_b"))
-        # length filter: J >= t implies min(|x|,|y|)/max(|x|,|y|) >= t
-        .filter(
-            F.lit(den) * F.least("__na", "__nb")
-            >= F.lit(num) * F.greatest("__na", "__nb")
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = _prefix_candidates(sets, threshold, id_col, set_col, positional)
     inter = F.size(F.array_intersect("__sa", "__sb"))
     union = F.size("__sa") + F.size("__sb") - inter
     return (
@@ -1053,6 +1025,98 @@ def prefix_filter_join(
             ),
         )
     )
+
+
+def _prefix_candidates(
+    sets: DataFrame,
+    threshold: tuple[int, int],
+    id_col: str,
+    set_col: str,
+    positional: bool,
+) -> DataFrame:
+    """Candidate stage of :func:`prefix_filter_join` — (id_a, id_b)
+    pairs sharing a prefix element and surviving the length and
+    (optionally) positional filters. Split out so CI can measure the
+    positional filter's pruning directly."""
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError(f"prefix_filter_join: need 0 < num <= den, got {threshold}")
+    ex = sets.select(F.col(id_col), F.explode(set_col).alias("__el"))
+    freq = ex.groupBy("__el").agg(F.count("*").alias("__df"))
+    # canonical global rarity order: (df, element) — total, engine-free
+    ordered = (
+        ex.join(freq, "__el")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("__el")))
+            ).alias("__ord"),
+            F.count("*").cast("long").alias("__n"),
+        )
+    )
+    # p = n - ceil(num*n/den) + 1, all-integer: ceil(a/b) = (a+b-1) div b
+    plen = (
+        F.col("__n")
+        - F.floor((F.lit(num) * F.col("__n") + F.lit(den - 1)) / F.lit(den))
+        + 1
+    ).cast("int")
+    pref = ordered.select(
+        F.col(id_col),
+        F.col("__n"),
+        F.posexplode(F.slice("__ord", 1, plen)).alias("__i", "__p"),
+    ).select(
+        id_col,
+        "__n",
+        (F.col("__i") + 1).alias("__pos"),  # 1-based canonical position
+        F.col("__p.__df").alias("__df"),
+        F.col("__p.__el").alias("__el"),
+    )
+    a = pref.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__n").alias("__na"),
+        F.col("__pos").alias("__pa"),
+        "__df",
+        "__el",
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__pos").alias("__pb"),
+        "__el",
+    )
+    matched = (
+        a.join(b, "__el")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: J >= t implies min(|x|,|y|)/max(|x|,|y|) >= t
+        .filter(
+            F.lit(den) * F.least("__na", "__nb")
+            >= F.lit(num) * F.greatest("__na", "__nb")
+        )
+    )
+    # One groupBy both dedupes pairs (was .distinct()) and finds each
+    # pair's minimal matched prefix element in the canonical (df, el)
+    # order — the occurrence the positional bound is valid at.
+    cand = matched.groupBy("id_a", "id_b", "__na", "__nb").agg(
+        F.min(F.struct("__df", "__el", "__pa", "__pb")).alias("__m")
+    )
+    if positional:
+        # required overlap, all-integer: alpha = ceil(num*(na+nb)/(num+den))
+        alpha = F.floor(
+            (
+                F.lit(num) * (F.col("__na") + F.col("__nb"))
+                + F.lit(num + den - 1)
+            )
+            / F.lit(num + den)
+        )
+        cand = cand.filter(
+            F.lit(1)
+            + F.least(
+                F.col("__na") - F.col("__m.__pa"),
+                F.col("__nb") - F.col("__m.__pb"),
+            )
+            >= alpha
+        )
+    return cand.select("id_a", "id_b")
 
 
 def sorted_neighborhood_pairs(
@@ -1244,36 +1308,28 @@ def dedup_against(
 
     The asymmetric version of the q25/q26 pipeline: both sides build
     minhash band keys, but the candidate join is batch×corpus only —
-    at 100 TB the corpus side's band table is computed once (or, in a
-    real deployment, kept as a persisted index updated per ingest) and
-    the join cost scales with the BATCH band count, not corpus².
+    at 100 TB the corpus side's band table is computed once and the
+    join cost scales with the BATCH band count, not corpus².
     Verification joins shingle sets for candidates only. Empty batch
     docs carry no bands and survive by construction.
+
+    This one-shot is literally build + search over
+    ``operators.dedup_index`` (``build_dedup_index`` →
+    ``dedup_against_index``); a standing corpus should persist the
+    index once (``save_dedup_index``) and fold ingests in with the
+    O(delta) ``dedup_index_apply`` instead of re-indexing here.
     """
-    c_sets = shingle_sets(corpus, text_col, id_col, k)
-    b_sets = shingle_sets(batch, text_col, id_col, k)
-    cb = band_keys(
-        minhash_sets(c_sets, id_col, num_hashes), id_col, band_size
-    ).select(F.col(id_col).alias("__cid"), "band", "bandsig")
-    bb = band_keys(
-        minhash_sets(b_sets, id_col, num_hashes), id_col, band_size
-    ).select(F.col(id_col).alias("__bid"), "band", "bandsig")
-    cand = (
-        bb.join(cb, ["band", "bandsig"]).select("__bid", "__cid").distinct()
+    from data_lake_project_spark.operators.dedup_index import (
+        build_dedup_index,
+        dedup_against_index,
     )
-    x = b_sets.select(F.col(id_col).alias("__bid"), F.col("sh").alias("__bsh"))
-    y = c_sets.select(F.col(id_col).alias("__cid"), F.col("sh").alias("__csh"))
-    inter = F.size(F.array_intersect("__bsh", "__csh"))
-    dup = (
-        cand.join(x, "__bid")
-        .join(y, "__cid")
-        .withColumn(
-            "__j",
-            inter
-            / (F.size("__bsh") + F.size("__csh") - inter).cast("double"),
-        )
-        .filter(F.col("__j") >= threshold)
-        .select(F.col("__bid").alias(id_col))
-        .distinct()
+
+    idx = build_dedup_index(
+        corpus,
+        k=k,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        text_col=text_col,
+        id_col=id_col,
     )
-    return batch.join(dup, id_col, "left_anti")
+    return dedup_against_index(idx, batch, threshold=threshold)

@@ -1,0 +1,200 @@
+"""Materialized, incrementally-maintained dedup index for a standing
+corpus.
+
+``dedup.dedup_against`` recomputes the corpus's minhash band keys and
+shingle sets on every batch — correct, but at 100 TB the corpus-side
+index pass IS the dominant cost, and a real incremental pipeline
+computes it once, persists it, and folds each ingested batch in as an
+O(delta) append (the same argument as ``operators.ann_index``: train/
+index once, serve many).
+
+The index is two corpus-keyed parquet tables plus a tiny JSON params
+document:
+
+- ``bands``  (id, band, bandsig) — the LSH candidate-join side;
+- ``sets``   (id, sh)            — the shingle sets the verify stage
+  joins back by id (candidates only, never the whole corpus).
+
+Lifecycle:
+
+- :func:`build_dedup_index`   — one corpus pass (lazy frames);
+- :func:`save_dedup_index` / :func:`load_dedup_index` — persistence
+  through the URI-agnostic ``fs`` layer (HDFS/S3/local);
+- :func:`dedup_index_apply`   — the O(delta) maintenance fold: index
+  ONLY the new docs and append — the corpus is never rescanned or
+  reshuffled (incremental ≡ recompute is CI-pinned);
+- :func:`dedup_against_index` — the serving path: gate a batch against
+  the standing index; composition-equal to ``dedup_against`` (which is
+  now literally build + search).
+
+Reference parity: extends the reference's ingest gate
+(``spark_stream.py`` upsert-on-key) to content-level near-dup
+gating; part of the LLM-pipeline surface (SURVEY.md §2.9, q102).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_project_spark import fs
+from data_lake_project_spark.operators.dedup import (
+    band_keys,
+    minhash_sets,
+    shingle_sets,
+)
+
+
+@dataclass
+class DedupIndex:
+    """A built dedup index: params + the two corpus-keyed frames."""
+
+    params: dict
+    bands: DataFrame
+    sets: DataFrame
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DedupIndex:
+    """Index a corpus in ONE pass: shingle sets → minhash signatures →
+    band keys. Deterministic (md5-seeded minhash, no RNG): the same
+    corpus always produces the same index, which is what makes the
+    incremental fold ≡ full recompute."""
+    sets = shingle_sets(corpus, text_col, id_col, k)
+    bands = band_keys(
+        minhash_sets(sets, id_col, num_hashes), id_col, band_size
+    )
+    return DedupIndex(
+        {
+            "k": k,
+            "num_hashes": num_hashes,
+            "band_size": band_size,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+        bands.select(id_col, "band", "bandsig"),
+        sets.select(id_col, "sh"),
+    )
+
+
+def extend_dedup_index(index: DedupIndex, new_docs: DataFrame) -> DedupIndex:
+    """In-memory O(delta) fold: index ONLY ``new_docs`` (with the
+    stored params) and union — the standing frames are reused as-is,
+    never recomputed. For the persisted twin see
+    :func:`dedup_index_apply`."""
+    p = index.params
+    delta = build_dedup_index(
+        new_docs,
+        k=p["k"],
+        num_hashes=p["num_hashes"],
+        band_size=p["band_size"],
+        text_col=p["text_col"],
+        id_col=p["id_col"],
+    )
+    return DedupIndex(
+        dict(p),
+        index.bands.unionByName(delta.bands),
+        index.sets.unionByName(delta.sets),
+    )
+
+
+def save_dedup_index(index: DedupIndex, path: str) -> None:
+    """Persist bands + sets as parquet and params as one small JSON
+    (written last, so a reader that sees params sees the tables)."""
+    path = path.rstrip("/")
+    index.bands.write.mode("overwrite").parquet(f"{path}/bands")
+    index.sets.write.mode("overwrite").parquet(f"{path}/sets")
+    spark = index.bands.sparkSession
+    fs.write_text(spark, f"{path}/params.json", json.dumps(index.params))
+
+
+def load_dedup_index(spark: SparkSession, path: str) -> DedupIndex:
+    path = path.rstrip("/")
+    params = json.loads(fs.read_text(spark, f"{path}/params.json"))
+    return DedupIndex(
+        params,
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/sets"),
+    )
+
+
+def dedup_index_apply(
+    spark: SparkSession, path: str, new_docs: DataFrame
+) -> DedupIndex:
+    """Persisted O(delta) maintenance fold: index ONLY ``new_docs``
+    and APPEND to the stored band/set tables — the standing corpus's
+    rows are never read, recomputed, or reshuffled (parquet append
+    writes new files next to the old ones). Returns the reloaded
+    index. Caller contract: ``new_docs`` ids are new to the index
+    (gate the batch with :func:`dedup_against_index` / an anti-join
+    first, as q102 does) — appending an existing id would double its
+    bands."""
+    path = path.rstrip("/")
+    params = json.loads(fs.read_text(spark, f"{path}/params.json"))
+    delta = build_dedup_index(
+        new_docs,
+        k=params["k"],
+        num_hashes=params["num_hashes"],
+        band_size=params["band_size"],
+        text_col=params["text_col"],
+        id_col=params["id_col"],
+    )
+    delta.bands.write.mode("append").parquet(f"{path}/bands")
+    delta.sets.write.mode("append").parquet(f"{path}/sets")
+    return load_dedup_index(spark, path)
+
+
+def dedup_against_index(
+    index: DedupIndex,
+    batch: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Serve an ingest batch against the standing index: keep only the
+    batch docs that are NOT near-duplicates (exact shingle Jaccard >=
+    ``threshold``) of any indexed doc. The batch side is indexed
+    inline (it is the delta — small by contract); the corpus side is
+    the PREBUILT band/set tables, so join cost scales with the batch
+    band count and the candidates' set fetches, exactly the
+    ``dedup_against`` plan minus the corpus re-index.
+    """
+    p = index.params
+    id_col = p["id_col"]
+    b_sets = shingle_sets(batch, p["text_col"], id_col, p["k"])
+    bb = band_keys(
+        minhash_sets(b_sets, id_col, p["num_hashes"]), id_col, p["band_size"]
+    ).select(F.col(id_col).alias("__bid"), "band", "bandsig")
+    cb = index.bands.select(
+        F.col(id_col).alias("__cid"), "band", "bandsig"
+    )
+    cand = (
+        bb.join(cb, ["band", "bandsig"]).select("__bid", "__cid").distinct()
+    )
+    x = b_sets.select(
+        F.col(id_col).alias("__bid"), F.col("sh").alias("__bsh")
+    )
+    y = index.sets.select(
+        F.col(id_col).alias("__cid"), F.col("sh").alias("__csh")
+    )
+    inter = F.size(F.array_intersect("__bsh", "__csh"))
+    dup = (
+        cand.join(x, "__bid")
+        .join(y, "__cid")
+        .withColumn(
+            "__j",
+            inter
+            / (F.size("__bsh") + F.size("__csh") - inter).cast("double"),
+        )
+        .filter(F.col("__j") >= threshold)
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dup, id_col, "left_anti")

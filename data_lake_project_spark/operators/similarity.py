@@ -110,12 +110,14 @@ def _brute_force_topk_arrow(
     import numpy as np
     import pandas as pd
 
+    # id types follow the inputs (string/int probe ids both work)
+    pid_t = dict(probes.dtypes)[probe_id_col]
+    cid_t = dict(corpus.dtypes)[id_col]
+    out_schema = f"{probe_id_col} {pid_t}, {id_col} {cid_t}, cosine double"
     prows = probes.select(probe_id_col, vec_col).collect()
     if not prows:  # expr path returns empty here; match it
-        return corpus.sparkSession.createDataFrame(
-            [], f"{probe_id_col} long, {id_col} long, cosine double"
-        )
-    pids = np.array([r[0] for r in prows], dtype="int64")
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    pids = np.array([r[0] for r in prows])
     P = np.array([[float(x) for x in r[1]] for r in prows], dtype="float64")
     pn = np.linalg.norm(P, axis=1)
     pn[pn == 0] = 1.0
@@ -127,7 +129,7 @@ def _brute_force_topk_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf[id_col].to_numpy().astype("int64")
+            ids = pdf[id_col].to_numpy()
             x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             xn = np.linalg.norm(x, axis=1)
             xn[xn == 0] = 1.0
@@ -150,7 +152,7 @@ def _brute_force_topk_arrow(
             )
 
     cand = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        score, schema=f"{probe_id_col} long, {id_col} long, cosine double"
+        score, schema=out_schema
     )
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)
@@ -405,132 +407,22 @@ def ivf_topk(
     # Empty clusters keep their previous centroid. Deterministic ties:
     # argmax takes the lowest centroid index.
     if centroids is None:
-        snorm = np.linalg.norm(sample, axis=1, keepdims=True)
-        snorm[snorm == 0] = 1.0
-        sunit = sample / snorm
-        for _ in range(max(0, lloyd_iters)):
-            cn = np.linalg.norm(seeds, axis=1, keepdims=True)
-            cn[cn == 0] = 1.0
-            assign = np.argmax(sunit @ (seeds / cn).T, axis=1)
-            for ci in range(n_centroids):
-                members = sample[assign == ci]
-                if len(members):
-                    seeds[ci] = members.mean(axis=0)
-    cents = [(i, [float(x) for x in seeds[i]]) for i in range(n_centroids)]
-    cnorms = [sum(x * x for x in v) ** 0.5 for _, v in cents]
-    dim = len(cents[0][1])
-    # ONE flat literal array of all centroid components (+ a norms
-    # array) sliced per centroid inside transform() — a per-centroid
-    # literal-array tree was ~n_centroids x bigger and dominated plan
-    # compile time. F.lit(list) keeps it a single ArrayType literal
-    # node rather than a CreateArray with n_centroids*dim children.
-    flat = F.lit([x for _, v in cents for x in v])
-    norms = F.lit(list(cnorms))
-
-    def sims_array(vcol, vnorm):
-        """Array of (cosine-to-centroid, centroid_idx) structs.
-
-        ``vnorm`` must be a materialized column, not an inline
-        ``_norm(vcol)`` expression — the lambda body is re-evaluated
-        per centroid, which would recompute the self-dot-product
-        ``n_centroids`` times per row.
-        """
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-            lambda i: F.struct(
-                (
-                    F.aggregate(
-                        F.zip_with(
-                            vcol,
-                            F.slice(flat, i * dim + 1, dim),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    / (vnorm * F.element_at(norms, i + 1))
-                ).alias("s"),
-                i.cast("int").alias("i"),
-            ),
+        seeds = _train_cosine_centroids(
+            sample, n_centroids, max(0, lloyd_iters)
         )
-
-    c = (
-        corpus.withColumn("__v", _as_double(vec_col))
-        .withColumn("__nrm", _norm(F.col("__v")))
-        .withColumn(
-            # coalesce with a non-null literal makes the column
-            # NON-NULLABLE (element_at alone is nullable), so the
-            # bucket equi-join does NOT infer an isnotnull(__bucket)
-            # filter — which would clone this whole centroid-scoring
-            # tree into a scan-side Filter and evaluate it twice per
-            # row (audit_plans.py caught a 23k-char Condition).
-            # Semantically a no-op: the centroid array is a constant,
-            # element_at(.., 1) on it never returns NULL.
-            "__bucket",
-            F.coalesce(
-                F.element_at(
-                    F.reverse(
-                        F.array_sort(sims_array(F.col("__v"), F.col("__nrm")))
-                    ),
-                    1,
-                )["i"],
-                F.lit(0),
-            ),
-        )
-    )
-    p = (
-        probes.withColumn("__v", _as_double(vec_col))
-        .withColumn("__nrm", _norm(F.col("__v")))
-        .withColumn(
-            "__bucket",
-            F.explode(
-                F.transform(
-                    F.slice(
-                        F.reverse(
-                            F.array_sort(sims_array(F.col("__v"), F.col("__nrm")))
-                        ),
-                        1,
-                        nprobe,
-                    ),
-                    lambda s: s["i"],
-                )
-            ),
-        )
-    )
-
-    # Reuse the __nrm columns both sides already computed for the
-    # assignment pass — recomputing _norm() here would redo the
-    # self-dot-product once per joined (probe, candidate) pair.
-    joined = c.select(
-        id_col, "__bucket", F.col("__v").alias("__cv"), F.col("__nrm").alias("__cn")
-    ).join(
-        F.broadcast(
-            p.select(
-                probe_id_col,
-                "__bucket",
-                F.col("__v").alias("__pv"),
-                F.col("__nrm").alias("__pn"),
-            )
-        ),
-        "__bucket",
-    )
-    sim = pround(
-        F.aggregate(
-            F.zip_with("__pv", "__cv", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / (F.col("__pn") * F.col("__cn")),
-        4,
-    )
-    joined = joined.filter(F.col(probe_id_col) != F.col(id_col)).withColumn(
-        "cosine", sim
-    )
-    w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        joined.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select(probe_id_col, id_col, "cosine")
+    cents_vals = [
+        [float(x) for x in seeds[i]] for i in range(n_centroids)
+    ]
+    c = _ivf_assign(corpus, cents_vals, id_col, vec_col)
+    return _ivf_search(
+        c.select(id_col, "__bucket", "__v", "__nrm"),
+        probes,
+        cents_vals,
+        nprobe,
+        k,
+        id_col,
+        vec_col,
+        probe_id_col,
     )
 
 
@@ -620,110 +512,23 @@ def pq_topk(
         nrm = np.linalg.norm(sample, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         unit = sample / nrm
-        cb = np.empty((m_subspaces, n_codes, dsub))
-        for s in range(m_subspaces):
-            sub = unit[:, s * dsub : (s + 1) * dsub]
-            seeds = sub[:n_codes].copy()
-            # deterministic Lloyd steps; empty clusters keep seeds
-            for _ in range(max(1, lloyd_iters)):
-                d2 = ((sub[:, None, :] - seeds[None, :, :]) ** 2).sum(
-                    axis=2
-                )
-                assign = np.argmin(d2, axis=1)  # lowest index on ties
-                for c in range(n_codes):
-                    members = sub[assign == c]
-                    if len(members):
-                        seeds[c] = members.mean(axis=0)
-            cb[s] = seeds
-
-    # ---- encode: Arrow-batched numpy argmin (one vectorized
-    # distance matrix per (batch, subspace)) — a JVM expression tree
-    # here would carry m*n_codes nested aggregates and its eval cost
-    # explodes with the codebook (measured minutes vs seconds at
-    # m=16). Closure captures ONLY plain lists (no module globals),
-    # so the vanilla-session seam survives executor pickling.
-    cb_list = [
-        [[float(x) for x in code] for code in sub] for sub in cb
-    ]
-    m_ = int(m_subspaces)
-    dsub_ = int(dsub)
-    id_type = dict(corpus.dtypes)[id_col]
-    vec_name = vec_col
-
-    def encode(batches):
-        import numpy as _np
-        import pandas as _pd
-
-        cbs = _np.array(cb_list)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = _np.array(
-                [_np.asarray(v, dtype=float) for v in pdf[vec_name]]
-            )
-            nrm = _np.linalg.norm(V, axis=1, keepdims=True)
-            nrm[nrm == 0] = 1.0
-            U = V / nrm
-            out = _np.empty((len(U), m_), dtype=_np.int32)
-            for s in range(m_):
-                sub = U[:, s * dsub_ : (s + 1) * dsub_]
-                d2 = ((sub[:, None, :] - cbs[s][None, :, :]) ** 2).sum(
-                    axis=2
-                )
-                out[:, s] = _np.argmin(d2, axis=1)
-            yield _pd.DataFrame(
-                {"__id": pdf[id_col].values, "__codes": out.tolist()}
-            )
-
-    encoded = corpus.select(id_col, vec_col).mapInPandas(
-        encode, f"__id {id_type}, __codes array<int>"
-    ).withColumnRenamed("__id", id_col)
-
-    # ---- ADC lookup tables per probe (driver-side, bounded probes)
-    probe_rows = probes.select(probe_id_col, vec_col).orderBy(
-        probe_id_col
-    ).collect()
-    if not probe_rows:
-        raise ValueError("pq_topk: probe set is empty")
-    luts = []
-    for r in probe_rows:
-        p = np.array([float(x) for x in r[1]])
-        n = np.linalg.norm(p)
-        p = p / (n if n > 0 else 1.0)
-        lut = np.array(
-            [
-                [float(p[s * dsub : (s + 1) * dsub] @ cb[s][c]) for c in range(n_codes)]
-                for s in range(m_subspaces)
-            ]
+        cb = _train_pq_codebooks(
+            unit, m_subspaces, n_codes, dsub, max(1, lloyd_iters)
         )
-        luts.append((r[0], [float(x) for x in lut.reshape(-1)]))
-    lut_df = probes.sparkSession.createDataFrame(
-        luts, f"{probe_id_col} long, __lut array<double>"
-    )
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.col("__lut"),
-            s * n_codes + F.element_at(F.col("__codes"), s + 1) + 1,
-        ),
-    )
-    scored = (
-        encoded.crossJoin(F.broadcast(lut_df))
-        .select(
-            probe_id_col,
-            id_col,
-            pround(score, 4).alias("score"),
-        )
-    )
-    w = Window.partitionBy(probe_id_col).orderBy(
-        F.col("score").desc(), F.col(id_col)
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+
+    encoded = _pq_encode(corpus, cb, None, id_col, vec_col)
+    return _adc_search(
+        encoded,
+        probes,
+        cb,
+        k,
+        m_subspaces,
+        n_codes,
+        dsub,
+        id_col,
+        probe_id_col,
+        vec_col,
+        ctx="pq_topk",
     )
 
 
@@ -794,55 +599,127 @@ def ivfpq_topk(
     unit = sample / nrm
 
     # coarse centroids: cosine k-means, lowest-id seeds (ivf recipe)
-    seeds = sample[:n_centroids].copy()
-    for _ in range(max(1, lloyd_iters)):
-        cn = np.linalg.norm(seeds, axis=1, keepdims=True)
-        cn[cn == 0] = 1.0
-        assign = np.argmax(unit @ (seeds / cn).T, axis=1)
-        for ci in range(n_centroids):
-            members = sample[assign == ci]
-            if len(members):
-                seeds[ci] = members.mean(axis=0)
+    seeds = _train_cosine_centroids(
+        sample, n_centroids, max(1, lloyd_iters)
+    )
     cn = np.linalg.norm(seeds, axis=1, keepdims=True)
     cn[cn == 0] = 1.0
     cent_unit = seeds / cn
 
     # per-subspace codebooks on unit vectors (pq recipe)
+    cb = _train_pq_codebooks(
+        unit, m_subspaces, n_codes, dsub, max(1, lloyd_iters)
+    )
+
+    encoded = _pq_encode(corpus, cb, cent_unit, id_col, vec_col)
+    return _adc_search(
+        encoded,
+        probes,
+        cb,
+        k,
+        m_subspaces,
+        n_codes,
+        dsub,
+        id_col,
+        probe_id_col,
+        vec_col,
+        ctx="ivfpq_topk",
+        cent_unit=cent_unit,
+        nprobe=nprobe,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared ANN internals: deterministic trainers + encode/search stages.
+#
+# The one-shot operators above (ivf_topk / pq_topk / ivfpq_topk) and the
+# persisted-index API (operators.ann_index.build_ann_index /
+# search_ann_index) compose the SAME stage functions, so a saved index
+# searches identically to the inline path — the round-trip equivalence is
+# CI-pinned, not hoped for.
+# ---------------------------------------------------------------------------
+
+
+def _train_cosine_centroids(sample, n_centroids, iters):
+    """Deterministic cosine k-means over a bounded driver-side sample:
+    lowest-id seeds, ``iters`` Lloyd steps (assign by max cosine,
+    lowest index on ties; empty clusters keep their seed). No RNG —
+    same sample → same centroids. Returns raw-space (n, dim) seeds."""
+    import numpy as np
+
+    snorm = np.linalg.norm(sample, axis=1, keepdims=True)
+    snorm[snorm == 0] = 1.0
+    sunit = sample / snorm
+    seeds = sample[:n_centroids].copy()
+    for _ in range(iters):
+        cn = np.linalg.norm(seeds, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        assign = np.argmax(sunit @ (seeds / cn).T, axis=1)
+        for ci in range(n_centroids):
+            members = sample[assign == ci]
+            if len(members):
+                seeds[ci] = members.mean(axis=0)
+    return seeds
+
+
+def _train_pq_codebooks(unit, m_subspaces, n_codes, dsub, iters):
+    """Deterministic per-subspace L2 k-means on UNIT vectors (the PQ
+    recipe): lowest-id seeds, argmin assignment (lowest index on
+    ties), empty clusters keep seeds. Returns (m, n_codes, dsub)."""
+    import numpy as np
+
     cb = np.empty((m_subspaces, n_codes, dsub))
     for s in range(m_subspaces):
         sub = unit[:, s * dsub : (s + 1) * dsub]
-        cseeds = sub[:n_codes].copy()
-        for _ in range(max(1, lloyd_iters)):
-            d2 = ((sub[:, None, :] - cseeds[None, :, :]) ** 2).sum(axis=2)
-            a2 = np.argmin(d2, axis=1)
+        seeds = sub[:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
             for c in range(n_codes):
-                members = sub[a2 == c]
+                members = sub[assign == c]
                 if len(members):
-                    cseeds[c] = members.mean(axis=0)
-        cb[s] = cseeds
+                    seeds[c] = members.mean(axis=0)
+        cb[s] = seeds
+    return cb
 
+
+def _pq_encode(corpus, cb, cent_unit, id_col, vec_col):
+    """One Arrow pass encoding each corpus vector to its PQ codes
+    (and, when ``cent_unit`` is given, its IVF coarse bucket):
+    unit-normalize, per-subspace argmin against the codebook — one
+    vectorized distance matrix per (batch, subspace); a JVM
+    expression tree here would carry m*n_codes nested aggregates and
+    its eval cost explodes with the codebook (measured minutes vs
+    seconds at m=16). Closure captures ONLY plain lists (no module
+    globals), so the vanilla-session seam survives executor
+    pickling."""
     cb_list = [[[float(x) for x in code] for code in sub] for sub in cb]
-    cent_list = [[float(x) for x in v] for v in cent_unit]
-    m_, dsub_ = int(m_subspaces), int(dsub)
+    cent_list = (
+        None
+        if cent_unit is None
+        else [[float(x) for x in v] for v in cent_unit]
+    )
+    m_ = len(cb_list)
+    dsub_ = len(cb_list[0][0])
     id_type = dict(corpus.dtypes)[id_col]
     vec_name = vec_col
+    with_bucket = cent_list is not None
 
     def encode(batches):
         import numpy as _np
         import pandas as _pd
 
         cbs = _np.array(cb_list)
-        cents = _np.array(cent_list)
+        cents = _np.array(cent_list) if with_bucket else None
         for pdf in batches:
             if not len(pdf):
                 continue
             V = _np.array(
                 [_np.asarray(v, dtype=float) for v in pdf[vec_name]]
             )
-            n_ = _np.linalg.norm(V, axis=1, keepdims=True)
-            n_[n_ == 0] = 1.0
-            U = V / n_
-            bucket = _np.argmax(U @ cents.T, axis=1).astype(_np.int32)
+            nrm = _np.linalg.norm(V, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            U = V / nrm
             out = _np.empty((len(U), m_), dtype=_np.int32)
             for s in range(m_):
                 sub = U[:, s * dsub_ : (s + 1) * dsub_]
@@ -850,23 +727,57 @@ def ivfpq_topk(
                     axis=2
                 )
                 out[:, s] = _np.argmin(d2, axis=1)
-            yield _pd.DataFrame(
-                {
-                    "__id": pdf[id_col].values,
-                    "__bucket": bucket,
-                    "__codes": out.tolist(),
-                }
-            )
+            data = {"__id": pdf[id_col].values}
+            if with_bucket:
+                data["__bucket"] = _np.argmax(
+                    U @ cents.T, axis=1
+                ).astype(_np.int32)
+            data["__codes"] = out.tolist()
+            yield _pd.DataFrame(data)
 
-    encoded = corpus.select(id_col, vec_col).mapInPandas(
-        encode, f"__id {id_type}, __bucket int, __codes array<int>"
-    ).withColumnRenamed("__id", id_col)
+    schema = (
+        f"__id {id_type}, "
+        + ("__bucket int, " if with_bucket else "")
+        + "__codes array<int>"
+    )
+    return (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(encode, schema)
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def _adc_search(
+    encoded,
+    probes,
+    cb,
+    k,
+    m_subspaces,
+    n_codes,
+    dsub,
+    id_col,
+    probe_id_col,
+    vec_col,
+    ctx,
+    cent_unit=None,
+    nprobe=None,
+):
+    """ADC scoring over an encoded corpus: per-probe lookup tables
+    LUT[s][c] = <probe_sub, codebook[s][c]> built driver-side
+    (bounded probe contract), shipped as a broadcast frame; the score
+    sum_s LUT[s][code_s] runs as a JVM ``aggregate`` over the codes
+    column. With ``cent_unit`` the probes resolve their ``nprobe``
+    coarse buckets and meet the corpus in a bucket equi-join (IVF+PQ);
+    without it every probe scans all codes via a broadcast cross
+    product (plain PQ). Ranking: (round(score, 4) DESC, id)."""
+    import numpy as np
 
     probe_rows = probes.select(probe_id_col, vec_col).orderBy(
         probe_id_col
     ).collect()
     if not probe_rows:
-        raise ValueError("ivfpq_topk: probe set is empty")
+        raise ValueError(f"{ctx}: probe set is empty")
+    bucketed = cent_unit is not None
     rows = []
     for r in probe_rows:
         p = np.array([float(x) for x in r[1]])
@@ -877,11 +788,17 @@ def ivfpq_topk(
             for s in range(m_subspaces)
             for c in range(n_codes)
         ]
-        order = np.argsort(-(cent_unit @ p))
-        for b in order[:nprobe]:
-            rows.append((r[0], int(b), lut))
+        if bucketed:
+            order = np.argsort(-(cent_unit @ p))
+            for b in order[:nprobe]:
+                rows.append((r[0], int(b), lut))
+        else:
+            rows.append((r[0], lut))
+    # probe-id type follows the input (string/int probe ids both work)
+    pid_t = dict(probes.dtypes)[probe_id_col]
+    bucket_field = "__bucket int, " if bucketed else ""
     lut_df = probes.sparkSession.createDataFrame(
-        rows, f"{probe_id_col} long, __bucket int, __lut array<double>"
+        rows, f"{probe_id_col} {pid_t}, {bucket_field}__lut array<double>"
     )
     score = F.aggregate(
         F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
@@ -892,9 +809,14 @@ def ivfpq_topk(
             s * n_codes + F.element_at(F.col("__codes"), s + 1) + 1,
         ),
     )
-    scored = encoded.join(F.broadcast(lut_df), "__bucket").select(
-        probe_id_col, id_col, pround(score, 4).alias("score")
-    )
+    if bucketed:
+        scored = encoded.join(F.broadcast(lut_df), "__bucket").select(
+            probe_id_col, id_col, pround(score, 4).alias("score")
+        )
+    else:
+        scored = encoded.crossJoin(F.broadcast(lut_df)).select(
+            probe_id_col, id_col, pround(score, 4).alias("score")
+        )
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("score").desc(), F.col(id_col)
     )
@@ -902,4 +824,150 @@ def ivfpq_topk(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def _centroid_sims_factory(cents_vals):
+    """Literal-expression factory for IVF centroid scoring: ONE flat
+    literal array of all centroid components (+ a norms array) sliced
+    per centroid inside transform() — a per-centroid literal-array
+    tree was ~n_centroids x bigger and dominated plan compile time.
+    ``F.lit(list)`` keeps it a single ArrayType literal node rather
+    than a CreateArray with n_centroids*dim children."""
+    cnorms = [sum(x * x for x in v) ** 0.5 for v in cents_vals]
+    dim = len(cents_vals[0])
+    n_cents = len(cents_vals)
+    flat = F.lit([x for v in cents_vals for x in v])
+    norms = F.lit(list(cnorms))
+
+    def sims_array(vcol, vnorm):
+        """Array of (cosine-to-centroid, centroid_idx) structs.
+
+        ``vnorm`` must be a materialized column, not an inline
+        ``_norm(vcol)`` expression — the lambda body is re-evaluated
+        per centroid, which would recompute the self-dot-product
+        ``n_centroids`` times per row.
+        """
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_cents - 1)),
+            lambda i: F.struct(
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            vcol,
+                            F.slice(flat, i * dim + 1, dim),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (vnorm * F.element_at(norms, i + 1))
+                ).alias("s"),
+                i.cast("int").alias("i"),
+            ),
+        )
+
+    return sims_array
+
+
+def _ivf_assign(corpus, cents_vals, id_col, vec_col):
+    """IVF index pass: append ``__v`` (double vector), ``__nrm`` and
+    ``__bucket`` (nearest-by-cosine centroid) to the corpus — one
+    map-only scan with the centroids embedded as literal arrays."""
+    sims_array = _centroid_sims_factory(cents_vals)
+    return (
+        corpus.withColumn("__v", _as_double(vec_col))
+        .withColumn("__nrm", _norm(F.col("__v")))
+        .withColumn(
+            # coalesce with a non-null literal makes the column
+            # NON-NULLABLE (element_at alone is nullable), so the
+            # bucket equi-join does NOT infer an isnotnull(__bucket)
+            # filter — which would clone this whole centroid-scoring
+            # tree into a scan-side Filter and evaluate it twice per
+            # row (audit_plans.py caught a 23k-char Condition).
+            # Semantically a no-op: the centroid array is a constant,
+            # element_at(.., 1) on it never returns NULL.
+            "__bucket",
+            F.coalesce(
+                F.element_at(
+                    F.reverse(
+                        F.array_sort(
+                            sims_array(F.col("__v"), F.col("__nrm"))
+                        )
+                    ),
+                    1,
+                )["i"],
+                F.lit(0),
+            ),
+        )
+    )
+
+
+def _ivf_search(
+    codes, probes, cents_vals, nprobe, k, id_col, vec_col, probe_id_col
+):
+    """Exact-cosine search over an IVF-assigned corpus: probes resolve
+    their ``nprobe`` closest centroid buckets (same literal-expression
+    scoring as the index pass, so tie behavior matches), broadcast
+    into a bucket equi-join, exact cosine over the surviving
+    candidates. ``codes`` carries (id, __bucket, __v, __nrm) — the
+    norms computed ONCE at index time ride along instead of being
+    recomputed per joined pair."""
+    sims_array = _centroid_sims_factory(cents_vals)
+    p = (
+        probes.withColumn("__v", _as_double(vec_col))
+        .withColumn("__nrm", _norm(F.col("__v")))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.reverse(
+                            F.array_sort(
+                                sims_array(F.col("__v"), F.col("__nrm"))
+                            )
+                        ),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: s["i"],
+                )
+            ),
+        )
+    )
+    joined = codes.select(
+        id_col,
+        "__bucket",
+        F.col("__v").alias("__cv"),
+        F.col("__nrm").alias("__cn"),
+    ).join(
+        F.broadcast(
+            p.select(
+                probe_id_col,
+                "__bucket",
+                F.col("__v").alias("__pv"),
+                F.col("__nrm").alias("__pn"),
+            )
+        ),
+        "__bucket",
+    )
+    sim = pround(
+        F.aggregate(
+            F.zip_with("__pv", "__cv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("__pn") * F.col("__cn")),
+        4,
+    )
+    joined = joined.filter(
+        F.col(probe_id_col) != F.col(id_col)
+    ).withColumn("cosine", sim)
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(probe_id_col, id_col, "cosine")
     )

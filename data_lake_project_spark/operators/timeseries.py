@@ -37,14 +37,22 @@ def ewma_residual(
     k: int = 8,
     alpha: float = 0.5,
 ) -> DataFrame:
-    """Append ``ewma_prev`` (finite-window EWMA of the K prior values)
-    and ``resid`` (value - ewma_prev) per row.
+    """Append ``ewma_prev`` (finite-window EWMA of the K prior
+    NON-NULL values) and ``resid`` (value - ewma_prev) per row.
 
     ``seq_col`` breaks timestamp ties so the lag order is total.
-    Rows with zero prior observations get NULL ewma/resid. ``alpha``
-    should be a power of two for cross-engine bit-exactness.
+    Rows with zero prior observations get NULL ewma/resid. NULL
+    ``value_col`` rows are passed through with NULL ewma/resid and do
+    NOT occupy lag slots — the same skip rule as the streaming twin
+    ``streaming.stateful.ewma_anomalies`` (which filters NULL values
+    before its ring-buffer fold), so the bit-identical equivalence
+    claim holds on null-bearing streams too. ``alpha`` should be a
+    power of two for cross-engine bit-exactness.
     """
     reserve_columns(df, "ewma_residual", "ewma_prev", "resid")
+    # lag over the null-filtered projection: a NULL value must not
+    # shift its successors' lag positions (stream-twin symmetry)
+    dense = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
     lags: list[Column] = [
         F.lag(value_col, j + 1).over(w) for j in range(k)
@@ -56,9 +64,15 @@ def ewma_residual(
         num = num + F.coalesce(lg, F.lit(0.0)) * F.lit(wt)
         den = den + F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
     ewma = num / F.nullif(den, F.lit(0.0))
-    return df.withColumn("ewma_prev", ewma).withColumn(
+    scored = dense.withColumn("ewma_prev", ewma).withColumn(
         "resid", F.col(value_col) - F.col("ewma_prev")
     )
+    skipped = (
+        df.filter(F.col(value_col).isNull())
+        .withColumn("ewma_prev", F.lit(None).cast("double"))
+        .withColumn("resid", F.lit(None).cast("double"))
+    )
+    return scored.unionByName(skipped)
 
 
 def forward_fill(

@@ -414,12 +414,21 @@ def write_stream_ivm(
 
     Like the SCD2 sink (and unlike the plain keyed upsert), the fold
     reads its own prior output, so replays need the content-marker
-    protocol, not merge idempotence: a batch fingerprint (count +
-    order-independent hash over the full change tuple) is written
-    ``pending`` before the merge and flipped to ``committed`` after;
-    an already-committed fingerprint is skipped, a pending one raises
-    for operator repair. Prune old markers with
-    :func:`marker_gc` on the ``_ivm_committed`` dir.
+    protocol, not merge idempotence: the marker key is the foreachBatch
+    ``batch_id`` PLUS a content fingerprint (count + order-independent
+    hash over the full change tuple). The batch_id component makes two
+    legitimately distinct micro-batches with identical content (a
+    change log's tuples can repeat: ``+1 (a, 10.0)`` arriving again
+    later is a real second increment) fold separately — batch_id is
+    monotone within a checkpoint lineage, so only a true replay of the
+    SAME batch matches its marker. The content component guards
+    cross-checkpoint replays: a restarted query with a fresh checkpoint
+    re-reads the same source offsets into the same (batch_id, content)
+    pairs and is skipped; if the offsets-to-batch mapping changed, the
+    view must be rebuilt from base data (documented operational
+    contract — same as Delta's txnAppId/version story). A committed
+    marker is skipped, a pending one raises for operator repair. Prune
+    old markers with :func:`marker_gc` on the ``_ivm_committed`` dir.
     """
     from data_lake_project_spark.lakehouse import ivm_apply
 
@@ -437,7 +446,7 @@ def write_stream_ivm(
         ).first()
         if fp_row["n"] == 0:
             return
-        marker = f"{commits_dir}/{fp_row['n']}_{fp_row['h']}"
+        marker = f"{commits_dir}/b{batch_id}_{fp_row['n']}_{fp_row['h']}"
         if fs.exists(spark, marker):
             if fs.read_text(spark, marker).strip() == "committed":
                 return  # same batch content already folded

@@ -318,9 +318,12 @@ def ewma_anomalies(
     expression's order (most-recent lag first, weights alpha^j), so
     with a power-of-two alpha the streamed residuals are BIT-identical
     to the batch operator on an in-order stream
-    (``test_ewma_stream_equals_batch``). Cross-batch reordering
-    follows source delivery order — the same non-watermarked contract
-    as ``funnel_stages``.
+    (``test_ewma_stream_equals_batch``). NULL-value events are dropped
+    before the fold; the batch twin skips them from its lag slots the
+    same way (``ewma_residual`` lags over a null-filtered projection),
+    so the equivalence holds on null-bearing streams too. Cross-batch
+    reordering follows source delivery order — the same
+    non-watermarked contract as ``funnel_stages``.
 
     State: K doubles + a fill count per key — O(K), store-backed.
     Output (update mode): one row per anomalous event in the batch.

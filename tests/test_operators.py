@@ -1434,6 +1434,47 @@ def test_prefix_filter_join_exact_vs_bruteforce(spark):
     assert got == brute and len(brute) > 0
 
 
+def test_prefix_filter_positional_prunes_without_changing_result(spark):
+    """PPJoin's positional filter must (a) change NOTHING about the
+    output at any threshold, and (b) measurably shrink the candidate
+    set the verify stage touches — the whole point of carrying
+    prefix positions through the join."""
+    from data_lake_project_spark.operators.dedup import (
+        _prefix_candidates,
+        prefix_filter_join,
+        shingle_sets,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    sets = shingle_sets(d, k=3).cache()
+    try:
+        for thr in ((1, 2), (3, 5), (4, 5)):
+            with_pos = {
+                (r.id_a, r.id_b, r.jaccard)
+                for r in prefix_filter_join(
+                    sets, threshold=thr, positional=True
+                ).collect()
+            }
+            without = {
+                (r.id_a, r.id_b, r.jaccard)
+                for r in prefix_filter_join(
+                    sets, threshold=thr, positional=False
+                ).collect()
+            }
+            assert with_pos == without
+        # verify-stage input is exactly the candidate stage's output:
+        # the positional bound must prune a measurable share of pairs
+        n_with = _prefix_candidates(
+            sets, (3, 5), "doc_id", "sh", positional=True
+        ).count()
+        n_without = _prefix_candidates(
+            sets, (3, 5), "doc_id", "sh", positional=False
+        ).count()
+        assert n_with < n_without, (n_with, n_without)
+    finally:
+        sets.unpersist()
+
+
 def test_prefix_filter_join_guards(spark):
     import pytest as _pytest
 
@@ -1508,6 +1549,27 @@ def test_ewma_residual_known_series(spark):
     assert out[2].ewma_prev == 10.0 and out[2].resid == 10.0
     # (20*1 + 10*0.5) / 1.5 = 16.666...
     assert abs(out[3].ewma_prev - 25.0 / 1.5) < 1e-12
+
+
+def test_ewma_residual_null_values_skip_lag_slots(spark):
+    """NULL values must not occupy lag positions (stream-twin
+    symmetry: ewma_anomalies drops them before its ring buffer), and
+    the null rows pass through with NULL ewma/resid."""
+    from data_lake_project_spark.operators.timeseries import ewma_residual
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:00", 10.0),
+            (2, 1, "2024-01-01 00:01:00", None),
+            (3, 1, "2024-01-01 00:02:00", 20.0),
+        ],
+        "event_id int, user_id int, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.event_id: r for r in ewma_residual(df, k=8).collect()}
+    assert len(out) == 3  # null row passes through
+    assert out[2].ewma_prev is None and out[2].resid is None
+    # row 3 lags straight over the null: its only predecessor is 10.0
+    assert out[3].ewma_prev == 10.0 and out[3].resid == 10.0
 
 
 def test_ewma_residual_partitions_by_key(spark):
@@ -1685,6 +1747,57 @@ def test_dedup_against_drops_only_corpus_matches(spark):
         r.doc_id for r in dedup_against(corpus, batch).select("doc_id").collect()
     }
     assert kept == {11, 12}
+
+
+def test_dedup_index_incremental_equals_recompute(spark, tmp_path):
+    """The standing corpus's band/set index folded incrementally
+    (persisted O(delta) dedup_index_apply, and the in-memory
+    extend_dedup_index) must equal a from-scratch rebuild — and a
+    batch gated against the maintained index must match
+    dedup_against on the full corpus."""
+    from data_lake_project_spark.operators.dedup import dedup_against
+    from data_lake_project_spark.operators.dedup_index import (
+        build_dedup_index,
+        dedup_against_index,
+        dedup_index_apply,
+        extend_dedup_index,
+        load_dedup_index,
+        save_dedup_index,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    part1 = d.filter("doc_id % 5 in (1, 2)")
+    part2 = d.filter("doc_id % 5 in (3, 4)")
+    full = d.filter("doc_id % 5 != 0")
+    batch = d.filter("doc_id % 5 = 0")
+
+    def snap(idx):
+        return (
+            sorted(tuple(r) for r in idx.bands.collect()),
+            sorted((r[0], tuple(r[1])) for r in idx.sets.collect()),
+        )
+
+    rebuilt = build_dedup_index(full)
+    # in-memory fold
+    assert snap(extend_dedup_index(build_dedup_index(part1), part2)) == snap(
+        rebuilt
+    )
+    # persisted fold: save part1's index, apply part2 as the delta
+    path = str(tmp_path / "dedup_idx")
+    save_dedup_index(build_dedup_index(part1), path)
+    applied = dedup_index_apply(spark, path, part2)
+    assert snap(applied) == snap(rebuilt)
+    # serving path against the maintained index == one-shot operator
+    kept_idx = sorted(
+        r.doc_id
+        for r in dedup_against_index(
+            load_dedup_index(spark, path), batch
+        ).collect()
+    )
+    kept_oneshot = sorted(
+        r.doc_id for r in dedup_against(full, batch).collect()
+    )
+    assert kept_idx == kept_oneshot and len(kept_idx) > 0
 
 
 def test_cdc_apply_last_op_wins(spark):
@@ -1968,6 +2081,40 @@ def test_systematic_sample_pps_properties(spark):
         assert (r.cum_w * 20) // total > (lo * 20) // total
 
 
+def test_systematic_sample_tiebreak_makes_duplicate_keys_total(spark):
+    """With duplicate order_col values the prefix order is only total
+    when a tiebreak column is supplied; the selection must then be
+    stable across runs and match the (order_col, tiebreak) walk."""
+    from data_lake_project_spark.operators.dataset import systematic_sample
+
+    # every order key duplicated 4x, unique doc_id as the tiebreaker
+    rows = [(i, i % 50, (i % 3) + 1) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "doc_id int, grp int, w int").repartition(
+        8
+    )
+    picks = [
+        sorted(
+            r.doc_id
+            for r in systematic_sample(
+                df, "w", k=16, order_col="grp", tiebreak_col="doc_id"
+            ).collect()
+        )
+        for _ in range(3)
+    ]
+    assert picks[0] == picks[1] == picks[2]
+    # cum_w matches the explicit (grp, doc_id)-ordered prefix walk
+    prefix = {}
+    c = 0
+    for i, g, w in sorted(rows, key=lambda t: (t[1], t[0])):
+        c += w
+        prefix[i] = c
+    out = systematic_sample(
+        df, "w", k=16, order_col="grp", tiebreak_col="doc_id"
+    ).collect()
+    for r in out:
+        assert r.cum_w == prefix[r.doc_id]
+
+
 def test_systematic_sample_heavy_row_is_certainty(spark):
     from data_lake_project_spark.operators.dataset import systematic_sample
 
@@ -2167,6 +2314,92 @@ def test_expectations_validate_all_rule_kinds(spark):
 
     with _pytest.raises(ValueError, match="unknown rule kind"):
         validate(df, [("no_such", "id")])
+
+
+def test_ann_index_roundtrip_matches_inline_operators(spark, tmp_path):
+    """build → save → load → search must produce IDENTICAL top-k to
+    the inline one-shot operators for all three kinds: both paths
+    compose the same deterministic stage functions, so a persisted
+    index is a pure amortization, never a different answer."""
+    from data_lake_project_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        save_ann_index,
+        search_ann_index,
+    )
+    from data_lake_project_spark.operators.similarity import (
+        ivf_topk,
+        ivfpq_topk,
+        pq_topk,
+    )
+    from data_lake_project_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = e.filter("vec_id < 4").selectExpr(
+        "vec_id AS probe_id", "embedding"
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    inline = {
+        "ivf": rows(ivf_topk(e, probes, k=7, dim=64)),
+        "pq": rows(pq_topk(e, probes, k=7, dim=64)),
+        "ivfpq": rows(ivfpq_topk(e, probes, k=7, dim=64)),
+    }
+    for kind in ("ivf", "pq", "ivfpq"):
+        idx = build_ann_index(e, kind=kind, dim=64)
+        # fresh build searches identically to the inline operator
+        assert rows(search_ann_index(idx, probes, k=7)) == inline[kind]
+        # persist → reload → search: still identical
+        path = str(tmp_path / f"annidx_{kind}")
+        save_ann_index(idx, path)
+        re = load_ann_index(spark, path)
+        assert re.kind == kind and re.params == idx.params
+        assert rows(search_ann_index(re, probes, k=7)) == inline[kind]
+
+
+def test_ann_index_build_validations(spark):
+    import pytest
+
+    from data_lake_project_spark.operators.ann_index import build_ann_index
+    from data_lake_project_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="unknown kind"):
+        build_ann_index(e, kind="hnsw")
+    with pytest.raises(ValueError, match="not divisible"):
+        build_ann_index(e, kind="pq", m_subspaces=7, dim=64)
+    with pytest.raises(ValueError, match="!= dim"):
+        build_ann_index(e, kind="ivf", dim=128)
+    empty = e.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="corpus is empty"):
+        build_ann_index(empty, kind="ivfpq")
+
+
+def test_ann_topk_string_probe_ids(spark):
+    """probe_id_col is a parameter, so non-long probe ids must work:
+    the LUT / output schemas derive the id type from the input frames
+    (they were hardcoded 'long' — external review finding, round 4)."""
+    from data_lake_project_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        pq_topk,
+    )
+    from data_lake_project_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = e.filter("vec_id < 3").selectExpr(
+        "concat('p', vec_id) AS probe_id", "embedding"
+    )
+    for fn in (pq_topk, ivfpq_topk):
+        out = fn(e, probes, k=5, dim=64)
+        rows = out.collect()
+        assert dict(out.dtypes)["probe_id"] == "string"
+        assert {r.probe_id for r in rows} == {"p0", "p1", "p2"}
+    arrow = brute_force_topk(e, probes, k=5, impl="arrow")
+    assert dict(arrow.dtypes)["probe_id"] == "string"
+    assert {r.probe_id for r in arrow.collect()} == {"p0", "p1", "p2"}
 
 
 def test_ivfpq_topk_recall_and_determinism(spark):

@@ -1094,6 +1094,56 @@ def test_stream_ivm_equals_recompute_and_skips_replay(spark, tmp_path):
     ) == got
 
 
+def test_stream_ivm_identical_content_distinct_batches_both_fold(
+    spark, tmp_path
+):
+    """A change log's tuples can legitimately repeat: '+1 (a, 10.0)'
+    arriving again in a LATER micro-batch is a real second increment,
+    not a replay. The marker key includes the foreachBatch batch_id,
+    so two distinct batches with byte-identical content must BOTH
+    fold (the content-only fingerprint silently skipped the second
+    one — external review finding, round 4)."""
+    import glob as _glob
+
+    from data_lake_project_spark.sources import KeyedTable
+    from data_lake_project_spark.streaming.pipeline import (
+        read_ivm,
+        write_stream_ivm,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 1), ("b", 3.0, 1)], "k string, v double, op int"
+    ).coalesce(1)
+    part = str(tmp_path / "ivm_dup_part")
+    df.write.mode("overwrite").parquet(part)
+    src = str(tmp_path / "ivm_dup_src")
+    os.makedirs(src)
+    base = 1_700_000_000
+    # the SAME content file twice -> two distinct micro-batches
+    for i, f in enumerate(
+        sorted(_glob.glob(f"{part}/part-*.parquet")) * 2
+    ):
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (base + i, base + i))
+    t = KeyedTable(spark, str(tmp_path / "ivm_dup_t"), key_col="k")
+    q = write_stream_ivm(
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        t,
+        str(tmp_path / "ivm_dup_ck"),
+        key_col="k",
+        sum_cols={"v": "sv"},
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.k, r.n, str(r.sv)) for r in read_ivm(t, "n").collect()
+    )
+    assert got == [("a", 2, "20.00"), ("b", 2, "6.00")]
+
+
 def test_stream_ivm_pending_marker_parks_the_stream(spark, tmp_path):
     """A 'pending' marker (crash between merge start and commit) must
     fail the replayed batch loudly instead of silently re-folding."""
@@ -1113,7 +1163,9 @@ def test_stream_ivm_pending_marker_parks_the_stream(spark, tmp_path):
         F.count("*").alias("n"),
         F.expr("bit_xor(xxhash64(`op`, `k`, `v`))").alias("h"),
     ).first()
-    marker = f"{t.path}/_ivm_committed/{fp['n']}_{fp['h']}"
+    # marker key = batch_id + content fingerprint; a fresh checkpoint
+    # reads this single-file source as batch 0
+    marker = f"{t.path}/_ivm_committed/b0_{fp['n']}_{fp['h']}"
     fs.write_text(spark, marker, "pending")
     q = write_stream_ivm(
         spark.readStream.schema(df.schema).parquet(src),
@@ -1125,3 +1177,151 @@ def test_stream_ivm_pending_marker_parks_the_stream(spark, tmp_path):
     with pytest.raises(Exception, match="pending"):
         q.processAllAvailable()
     q.stop()
+
+
+def test_streaming_ingest_composes_persisted_dedup_and_ann_indexes(
+    spark, tmp_path
+):
+    """The LLM-pipeline serving story end-to-end, streamed: each
+    micro-batch of incoming docs is (1) gated against the PERSISTED
+    dedup index, (2) survivors folded into it with the O(delta)
+    dedup_index_apply — so a later batch duplicating an earlier
+    batch's survivor is dropped, (3) survivors' embeddings searched
+    against a PERSISTED (static) ANN index. The whole composed path
+    must equal the batch twin run over the same micro-batches in the
+    same order — including the final maintained index state."""
+    import glob as _glob
+
+    from data_lake_project_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        save_ann_index,
+        search_ann_index,
+    )
+    from data_lake_project_spark.operators.dedup_index import (
+        build_dedup_index,
+        dedup_against_index,
+        dedup_index_apply,
+        load_dedup_index,
+        save_dedup_index,
+    )
+
+    def emb(i):
+        return [float((i * 7 + j * 3) % 13) for j in range(16)]
+
+    # standing corpus: 10 docs with distinct texts + embeddings
+    corpus_rows = [
+        (i, f"standing doc number {i} about topic {i} in the lake", emb(i))
+        for i in range(1, 11)
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "doc_id long, text string, embedding array<double>"
+    )
+    ann_path = str(tmp_path / "ann_idx")
+    save_ann_index(
+        build_ann_index(
+            corpus.selectExpr("doc_id AS vec_id", "embedding"),
+            kind="ivfpq",
+            n_centroids=4,
+            m_subspaces=4,
+            n_codes=8,
+            dim=16,
+        ),
+        ann_path,
+    )
+
+    # two micro-batches: 101 dups standing doc 1; 103 dups batch-1
+    # survivor 102 (drop proves the cross-batch fold); 102/104 novel
+    b1 = [
+        (101, corpus_rows[0][1], emb(101)),
+        (102, "a genuinely new document about spark physical plans", emb(102)),
+    ]
+    b2 = [
+        (103, b1[1][1], emb(103)),
+        (104, "another novel text on adaptive query execution", emb(104)),
+    ]
+    schema = "doc_id long, text string, embedding array<double>"
+
+    def run_pipeline(tag, batches_via_stream):
+        """Run the composed pipeline; returns (kept ids, ann rows,
+        index snapshot). Same logic for stream and batch twins."""
+        didx_path = str(tmp_path / f"dedup_idx_{tag}")
+        save_dedup_index(
+            build_dedup_index(corpus.select("doc_id", "text")), didx_path
+        )
+        kept_sink = str(tmp_path / f"kept_{tag}")
+        ann_sink = str(tmp_path / f"annres_{tag}")
+
+        def handle(batch_df, batch_id):
+            s = batch_df.sparkSession
+            idx = load_dedup_index(s, didx_path)
+            kept = dedup_against_index(
+                idx, batch_df.select("doc_id", "text"), threshold=0.5
+            )
+            kept_full = batch_df.join(kept.select("doc_id"), "doc_id")
+            rows = kept_full.collect()  # test-sized; drives emptiness
+            if not rows:
+                return
+            kept_docs = s.createDataFrame(rows, schema)
+            dedup_index_apply(
+                s, didx_path, kept_docs.select("doc_id", "text")
+            )
+            kept_docs.select("doc_id").write.mode("append").parquet(
+                kept_sink
+            )
+            search_ann_index(
+                load_ann_index(s, ann_path),
+                kept_docs.selectExpr("doc_id AS probe_id", "embedding"),
+                k=3,
+            ).write.mode("append").parquet(ann_sink)
+
+        if batches_via_stream:
+            src = str(tmp_path / f"stream_src_{tag}")
+            os.makedirs(src)
+            base = 1_700_000_000
+            for i, rows in enumerate((b1, b2)):
+                part = str(tmp_path / f"stage_{tag}_{i}")
+                spark.createDataFrame(rows, schema).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(part)
+                for f in sorted(_glob.glob(f"{part}/part-*.parquet")):
+                    dst = os.path.join(src, f"{i:02d}.parquet")
+                    shutil.copy(f, dst)
+                    os.utime(dst, (base + i, base + i))
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(handle)
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ck_{tag}")
+                )
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        else:
+            for i, rows in enumerate((b1, b2)):
+                handle(spark.createDataFrame(rows, schema), i)
+
+        kept = sorted(
+            r.doc_id for r in spark.read.parquet(kept_sink).collect()
+        )
+        ann = sorted(
+            tuple(r) for r in spark.read.parquet(ann_sink).collect()
+        )
+        final = load_dedup_index(spark, didx_path)
+        snap = (
+            sorted(tuple(r) for r in final.bands.collect()),
+            sorted((r[0], tuple(r[1])) for r in final.sets.collect()),
+        )
+        return kept, ann, snap
+
+    streamed = run_pipeline("s", batches_via_stream=True)
+    batched = run_pipeline("b", batches_via_stream=False)
+    assert streamed == batched
+    # the cross-batch fold did its job: 101 blocked by the standing
+    # corpus, 103 blocked by batch-1 survivor 102
+    assert streamed[0] == [102, 104]
+    # every survivor got k=3 neighbors from the persisted ANN index
+    assert len(streamed[1]) == 6
