@@ -26,4 +26,10 @@ declarative DataFrame rewrite designed to survive a 100 TB scale-up:
                    Levenshtein verify inside blocking-key blocks).
 - ``clustering`` — full-corpus distributed k-means (fused
                    assign + partial-centroid-update scans).
+- ``ann_index``  — persisted ANN index lifecycle (train/encode once,
+                   search many — the FAISS deployment shape).
+- ``dedup_index``— materialized, incrementally-maintained dedup
+                   index (O(delta) band/set fold per ingest).
+- ``bpe``        — distributed BPE tokenizer training (corpus-sized
+                   word count once, vocabulary-sized merge loop).
 """

@@ -1,0 +1,156 @@
+"""Distributed BPE (byte-pair encoding) vocabulary learning.
+
+The tokenizer-training step of an LLM data pipeline: learn the merge
+table that turns characters into subword units, directly from the
+corpus, Spark-first. The classic Sennrich recipe trains on the WORD
+VOCABULARY (unique word → count), not the raw corpus — so after ONE
+corpus-sized aggregation, every merge iteration runs over
+vocabulary-sized data:
+
+- pair counting = explode each word's adjacent symbol pairs weighted
+  by the word count → partial-agg'd groupBy (map-side combine; the
+  shuffle carries (pair, partial-count) rows, never the corpus);
+- the winning pair is a 1-row model-sized collect (count DESC, then
+  (left, right) ASC — total order, deterministic ties);
+- the merge applies as a JVM ``aggregate`` fold over each symbol
+  array (left-to-right non-overlapping, exactly Sennrich's i-walk);
+- ``localCheckpoint`` per iteration cuts the growing lineage, the
+  same discipline as ``connected_components``/``pagerank``.
+
+At 100 TB: the corpus pass is one shuffle; the word vocabulary is
+bounded (natural-language vocabularies grow ~Heaps' law, sublinear in
+corpus size) and stays distributed — nothing vocabulary-sized is ever
+collected; k merges = k small jobs.
+
+No SQL oracle (iterative, like q88's k-means): correctness is pinned
+by an exact golden test against a pure-Python reference BPE
+(`tests/test_operators.py::test_bpe_merges_match_reference`), plus
+determinism.
+
+Reference parity: the reference has no tokenizer training; this
+extends the LLM-pipeline surface (SURVEY.md §2.9) like the
+dedup/ANN families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_lake_project_spark.functions import tokens
+
+END_OF_WORD = "</w>"
+
+_EMPTY_STR_ARRAY = "CAST(array() AS ARRAY<STRING>)"
+
+
+def word_vocab(
+    docs: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """ONE corpus pass → (word, count) vocabulary, the only
+    corpus-sized job in BPE training."""
+    w = F.explode(tokens(text_col)).alias("__w")
+    out = docs.select(w).filter(F.length("__w") > 0)
+    if lowercase:
+        out = out.select(F.lower("__w").alias("__w"))
+    return out.groupBy("__w").agg(F.count("*").alias("__n"))
+
+
+def _merge_fold(a: str, b: str) -> Column:
+    """Left-to-right non-overlapping replacement of adjacent (a, b)
+    with a+b inside ``__syms`` — a linear JVM fold, equivalent to the
+    reference implementation's index walk (a just-merged token can
+    only absorb the NEXT symbol if it literally equals ``a`` again,
+    which the concatenation makes impossible)."""
+    merged = a + b
+    return F.aggregate(
+        "__syms",
+        F.expr(_EMPTY_STR_ARRAY),
+        lambda out, s: F.when(
+            (F.size(out) > 0)
+            & (F.element_at(out, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(out, F.lit(1), F.size(out) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(out, F.array(s))),
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    k_merges: int = 16,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Learn up to ``k_merges`` BPE merges over the corpus.
+
+    Output: (step, left, right, merged, pair_count) — the merge table
+    in training order, which IS the tokenizer artifact (applying the
+    merges in order tokenizes new text). Words are split to
+    characters plus a terminal ``</w>`` marker (the standard
+    end-of-word sentinel, so "low"/"lowest" share the stem but not the
+    suffix boundary). Stops early when the best remaining pair occurs
+    fewer than ``min_pair_count`` times (weighted by word counts;
+    overlapping repeats count per position, as in the reference
+    implementation).
+
+    Deterministic: winner = max count, ties broken (left, right)
+    ascending — a total order, no RNG.
+    """
+    if k_merges < 1:
+        raise ValueError("bpe_merges: k_merges must be >= 1")
+    vocab = word_vocab(docs, text_col, lowercase=lowercase)
+    # The vocabulary is Heaps'-law sized (orders of magnitude smaller
+    # than the corpus): pack it into few partitions so each of the k
+    # iteration jobs schedules a handful of tasks, not a corpus-wide
+    # task wave. 8 partitions ~ tens of millions of words headroom; a
+    # genuinely huge vocab just means more partitions, same plan.
+    cur = (
+        vocab.coalesce(8)
+        .select(
+            F.concat(
+                F.split("__w", ""), F.array(F.lit(END_OF_WORD))
+            ).alias("__syms"),
+            "__n",
+        )
+        # lazy localCheckpoint: materialized BY the pair-count job of
+        # the same iteration (one job per merge instead of two), still
+        # cuts the fold-in-fold lineage that would otherwise nest k
+        # aggregate expressions deep
+        .localCheckpoint(eager=False)
+    )
+
+    pair_expr = F.explode(
+        F.expr(
+            "transform(sequence(0, size(__syms) - 2), "
+            "i -> struct(__syms[i] AS a, __syms[i+1] AS b))"
+        )
+    ).alias("__p")
+
+    merges: list[tuple] = []
+    for step in range(1, k_merges + 1):
+        top = (
+            cur.filter(F.size("__syms") > 1)
+            .select(pair_expr, "__n")
+            .groupBy("__p.a", "__p.b")
+            .agg(F.sum("__n").alias("__cnt"))
+            .orderBy(F.col("__cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["__cnt"] < min_pair_count:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["__cnt"])
+        merges.append((step, a, b, a + b, cnt))
+        cur = cur.select(
+            _merge_fold(a, b).alias("__syms"), "__n"
+        ).localCheckpoint(eager=False)
+
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "step int, left string, right string, merged string, "
+        "pair_count long",
+    )

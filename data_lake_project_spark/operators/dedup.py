@@ -1333,3 +1333,62 @@ def dedup_against(
         id_col=id_col,
     )
     return dedup_against_index(idx, batch, threshold=threshold)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    impl: str = "auto",
+    n_salts: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space (deterministic cosine k-means — lowest-id seeds, fused
+    Lloyd scans, no RNG), then within each cluster drop every item
+    that has a LOWER-id neighbor with cosine >= ``threshold``. Unlike
+    the lexical family (MinHash/SimHash), this removes *semantic*
+    near-duplicates — paraphrases and re-encodings that share no
+    shingles — the standard curation step between lexical dedup and
+    quality filtering.
+
+    Keep rule (deterministic): an item survives iff NO lower-id item
+    in its cluster is >= threshold similar. Consequently no two kept
+    items in one cluster are >= threshold similar (if a < b and
+    cos >= t, b is dropped) — the property the CI test pins.
+
+    Returns (id, cluster) of the KEPT items.
+
+    Scale (100 TB): clustering is ``kmeans_fit``'s fused scan
+    (shuffle carries k*dim partials per batch, model-sized collects
+    only); the pairwise stage is ``embedding_neardup`` blocked on the
+    cluster id, so the self-join is quadratic only within clusters —
+    size ``n_clusters`` ~ N/target_cluster_size (SemDeDup's own
+    deployment rule); a dominant cluster has the same two escape
+    hatches as q28: ``n_salts`` (expr lane) or a finer clustering.
+    """
+    from data_lake_project_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    cents = kmeans_fit(
+        emb, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = kmeans_assign(
+        emb, cents, id_col=id_col, vec_col=vec_col
+    )
+    blocked = emb.select(id_col, vec_col).join(assigned, id_col)
+    pairs = embedding_neardup(
+        blocked,
+        block_col="cluster",
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        impl=impl,
+        n_salts=n_salts,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(dropped, id_col, "left_anti")

@@ -579,6 +579,39 @@ def q137_ann_index_search(spark, sf):
     ).orderBy("probe_id", "vec_id")
 
 
+def q138_bpe_vocab(spark, sf):
+    """Distributed BPE tokenizer training: 8 merges learned from the
+    documents corpus — ONE corpus-sized word-count aggregation, then
+    vocabulary-sized merge iterations (weighted pair explode →
+    partial-agg'd groupBy → 1-row winner collect → JVM merge fold),
+    the Sennrich recipe Spark-first. No SQL oracle (iterative, like
+    q88); exact-match golden vs a pure-Python reference BPE plus
+    determinism are CI-pinned
+    (test_bpe_merges_match_reference_on_fixture). See
+    ``operators.bpe``."""
+    from data_lake_project_spark.operators.bpe import bpe_merges
+
+    d = load_table(spark, sf, "documents")
+    return bpe_merges(d, k_merges=8).orderBy("step")
+
+
+def q139_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic deduplication: deterministic cosine
+    k-means clusters the embedding space, then within each cluster
+    every item with a lower-id neighbor at cosine >= 0.4 is dropped —
+    the curation step that removes paraphrase-level duplicates the
+    lexical MinHash family (q25/q26) cannot see. Rows-only (k-means is
+    not SQL-expressible, like q88); determinism + the no-similar-kept-
+    pair property are CI-pinned (test_semantic_dedup_properties). See
+    ``operators.dedup.semantic_dedup``."""
+    from data_lake_project_spark.operators.dedup import semantic_dedup
+
+    e = load_table(spark, sf, "embeddings")
+    return semantic_dedup(e, n_clusters=16, threshold=0.4).orderBy(
+        "vec_id"
+    )
+
+
 def q37_ivf_topk(spark, sf):
     """Approximate ANN via IVF coarse quantizer — rows-only check
     (recall depends on nprobe; exact baseline is q22, LSH variant q33).
@@ -3371,6 +3404,8 @@ QUERIES: dict[str, QueryFn] = {
     "q135_dup_source_mix": q135_dup_source_mix,
     "q136_dedup_index_gate": q136_dedup_index_gate,
     "q137_ann_index_search": q137_ann_index_search,
+    "q138_bpe_vocab": q138_bpe_vocab,
+    "q139_semantic_dedup": q139_semantic_dedup,
     "q131_cluster_safe_split": q131_cluster_safe_split,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,

