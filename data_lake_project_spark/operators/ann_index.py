@@ -244,6 +244,41 @@ def save_ann_index(index: AnnIndex, path: str) -> None:
     fs.write_text(spark, f"{path}/model.json", json.dumps(model))
 
 
+def ann_index_apply(
+    spark: SparkSession, path: str, new_corpus: DataFrame
+) -> AnnIndex:
+    """Persisted O(delta) maintenance fold — the growing-corpus story:
+    encode ONLY ``new_corpus`` with the SAVED model (no retraining —
+    the codebooks/centroids are the frozen artifact, exactly how a
+    production FAISS index absorbs new vectors) and parquet-append the
+    codes next to the standing ones. The standing corpus is never
+    re-read, re-encoded, or reshuffled. Returns the reloaded index.
+
+    Caller contract: ``new_corpus`` ids are new to the index (gate
+    upstream); appending an existing id would duplicate its code row.
+    Incremental ≡ full rebuild is CI-pinned (same model → the encode
+    is a pure deterministic map, so fold order cannot matter).
+    """
+    import numpy as np
+
+    idx = load_ann_index(spark, path)
+    p = idx.params
+    if idx.kind == "ivf":
+        delta = _ivf_assign(
+            new_corpus, idx.centroids, p["id_col"], p["vec_col"]
+        ).select(p["id_col"], "__bucket", "__v", "__nrm")
+    else:
+        cb = np.asarray(idx.codebooks, dtype=float)
+        cent = (
+            np.asarray(idx.centroids, dtype=float)
+            if idx.kind == "ivfpq"
+            else None
+        )
+        delta = _pq_encode(new_corpus, cb, cent, p["id_col"], p["vec_col"])
+    delta.write.mode("append").parquet(f"{path.rstrip('/')}/codes")
+    return load_ann_index(spark, path)
+
+
 def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     """Reload a saved index. The codes frame is a plain parquet scan —
     partition pruning / pushdown apply as with any table."""

@@ -154,3 +154,63 @@ def bpe_merges(
         "step int, left string, right string, merged string, "
         "pair_count long",
     )
+
+
+_SEP = "\x1f"  # unit-separator control char: cannot occur in tokens()
+               # output of normal text; stripped defensively anyway
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize text with a FIXED merge table — the serving side of
+    :func:`bpe_merges` (tokenizers train once and apply everywhere).
+    Output: (id, token) rows, one per subword occurrence, in no
+    guaranteed order (aggregate downstream).
+
+    Pure JVM string algebra, zero Python: each word becomes a
+    symbol string with every symbol WRAPPED in a separator pair
+    (``␟c␟␟h␟…␟</w>␟``), and each merge (a, b) is ONE global
+    ``replace('␟a␟␟b␟' → '␟ab␟')``. The wrapping makes the match
+    symbol-anchored (a pattern can never match the tail of a longer
+    symbol) and makes consecutive merge sites self-delimiting, so
+    left-to-right non-overlapping ``replace`` is EXACTLY the BPE
+    merge fold (``test_bpe_apply_matches_reference``). Engine-
+    portable: DuckDB's ``replace`` has identical semantics, so the
+    whole tokenizer is oracle-checkable (q140).
+
+    Scale: narrow per-row map over the exploded word stream — no
+    shuffle, no UDF; k merges = k codegen'd string replaces.
+    """
+    w = F.explode(tokens(text_col)).alias("__w")
+    out = docs.select(F.col(id_col), w).filter(F.length("__w") > 0)
+    if lowercase:
+        out = out.select(id_col, F.lower("__w").alias("__w"))
+    # defensively drop any literal separator chars from the input
+    clean = F.replace(F.col("__w"), F.lit(_SEP), F.lit(""))
+    sym = F.concat(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.split(clean, ""), lambda c: F.concat(F.lit(_SEP), c, F.lit(_SEP))
+            ),
+        ),
+        F.lit(_SEP + END_OF_WORD + _SEP),
+    )
+    for a, b in merges:
+        sym = F.replace(
+            sym,
+            F.lit(_SEP + a + _SEP + _SEP + b + _SEP),
+            F.lit(_SEP + a + b + _SEP),
+        )
+    # strip the outer wraps, split on the inter-symbol double-sep
+    toks = F.split(
+        F.substring(sym, 2, F.length(sym) - 2), _SEP + _SEP
+    )
+    return out.select(
+        F.col(id_col), F.explode(toks).alias("token")
+    )

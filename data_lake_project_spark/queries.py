@@ -612,6 +612,35 @@ def q139_semantic_dedup(spark, sf):
     )
 
 
+# q140's FIXED tokenizer: the top learned merges from the fixture
+# corpus, frozen as the served artifact (tokenizers train once and
+# apply everywhere — the apply side is pure deterministic string
+# algebra, so unlike training it IS oracle-checkable).
+_Q140_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"),
+    ("t", "</w>"), ("er", "</w>"), ("o", "w"), ("ow", "</w>"),
+]
+
+
+def q140_bpe_tokenize(spark, sf):
+    """BPE tokenization with a fixed merge table: subword frequency
+    top-50 over documents. Each merge is ONE symbol-anchored global
+    string replace (separator-wrapped symbols make left-to-right
+    non-overlapping `replace` exactly the BPE merge walk — golden-
+    pinned vs a reference tokenizer); zero UDFs, zero shuffles before
+    the final token groupBy. See ``operators.bpe.bpe_apply``."""
+    from data_lake_project_spark.operators.bpe import bpe_apply
+
+    d = load_table(spark, sf, "documents")
+    return (
+        bpe_apply(d, _Q140_MERGES)
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
 def q37_ivf_topk(spark, sf):
     """Approximate ANN via IVF coarse quantizer — rows-only check
     (recall depends on nprobe; exact baseline is q22, LSH variant q33).
@@ -3406,6 +3435,7 @@ QUERIES: dict[str, QueryFn] = {
     "q137_ann_index_search": q137_ann_index_search,
     "q138_bpe_vocab": q138_bpe_vocab,
     "q139_semantic_dedup": q139_semantic_dedup,
+    "q140_bpe_tokenize": q140_bpe_tokenize,
     "q131_cluster_safe_split": q131_cluster_safe_split,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
@@ -6447,6 +6477,43 @@ ORACLE["q135_dup_source_mix"] = f"""
 # oracle is q102's (the reference answer does not depend on how the
 # corpus side was indexed).
 ORACLE["q136_dedup_index_gate"] = ORACLE["q102_dedup_against"]
+
+# q140: nest one replace() per merge, identical algebra both engines
+# (left-to-right non-overlapping replace; symbols separator-wrapped so
+# matches are symbol-anchored).
+def _q140_replace_chain(expr: str) -> str:
+    for a, b in _Q140_MERGES:
+        pat = f"chr(31)||'{a}'||chr(31)||chr(31)||'{b}'||chr(31)"
+        rep = f"chr(31)||'{a}{b}'||chr(31)"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return expr
+
+
+ORACLE["q140_bpe_tokenize"] = f"""
+    WITH w0 AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    w AS (
+        SELECT replace(w, chr(31), '') AS w FROM w0 WHERE len(w) > 0
+    ),
+    s AS (
+        SELECT array_to_string(
+                 list_transform(string_split(w, ''),
+                                c -> chr(31) || c || chr(31)),
+                 '') || chr(31) || '</w>' || chr(31) AS s
+        FROM w
+    ),
+    m AS (SELECT {_q140_replace_chain('s')} AS s FROM s),
+    t AS (
+        SELECT unnest(string_split(substring(s, 2, len(s) - 2),
+                                   chr(31) || chr(31))) AS token
+        FROM m
+    )
+    SELECT token, count(*)::BIGINT AS n
+    FROM t GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
 
 # ---------------------------------------------------------------------------
 # Driver-sweep rotation (round 5). Evidence from CORRECTNESS_r01-r04:

@@ -2359,6 +2359,55 @@ def test_ann_index_roundtrip_matches_inline_operators(spark, tmp_path):
         assert rows(search_ann_index(re, probes, k=7)) == inline[kind]
 
 
+def test_ann_index_apply_incremental_equals_rebuild(spark, tmp_path):
+    """Growing-corpus fold: save an index built on half the corpus,
+    ann_index_apply the other half — searches must equal an index
+    built on the FULL corpus in one shot (the frozen model makes the
+    encode a pure map, so fold order cannot matter), for all three
+    kinds."""
+    from data_lake_project_spark.operators.ann_index import (
+        ann_index_apply,
+        build_ann_index,
+        save_ann_index,
+        search_ann_index,
+    )
+    from data_lake_project_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = e.filter("vec_id < 4").selectExpr(
+        "vec_id AS probe_id", "embedding"
+    )
+    half1 = e.filter("vec_id % 2 = 0")
+    half2 = e.filter("vec_id % 2 = 1")
+    for kind in ("ivf", "pq", "ivfpq"):
+        # the model must come from the SAME training sample as the
+        # full build for results to be comparable: train on the full
+        # corpus, then persist with only half the codes
+        full = build_ann_index(e, kind=kind, dim=64)
+        path = str(tmp_path / f"grow_{kind}")
+        save_ann_index(
+            type(full)(
+                full.kind,
+                full.params,
+                full.centroids,
+                full.codebooks,
+                full.codes.join(
+                    half1.select("vec_id"), "vec_id", "left_semi"
+                ),
+            ),
+            path,
+        )
+        folded = ann_index_apply(spark, path, half2)
+        want = sorted(
+            tuple(r) for r in search_ann_index(full, probes, k=7).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in search_ann_index(folded, probes, k=7).collect()
+        )
+        assert got == want
+
+
 def test_ann_index_build_validations(spark):
     import pytest
 
@@ -2561,3 +2610,43 @@ def test_semantic_dedup_properties(spark):
                 # the operator filters on the UNROUNDED cosine; allow
                 # BLAS-vs-driver summation noise at the boundary
                 assert float(va @ vb) < thr + 1e-9, (a, b, c)
+
+
+def _reference_bpe_tokenize(word, merges):
+    syms = list(word) + ["</w>"]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_apply_matches_reference(spark):
+    """The separator-wrapped string-replace tokenizer must equal the
+    reference per-word merge walk on every fixture word, using merges
+    LEARNED from the same corpus (train → apply round trip)."""
+    from collections import Counter
+
+    from data_lake_project_spark.operators.bpe import bpe_apply, bpe_merges
+
+    d = load_table(spark, SF_DIR, "documents")
+    merges = [
+        (r.left, r.right) for r in bpe_merges(d, k_merges=8).collect()
+    ]
+    got = Counter(
+        (r.doc_id, r.token)
+        for r in bpe_apply(d, merges).collect()
+    )
+    want = Counter()
+    for r in d.select("doc_id", "text").collect():
+        for w in (r.text or "").lower().split():
+            if w:
+                for t in _reference_bpe_tokenize(w, merges):
+                    want[(r.doc_id, t)] += 1
+    assert got == want and len(got) > 0
