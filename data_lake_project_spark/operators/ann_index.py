@@ -199,6 +199,11 @@ def search_ann_index(
             p["id_col"],
             p["vec_col"],
             probe_id_col,
+            # persisted codes are a bucket-partitioned scan: resolving
+            # the probe buckets driver-side (tiny bounded job) turns
+            # the join's implicit restriction into compile-time
+            # partition pruning
+            prune_scan=True,
         )
     cb = np.asarray(index.codebooks, dtype=float)
     dsub = cb.shape[2]
@@ -233,7 +238,16 @@ def save_ann_index(index: AnnIndex, path: str) -> None:
     single writer (codes first, model last — a reader that sees the
     new model sees the new codes)."""
     path = path.rstrip("/")
-    index.codes.write.mode("overwrite").parquet(f"{path}/codes")
+    w = index.codes.write.mode("overwrite")
+    if index.kind in ("ivf", "ivfpq"):
+        # bucket-partitioned layout: a search's bucket equi-join
+        # (broadcast probe side) triggers DYNAMIC PARTITION PRUNING,
+        # so the scan touches only the nprobe probed buckets'
+        # directories — at 100 TB the difference between reading
+        # nprobe/n_centroids of the codes and reading all of them
+        # (plan assertion CI-pinned in test_plans).
+        w = w.partitionBy("__bucket")
+    w.parquet(f"{path}/codes")
     spark = index.codes.sparkSession
     model = {
         "kind": index.kind,
@@ -275,7 +289,10 @@ def ann_index_apply(
             else None
         )
         delta = _pq_encode(new_corpus, cb, cent, p["id_col"], p["vec_col"])
-    delta.write.mode("append").parquet(f"{path.rstrip('/')}/codes")
+    w = delta.write.mode("append")
+    if idx.kind in ("ivf", "ivfpq"):
+        w = w.partitionBy("__bucket")  # same layout as save_ann_index
+    w.parquet(f"{path.rstrip('/')}/codes")
     return load_ann_index(spark, path)
 
 

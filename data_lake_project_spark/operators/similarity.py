@@ -800,6 +800,18 @@ def _adc_search(
     lut_df = probes.sparkSession.createDataFrame(
         rows, f"{probe_id_col} {pid_t}, {bucket_field}__lut array<double>"
     )
+    if bucketed:
+        # The probed buckets are known driver-side, so prune the
+        # corpus with a STATIC In-filter before the join: on a
+        # bucket-partitioned persisted codes table (ann_index) this
+        # becomes compile-time PARTITION PRUNING — the scan reads only
+        # the nprobe probed buckets' directories; inline it's a cheap
+        # narrowing filter the equi-join implied anyway. (Broadcast
+        # DPP doesn't fire here: the build side is an unfiltered local
+        # relation, which fails Spark's selective-predicate heuristic.)
+        encoded = encoded.filter(
+            F.col("__bucket").isin(sorted({r[1] for r in rows}))
+        )
     score = F.aggregate(
         F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
         F.lit(0.0),
@@ -904,7 +916,15 @@ def _ivf_assign(corpus, cents_vals, id_col, vec_col):
 
 
 def _ivf_search(
-    codes, probes, cents_vals, nprobe, k, id_col, vec_col, probe_id_col
+    codes,
+    probes,
+    cents_vals,
+    nprobe,
+    k,
+    id_col,
+    vec_col,
+    probe_id_col,
+    prune_scan: bool = False,
 ):
     """Exact-cosine search over an IVF-assigned corpus: probes resolve
     their ``nprobe`` closest centroid buckets (same literal-expression
@@ -912,7 +932,14 @@ def _ivf_search(
     into a bucket equi-join, exact cosine over the surviving
     candidates. ``codes`` carries (id, __bucket, __v, __nrm) — the
     norms computed ONCE at index time ride along instead of being
-    recomputed per joined pair."""
+    recomputed per joined pair.
+
+    ``prune_scan``: collect the probes' resolved buckets (one tiny
+    bounded job — probes are a handful by contract) and pre-filter
+    ``codes`` with a static In — on a bucket-partitioned persisted
+    codes table this is compile-time partition pruning. Off for the
+    inline one-shot (codes are computed, not scanned; the filter
+    would only re-evaluate the assignment expression)."""
     sims_array = _centroid_sims_factory(cents_vals)
     p = (
         probes.withColumn("__v", _as_double(vec_col))
@@ -935,6 +962,12 @@ def _ivf_search(
             ),
         )
     )
+    if prune_scan:
+        probed = sorted(
+            r["__bucket"]
+            for r in p.select("__bucket").distinct().collect()
+        )
+        codes = codes.filter(F.col("__bucket").isin(probed))
     joined = codes.select(
         id_col,
         "__bucket",

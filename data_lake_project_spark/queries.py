@@ -568,7 +568,8 @@ def q137_ann_index_search(spark, sf):
 
     e = load_table(spark, sf, "embeddings")
     tag = sf.rstrip("/").replace("/", "_").replace(".", "_")
-    path = f"/tmp/spark_graft_ann_idx/v1/{tag}_ivfpq_16x16x64"
+    # v2: codes written partitionBy(__bucket) → searches partition-prune
+    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_ivfpq_16x16x64"
     if not fs.exists(spark, f"{path}/model.json"):
         save_ann_index(build_ann_index(e, kind="ivfpq", dim=64), path)
     probes = e.filter(F.col("vec_id") < 5).select(

@@ -410,3 +410,35 @@ def test_round4_operators_pin_their_shuffle_budget(
         f"{qname}: {n} exchanges > {max_exchanges}\n"
         + P.explain_str(df)[:3000]
     )
+
+
+def test_ann_index_search_prunes_bucket_partitions(spark, tmp_path):
+    """A persisted IVF/IVFPQ search must read ONLY the probed buckets:
+    codes are written partitionBy(__bucket), and the search's static
+    In-filter shows up as a PartitionFilter on the codes scan — the
+    compile-time pruning that makes a 100 TB codes table scan
+    nprobe/n_centroids of its directories instead of all of them."""
+    from data_lake_project_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        save_ann_index,
+        search_ann_index,
+    )
+    from data_lake_project_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = e.filter("vec_id < 3").selectExpr(
+        "vec_id AS probe_id", "embedding"
+    )
+    for kind in ("ivf", "ivfpq"):
+        path = str(tmp_path / f"pin_{kind}")
+        save_ann_index(build_ann_index(e, kind=kind, dim=64), path)
+        out = search_ann_index(load_ann_index(spark, path), probes, k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        pf = [
+            ln for ln in plan.splitlines() if "PartitionFilters" in ln
+        ]
+        assert pf and "__bucket" in pf[0] and " IN (" in pf[0], (
+            kind,
+            pf[:1] or plan[:1500],
+        )
