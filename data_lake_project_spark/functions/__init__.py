@@ -140,3 +140,39 @@ def reserve_columns(df, op_name: str, *names: str) -> None:
             "names are reserved by the operator (internal working "
             "space or output); rename them first"
         )
+
+
+def hash_embedding(col: Column | str, dim: int = 16) -> Column:
+    """Deterministic md5 feature-hash embedding: component ``j`` of
+    text ``s`` is ``(int(md5(s || ':' || j)[:8], 16) % 2001 - 1000)
+    / 1000.0`` — a pseudo-random but fully reproducible vector in
+    [-1, 1]^dim, derived from nothing but md5 (no model, no RNG).
+
+    This is the engine's stand-in for a learned text encoder where no
+    model runtime exists (the same role the deterministic fakes play
+    for OCR): it exercises the ENTIRE downstream vector stack —
+    ANN indexes, semantic dedup, retrieval — with oracle-checkable
+    values, because DuckDB computes the identical integer from
+    ``('0x' || substr(md5(..), 1, 8))::BIGINT``. The hex chunk fits a
+    BIGINT exactly, the modulus and division are exact integer then
+    correctly-rounded IEEE ops — bit-identical across engines.
+
+    Swap in a real encoder on a cluster by replacing this column with
+    a Pandas-UDF model call; every consumer is shape-compatible.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(c, F.lit(":"), j.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2001
+            - 1000
+        )
+        / 1000.0,
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from data_lake_project_spark.functions import (
     NUMERIC_FACT_RE,
     dec_sum,
+    hash_embedding,
     parse_number,
     pround,
     tokens,
@@ -639,6 +640,128 @@ def q140_bpe_tokenize(spark, sf):
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy(F.col("n").desc(), "token")
         .limit(50)
+    )
+
+
+def q141_ingest_pipeline(spark, sf):
+    """Capstone v2 — the production ingest path with the round-5
+    primitives composed end-to-end, fully oracle-checked: the
+    re-ingest batch (doc_id % 5 == 0) is (1) gated against the
+    standing corpus's MAINTAINED dedup index (q136's lane), (2)
+    quality-scored and cut at >= 0.6 (q30's composite), (3) tokenized
+    with the FIXED BPE merge table (q140's serving algebra) to get
+    real subword counts, and (4) admitted under a per-source token
+    BUDGET (q85's running-cumsum cut, but in learned subwords — the
+    unit a training mixture actually buys). One relational plan: band
+    equi-join gate → narrow scoring map → tokenizer map + one count
+    shuffle → per-source window. See operators.dedup_index /
+    text.quality_score / bpe.bpe_apply."""
+    from data_lake_project_spark.operators import text as TX
+    from data_lake_project_spark.operators.bpe import bpe_apply
+    from data_lake_project_spark.operators.dedup_index import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    d = load_table(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    fresh = dedup_against_index(build_dedup_index(corpus), batch)
+    kept = (
+        TX.quality_score(fresh)
+        .filter(F.col("quality") >= 0.6)
+        .select("doc_id", "quality")
+        .join(fresh.select("doc_id", "source", "text"), "doc_id")
+    )
+    ntoks = (
+        bpe_apply(kept, _Q140_MERGES)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_subtoks"))
+    )
+    staged = (
+        kept.select("doc_id", "source", "quality")
+        .join(ntoks, "doc_id", "left")
+        .na.fill({"n_subtoks": 0})
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        staged.withColumn(
+            "cum_subtoks", F.sum("n_subtoks").over(w).cast("long")
+        )
+        .filter(F.col("cum_subtoks") <= 1500)
+        .select("doc_id", "source", "quality", "n_subtoks", "cum_subtoks")
+        .orderBy("doc_id")
+    )
+
+
+# q142's retrieval queries — fixed strings, embedded with the same
+# deterministic hash encoder as the chunks (a real deployment swaps
+# the encoder for a model UDF; the retrieval plan is unchanged).
+_Q142_QUERIES = [
+    (1, "supplier quality metrics"),
+    (2, "customer order history"),
+    (3, "shipping delay analysis"),
+]
+
+
+def q142_chunk_retrieval(spark, sf):
+    """RAG-style retrieval, fully oracle-checked: chunk every document
+    into 32-token windows (q97's chunker), embed each chunk AND each
+    query string with the deterministic md5 hash-encoder
+    (``functions.hash_embedding`` — bit-identical on DuckDB), and
+    return the exact top-5 chunks per query by rounded cosine
+    (tie-break doc_id, chunk_id). The complete retrieval pipeline —
+    chunk → embed → score → rank — with zero model runtime and zero
+    Python in the plan; on a cluster the encoder column swaps for a
+    model UDF and everything downstream (incl. the ann_index serving
+    path) is shape-compatible."""
+    from data_lake_project_spark.operators.dataset import chunk_documents
+
+    d = load_table(spark, sf, "documents")
+    chunks = chunk_documents(d, chunk_size=32, overlap=8).select(
+        "doc_id",
+        "chunk_id",
+        hash_embedding("chunk_text", 16).alias("__v"),
+    )
+    c = chunks.withColumn(
+        "__cn",
+        F.sqrt(
+            F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)
+        ),
+    )
+    p = (
+        spark.createDataFrame(_Q142_QUERIES, "query_id int, qtext string")
+        .select("query_id", hash_embedding("qtext", 16).alias("__p"))
+        .withColumn(
+            "__pn",
+            F.sqrt(
+                F.aggregate("__p", F.lit(0.0), lambda a, x: a + x * x)
+            ),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("__p", "__v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = c.crossJoin(F.broadcast(p)).select(
+        "query_id",
+        "doc_id",
+        "chunk_id",
+        pround(dot / (F.col("__pn") * F.col("__cn")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "doc_id", "chunk_id"
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 5)
+        .drop("__rk")
+        .orderBy("query_id", "doc_id", "chunk_id")
     )
 
 
@@ -3437,6 +3560,8 @@ QUERIES: dict[str, QueryFn] = {
     "q138_bpe_vocab": q138_bpe_vocab,
     "q139_semantic_dedup": q139_semantic_dedup,
     "q140_bpe_tokenize": q140_bpe_tokenize,
+    "q141_ingest_pipeline": q141_ingest_pipeline,
+    "q142_chunk_retrieval": q142_chunk_retrieval,
     "q131_cluster_safe_split": q131_cluster_safe_split,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
@@ -6513,6 +6638,178 @@ ORACLE["q140_bpe_tokenize"] = f"""
     )
     SELECT token, count(*)::BIGINT AS n
     FROM t GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
+
+# q141: the capstone composes the q102 gate + q30 quality + q140
+# tokenizer + q85 budget oracles into one pipeline — each fragment is
+# the already-hash-green formula of its source query, verbatim.
+ORACLE["q141_ingest_pipeline"] = f"""
+    WITH {_SHINGLE_CTE},
+    sets AS (
+        SELECT doc_id, list_sort(list(DISTINCT shingle)) AS shs
+        FROM sh GROUP BY doc_id
+    ),
+    gate_cand AS (
+        SELECT DISTINCT b.doc_id AS bid, a.doc_id AS cid
+        FROM band b JOIN band a
+          ON a.band = b.band AND a.bandsig = b.bandsig
+        WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+    ),
+    dup AS (
+        SELECT DISTINCT c.bid FROM gate_cand c
+        JOIN sets x ON x.doc_id = c.bid
+        JOIN sets y ON y.doc_id = c.cid
+        WHERE len(list_intersect(x.shs, y.shs))::DOUBLE
+              / (len(x.shs) + len(y.shs)
+                 - len(list_intersect(x.shs, y.shs)))::DOUBLE >= 0.5
+    ),
+    fresh AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT bid FROM dup)
+    ),
+    qt AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM fresh
+    ),
+    qs AS (
+        SELECT doc_id,
+               length(text) AS n_chars_m,
+               len(toks) AS n_tokens,
+               len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+               len(list_filter(list_transform(toks, x -> lower(x)),
+                   x -> list_contains(
+                       ['the','a','of','and','to','in','is',
+                        'le','la','et','les','des','un','une',
+                        'el','y','los','de','una',
+                        'der','die','das','und','ein','zu','von',
+                        'de5','shi4','le5','zai4','he2','you3','wo3'], x)))
+                   AS n_stop
+        FROM qt
+    ),
+    qr AS (
+        SELECT doc_id,
+               floor(n_punct / greatest(n_chars_m, 1)::DOUBLE * 10000.0 + 0.5)
+                   / 10000.0 AS punct_ratio,
+               floor(n_stop / greatest(n_tokens, 1)::DOUBLE * 10000.0 + 0.5)
+                   / 10000.0 AS stop_ratio,
+               least(n_tokens::DOUBLE / 100.0, 1.0) AS length_term
+        FROM qs
+    ),
+    kept AS (
+        SELECT doc_id,
+               floor((0.5 * length_term + 0.3 * (1.0 - punct_ratio)
+                     + 0.2 * stop_ratio) * 10000.0 + 0.5) / 10000.0 AS quality
+        FROM qr
+        WHERE floor((0.5 * length_term + 0.3 * (1.0 - punct_ratio)
+                    + 0.2 * stop_ratio) * 10000.0 + 0.5) / 10000.0 >= 0.6
+    ),
+    bw0 AS (
+        SELECT f.doc_id,
+               unnest(regexp_split_to_array(lower(trim(f.text)), '\\s+')) AS w
+        FROM fresh f JOIN kept k ON k.doc_id = f.doc_id
+    ),
+    bw AS (
+        SELECT doc_id, replace(w, chr(31), '') AS w
+        FROM bw0 WHERE len(w) > 0
+    ),
+    bs AS (
+        SELECT doc_id,
+               array_to_string(
+                 list_transform(string_split(w, ''),
+                                c -> chr(31) || c || chr(31)),
+                 '') || chr(31) || '</w>' || chr(31) AS s
+        FROM bw
+    ),
+    bm AS (SELECT doc_id, {_q140_replace_chain('s')} AS s FROM bs),
+    nt AS (
+        SELECT doc_id,
+               sum(len(string_split(substring(s, 2, len(s) - 2),
+                                    chr(31) || chr(31))))::BIGINT AS n_subtoks
+        FROM bm GROUP BY doc_id
+    ),
+    staged AS (
+        SELECT k.doc_id, f.source, k.quality,
+               coalesce(nt.n_subtoks, 0)::BIGINT AS n_subtoks
+        FROM kept k
+        JOIN fresh f ON f.doc_id = k.doc_id
+        LEFT JOIN nt ON nt.doc_id = k.doc_id
+    ),
+    cum AS (
+        SELECT *, sum(n_subtoks) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_subtoks
+        FROM staged
+    )
+    SELECT doc_id, source, quality, n_subtoks, cum_subtoks
+    FROM cum WHERE cum_subtoks <= 1500 ORDER BY doc_id
+"""
+
+
+# q142: q97's chunking CTE + the hash-embedding formula (exact BIGINT
+# hex parse both engines) + q22's cosine/rank recipe.
+_Q142_EMBED = (
+    "list_transform(range(16), j -> "
+    "((('0x' || substr(md5({src} || ':' || j::VARCHAR), 1, 8))::BIGINT "
+    "% 2001 - 1000) / 1000.0))"
+)
+_Q142_QUERY_ROWS = ", ".join(
+    f"({qid}, '{qt}')" for qid, qt in _Q142_QUERIES
+)
+
+ORACLE["q142_chunk_retrieval"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> '') AS toks
+        FROM documents
+    ), c0 AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) <= 32 THEN 1
+                    ELSE CAST(floor((len(toks) - 32 + 23) / 24)
+                              AS BIGINT) + 1
+               END AS nc
+        FROM t
+    ), g AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, nc - 1)) AS chunk_id
+        FROM c0
+    ), ch AS (
+        SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+               array_to_string(
+                   toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+                   AS chunk_text
+        FROM g
+    ), cv AS (
+        SELECT doc_id, chunk_id,
+               {_Q142_EMBED.format(src="chunk_text")} AS v
+        FROM ch
+    ), cn AS (
+        SELECT doc_id, chunk_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM cv
+    ), q AS (
+        SELECT query_id,
+               {_Q142_EMBED.format(src="qtext")} AS p
+        FROM (VALUES {_Q142_QUERY_ROWS}) AS qq(query_id, qtext)
+    ), qn AS (
+        SELECT query_id, p,
+               sqrt(list_sum(list_transform(p, x -> x * x))) AS pn
+        FROM q
+    ), s AS (
+        SELECT qn.query_id, cn.doc_id, cn.chunk_id,
+               floor(list_sum(list_transform(range(len(cn.v)),
+                         i -> qn.p[i+1] * cn.v[i+1])) / (qn.pn * cn.nrm)
+                     * 10000.0 + 0.5) / 10000.0 AS cosine
+        FROM qn, cn
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, doc_id, chunk_id) AS rk
+        FROM s
+    )
+    SELECT query_id, doc_id, chunk_id, cosine
+    FROM r WHERE rk <= 5 ORDER BY query_id, doc_id, chunk_id
 """
 
 

@@ -40,6 +40,9 @@ BNLJ_ALLOWED: set[str] = {
     # ADC scan: tiny per-probe lookup tables broadcast against the
     # encoded corpus — m adds per pair, the PQ payoff.
     "q129_pq_topk",
+    # exact retrieval: 3 hash-embedded query vectors broadcast against
+    # the chunk stream — the q22 shape over chunk embeddings.
+    "q142_chunk_retrieval",
     # 1-row corpus-count literal joined onto per-doc tf counts.
     "q45_tfidf_topterms",
     # 1-row total-count scalar joined onto vocab-sized term counts.
