@@ -59,6 +59,15 @@ class AnnIndex:
     resolution dots against unit centroids). ``codes`` schema by kind:
     ``ivf`` (id, __bucket, __v, __nrm), ``pq`` (id, __codes),
     ``ivfpq`` (id, __bucket, __codes).
+
+    ``persisted``: True iff ``codes`` is a parquet scan of a saved
+    index (set by load/apply). Gates the ivf search's driver-side
+    bucket pre-filter: on a scan it is compile-time partition
+    pruning; on a freshly-BUILT index it would instead be predicate-
+    pushed through the assignment projection, substituting the whole
+    centroid-scoring-over-embedding tree into the Filter and
+    re-evaluating it per row (measured 15 s vs 0.9 s on q143's
+    chunk-embed corpus).
     """
 
     kind: str
@@ -66,6 +75,7 @@ class AnnIndex:
     centroids: list | None
     codebooks: list | None
     codes: DataFrame
+    persisted: bool = False
 
 
 def build_ann_index(
@@ -199,11 +209,10 @@ def search_ann_index(
             p["id_col"],
             p["vec_col"],
             probe_id_col,
-            # persisted codes are a bucket-partitioned scan: resolving
-            # the probe buckets driver-side (tiny bounded job) turns
-            # the join's implicit restriction into compile-time
-            # partition pruning
-            prune_scan=True,
+            # only a persisted (scan-backed) codes table benefits:
+            # see the ``persisted`` field docstring for the built-
+            # index pushdown trap this gates against
+            prune_scan=index.persisted,
         )
     cb = np.asarray(index.codebooks, dtype=float)
     dsub = cb.shape[2]
@@ -313,4 +322,5 @@ def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
         model["centroids"],
         model["codebooks"],
         codes,
+        persisted=True,
     )

@@ -2650,3 +2650,27 @@ def test_bpe_apply_matches_reference(spark):
                 for t in _reference_bpe_tokenize(w, merges):
                     want[(r.doc_id, t)] += 1
     assert got == want and len(got) > 0
+
+
+def test_ann_chunk_retrieval_recall_vs_exact(spark):
+    """q143's quality contract: the IVF-served retrieval must recover
+    >= 0.6 of q142's exact top-5 chunk set at sf0.001 (measured 0.93
+    with 8 buckets / nprobe=4), and be deterministic."""
+    from data_lake_project_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.query_id, r.doc_id, r.chunk_id)
+        for r in QUERIES["q142_chunk_retrieval"](spark, sf).collect()
+    }
+    ann = {
+        (r.query_id, r.doc_id, r.chunk_id)
+        for r in QUERIES["q143_ann_chunk_retrieval"](spark, sf).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.6, f"ANN retrieval recall too low: {recall}"
+    again = {
+        (r.query_id, r.doc_id, r.chunk_id)
+        for r in QUERIES["q143_ann_chunk_retrieval"](spark, sf).collect()
+    }
+    assert again == ann
