@@ -107,6 +107,12 @@ def build_ann_index(
     if kind == "ivf":
         iters = 1 if lloyd_iters is None else lloyd_iters
         sample_size = max(n_centroids * 32, 256)
+    elif kind == "pq":
+        iters = 8 if lloyd_iters is None else lloyd_iters
+        # n_centroids is irrelevant to a plain PQ index; folding it in
+        # would train on a DIFFERENT sample than pq_topk and break the
+        # round-trip == inline guarantee for non-default parameters
+        sample_size = max(n_codes * 32, 256)
     else:
         iters = 8 if lloyd_iters is None else lloyd_iters
         sample_size = max(n_codes * 32, n_centroids * 32, 256)
@@ -185,6 +191,7 @@ def search_ann_index(
     k: int = 10,
     nprobe: int | None = None,
     probe_id_col: str = "probe_id",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Serve a probe batch against a built (or reloaded) index — NO
     training, NO corpus encode: the only distributed work is the
@@ -195,6 +202,14 @@ def search_ann_index(
     Output matches the inline operators: (probe_id, id, cosine) for
     ivf, (probe_id, id, score) for pq/ivfpq — ranked
     (rounded metric DESC, id ASC).
+
+    ``exclude_self`` (ivf only): drop rows whose probe id equals the
+    corpus id. OFF by default — a serving path's probe ids usually
+    live in their own namespace (q143's query ids would collide with
+    packed chunk ids and silently drop real rows); turn it on ONLY
+    when probes are corpus members under the same id namespace, which
+    recovers the inline ``ivf_topk`` output exactly (CI-pinned).
+    PQ/IVFPQ have no self-filter in either lane.
     """
     import numpy as np
 
@@ -213,6 +228,7 @@ def search_ann_index(
             # see the ``persisted`` field docstring for the built-
             # index pushdown trap this gates against
             prune_scan=index.persisted,
+            exclude_self=exclude_self,
         )
     cb = np.asarray(index.codebooks, dtype=float)
     dsub = cb.shape[2]

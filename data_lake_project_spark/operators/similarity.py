@@ -401,12 +401,10 @@ def ivf_topk(
             raise ValueError(
                 f"ivf_topk: embedding width {sample.shape[1]} != dim={dim}"
             )
-        seeds = sample[:n_centroids].copy()
-    # One (or more) Lloyd steps under cosine: assign sample rows to the
-    # nearest-by-cosine seed, replace each seed with its cluster mean.
-    # Empty clusters keep their previous centroid. Deterministic ties:
-    # argmax takes the lowest centroid index.
-    if centroids is None:
+        # One (or more) Lloyd steps under cosine from lowest-id seeds:
+        # assign sample rows to the nearest-by-cosine seed, replace each
+        # seed with its cluster mean. Empty clusters keep their previous
+        # centroid. Deterministic ties: argmax takes the lowest index.
         seeds = _train_cosine_centroids(
             sample, n_centroids, max(0, lloyd_iters)
         )
@@ -423,6 +421,9 @@ def ivf_topk(
         id_col,
         vec_col,
         probe_id_col,
+        # inline contract (q22/q33/q37 family): probes ARE corpus
+        # members under the same id namespace — self-matches excluded
+        exclude_self=True,
     )
 
 
@@ -790,16 +791,29 @@ def _adc_search(
         ]
         if bucketed:
             order = np.argsort(-(cent_unit @ p))
-            for b in order[:nprobe]:
-                rows.append((r[0], int(b), lut))
+            rows.append((r[0], [int(b) for b in order[:nprobe]], lut))
         else:
             rows.append((r[0], lut))
-    # probe-id type follows the input (string/int probe ids both work)
+    # probe-id type follows the input (string/int probe ids both work).
+    # Bucketed: ONE row per probe with its bucket LIST, exploded
+    # JVM-side — shipping the (m*n_codes)-double LUT once per probe
+    # instead of once per probed bucket (nprobe x smaller driver
+    # payload; external review finding, round 5).
     pid_t = dict(probes.dtypes)[probe_id_col]
-    bucket_field = "__bucket int, " if bucketed else ""
-    lut_df = probes.sparkSession.createDataFrame(
-        rows, f"{probe_id_col} {pid_t}, {bucket_field}__lut array<double>"
-    )
+    if bucketed:
+        lut_df = probes.sparkSession.createDataFrame(
+            rows,
+            f"{probe_id_col} {pid_t}, __buckets array<int>, "
+            "__lut array<double>",
+        ).select(
+            probe_id_col,
+            F.explode("__buckets").alias("__bucket"),
+            "__lut",
+        )
+    else:
+        lut_df = probes.sparkSession.createDataFrame(
+            rows, f"{probe_id_col} {pid_t}, __lut array<double>"
+        )
     if bucketed:
         # The probed buckets are known driver-side, so prune the
         # corpus with a STATIC In-filter before the join: on a
@@ -810,7 +824,9 @@ def _adc_search(
         # DPP doesn't fire here: the build side is an unfiltered local
         # relation, which fails Spark's selective-predicate heuristic.)
         encoded = encoded.filter(
-            F.col("__bucket").isin(sorted({r[1] for r in rows}))
+            F.col("__bucket").isin(
+                sorted({b for r in rows for b in r[1]})
+            )
         )
     score = F.aggregate(
         F.sequence(F.lit(0), F.lit(m_subspaces - 1)),
@@ -925,6 +941,7 @@ def _ivf_search(
     vec_col,
     probe_id_col,
     prune_scan: bool = False,
+    exclude_self: bool = False,
 ):
     """Exact-cosine search over an IVF-assigned corpus: probes resolve
     their ``nprobe`` closest centroid buckets (same literal-expression
@@ -933,6 +950,16 @@ def _ivf_search(
     candidates. ``codes`` carries (id, __bucket, __v, __nrm) — the
     norms computed ONCE at index time ride along instead of being
     recomputed per joined pair.
+
+    ``exclude_self``: drop rows where probe id == corpus id — correct
+    ONLY when probes are drawn from the corpus under the SAME id
+    namespace (the inline ``ivf_topk`` contract, q37). A serving path
+    whose probe ids live in a different namespace (q143 packs chunk
+    ids; query ids 1..3 collide with real chunk ids) must leave this
+    OFF or colliding ids silently drop legitimate corpus rows — and a
+    string-probe-id vs bigint-corpus-id comparison would raise under
+    ANSI. The PQ/IVFPQ lanes never had an implicit self-filter; False
+    here makes the kinds consistent.
 
     ``prune_scan``: collect the probes' resolved buckets (one tiny
     bounded job — probes are a handful by contract) and pre-filter
@@ -993,9 +1020,9 @@ def _ivf_search(
         / (F.col("__pn") * F.col("__cn")),
         4,
     )
-    joined = joined.filter(
-        F.col(probe_id_col) != F.col(id_col)
-    ).withColumn("cosine", sim)
+    if exclude_self:
+        joined = joined.filter(F.col(probe_id_col) != F.col(id_col))
+    joined = joined.withColumn("cosine", sim)
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)
     )

@@ -2348,15 +2348,29 @@ def test_ann_index_roundtrip_matches_inline_operators(spark, tmp_path):
         "ivfpq": rows(ivfpq_topk(e, probes, k=7, dim=64)),
     }
     for kind in ("ivf", "pq", "ivfpq"):
+        # probes here ARE corpus members in the same id namespace, so
+        # the ivf inline contract (self-matches excluded) is recovered
+        # with exclude_self=True; pq/ivfpq never self-filter
+        kw = {"exclude_self": True} if kind == "ivf" else {}
         idx = build_ann_index(e, kind=kind, dim=64)
         # fresh build searches identically to the inline operator
-        assert rows(search_ann_index(idx, probes, k=7)) == inline[kind]
+        assert rows(search_ann_index(idx, probes, k=7, **kw)) == inline[kind]
         # persist → reload → search: still identical
         path = str(tmp_path / f"annidx_{kind}")
         save_ann_index(idx, path)
         re = load_ann_index(spark, path)
         assert re.kind == kind and re.params == idx.params
-        assert rows(search_ann_index(re, probes, k=7)) == inline[kind]
+        assert rows(search_ann_index(re, probes, k=7, **kw)) == inline[kind]
+        if kind == "ivf":
+            # default (serving) semantics: NO implicit self-filter —
+            # each corpus-member probe's own vector is its top hit
+            served = search_ann_index(re, probes, k=7).collect()
+            tops = {}
+            for r in sorted(
+                served, key=lambda r: (r.probe_id, -r.cosine, r.vec_id)
+            ):
+                tops.setdefault(r.probe_id, r.vec_id)
+            assert all(pid == vid for pid, vid in tops.items())
 
 
 def test_ann_index_apply_incremental_equals_rebuild(spark, tmp_path):
@@ -2406,6 +2420,38 @@ def test_ann_index_apply_incremental_equals_rebuild(spark, tmp_path):
             for r in search_ann_index(folded, probes, k=7).collect()
         )
         assert got == want
+
+
+def test_ann_index_pq_roundtrip_nondefault_params(spark):
+    """The pq build must train on the SAME bounded sample as the
+    inline pq_topk regardless of the (pq-irrelevant) n_centroids
+    parameter — a mismatched sample size trains different codebooks
+    and silently breaks the round-trip == inline guarantee (external
+    review finding, round 5)."""
+    from data_lake_project_spark.operators.ann_index import (
+        build_ann_index,
+        search_ann_index,
+    )
+    from data_lake_project_spark.operators.similarity import pq_topk
+    from data_lake_project_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = e.filter("vec_id < 3").selectExpr(
+        "vec_id AS probe_id", "embedding"
+    )
+    inline = sorted(
+        tuple(r)
+        for r in pq_topk(
+            e, probes, k=5, m_subspaces=8, n_codes=8, dim=64
+        ).collect()
+    )
+    idx = build_ann_index(
+        e, kind="pq", m_subspaces=8, n_codes=8, n_centroids=128, dim=64
+    )
+    got = sorted(
+        tuple(r) for r in search_ann_index(idx, probes, k=5).collect()
+    )
+    assert got == inline
 
 
 def test_ann_index_build_validations(spark):
