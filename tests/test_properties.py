@@ -711,3 +711,110 @@ def test_ivm_apply_equals_recompute(spark, changes):
         if n != 0
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round 5: BPE algebra — distributed fold / string-replace tokenizer
+# vs the pure-Python reference on arbitrary corpora
+# ---------------------------------------------------------------------------
+
+words = st.text(alphabet="abcde", min_size=1, max_size=7)
+
+
+def _ref_bpe_train(word_counts, k, min_count=2):
+    vocab = {}
+    for w, n in word_counts.items():
+        key = tuple(list(w) + ["</w>"])
+        vocab[key] = vocab.get(key, 0) + n
+    merges = []
+    for step in range(1, k + 1):
+        pairs = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + n
+                )
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((step, a, b, a + b, cnt))
+        nv = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + n
+        vocab = nv
+    return merges
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(words, min_size=1, max_size=30))
+def test_bpe_train_matches_reference_on_random_corpora(spark, corpus):
+    """The distributed merge loop (weighted pair explode + min-struct
+    winner + JVM fold) must equal the reference index-walk BPE on
+    ARBITRARY word lists — repeats, overlapping pairs ("aaa"),
+    single-char words, tie storms on a 5-letter alphabet."""
+    from collections import Counter
+
+    from data_lake_project_spark.operators.bpe import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(corpus))], "doc_id long, text string"
+    )
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_merges(docs, k_merges=6).collect()
+    ]
+    assert got == _ref_bpe_train(Counter(corpus), 6)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(words, min_size=1, max_size=15),
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcde", min_size=1, max_size=2),
+            st.text(alphabet="abcde", min_size=1, max_size=2),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_bpe_apply_matches_reference_on_random_merges(
+    spark, corpus, merges
+):
+    """The separator-wrapped string-replace tokenizer must equal the
+    reference per-word merge walk for ARBITRARY (even nonsensical)
+    merge tables — including merges whose parts never occur, overlap
+    ("a","a"), or chain into each other."""
+    from collections import Counter
+
+    from data_lake_project_spark.operators.bpe import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(corpus))], "doc_id long, text string"
+    )
+    got = Counter(r.token for r in bpe_apply(docs, merges).collect())
+    want = Counter()
+    for w in corpus:
+        syms = list(w) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        want.update(syms)
+    assert got == want
