@@ -1325,3 +1325,107 @@ def test_streaming_ingest_composes_persisted_dedup_and_ann_indexes(
     assert streamed[0] == [102, 104]
     # every survivor got k=3 neighbors from the persisted ANN index
     assert len(streamed[1]) == 6
+
+
+def test_streaming_embedding_ingest_folds_into_persisted_ann_index(
+    spark, tmp_path
+):
+    """Growing-corpus serving loop, streamed: each micro-batch of new
+    embeddings is FIRST searched against the persisted ANN index
+    (serve-before-ingest — the dedupe/link step a pipeline runs on
+    arrivals) and THEN folded in with the O(delta) ann_index_apply,
+    so a later batch can retrieve an earlier batch's vectors. Search
+    results and the final index must equal the batch twin run over
+    the same micro-batches in order."""
+    import glob as _glob
+
+    from data_lake_project_spark.operators.ann_index import (
+        ann_index_apply,
+        build_ann_index,
+        load_ann_index,
+        save_ann_index,
+        search_ann_index,
+    )
+
+    def emb(i):
+        return [float((i * 5 + j * 7) % 11) for j in range(16)]
+
+    base_rows = [(i, emb(i)) for i in range(20)]
+    b1 = [(100, emb(100)), (101, emb(101))]
+    b2 = [(102, emb(100)), (103, emb(103))]  # 102 duplicates 100's vector
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(base_rows, schema)
+
+    def run(tag, via_stream):
+        path = str(tmp_path / f"grow_ann_{tag}")
+        save_ann_index(
+            build_ann_index(
+                corpus, kind="ivf", n_centroids=4, dim=16
+            ),
+            path,
+        )
+        hits_sink = str(tmp_path / f"hits_{tag}")
+
+        def handle(batch_df, batch_id):
+            s = batch_df.sparkSession
+            rows = batch_df.collect()  # test-sized
+            if not rows:
+                return
+            probes = s.createDataFrame(rows, schema).selectExpr(
+                "vec_id AS probe_id", "embedding"
+            )
+            idx = load_ann_index(s, path)
+            search_ann_index(idx, probes, k=3, nprobe=2).write.mode(
+                "append"
+            ).parquet(hits_sink)
+            ann_index_apply(s, path, s.createDataFrame(rows, schema))
+
+        if via_stream:
+            src = str(tmp_path / f"grow_src_{tag}")
+            os.makedirs(src)
+            base = 1_700_000_000
+            for i, rows in enumerate((b1, b2)):
+                part = str(tmp_path / f"grow_stage_{tag}_{i}")
+                spark.createDataFrame(rows, schema).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(part)
+                for f in sorted(_glob.glob(f"{part}/part-*.parquet")):
+                    dst = os.path.join(src, f"{i:02d}.parquet")
+                    shutil.copy(f, dst)
+                    os.utime(dst, (base + i, base + i))
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(handle)
+                .option(
+                    "checkpointLocation", str(tmp_path / f"gck_{tag}")
+                )
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        else:
+            for i, rows in enumerate((b1, b2)):
+                handle(spark.createDataFrame(rows, schema), i)
+
+        hits = sorted(
+            tuple(r) for r in spark.read.parquet(hits_sink).collect()
+        )
+        final = sorted(
+            r.vec_id
+            for r in load_ann_index(spark, path).codes.select(
+                "vec_id"
+            ).collect()
+        )
+        return hits, final
+
+    streamed = run("s", via_stream=True)
+    batched = run("b", via_stream=False)
+    assert streamed == batched
+    # the fold did its job: batch-2's probe 102 (a copy of 100's
+    # vector) retrieves batch-1's vector 100 from the grown index
+    hit_pairs = {(r[0], r[1]) for r in streamed[0]}
+    assert (102, 100) in hit_pairs
+    # and the final index holds base + both batches
+    assert streamed[1] == sorted(list(range(20)) + [100, 101, 102, 103])
