@@ -12,6 +12,13 @@ or refactoring queries. Red flags, each of which has bitten a round:
   up exchanges it didn't have.
 - Python eval nodes (BatchEvalPython / ArrowEvalPython) — a Python
   UDF slipped into a hot path that should be JVM-only.
+- A nested-type (array/map/struct) column in a declared query's
+  OUTPUT schema — pandas-based result canonicalizers (the external
+  verifier's sort_values/hash path) raise ``unhashable type`` on
+  list cells, so such a query fails verification even when its
+  values are correct (the q55 round-5 incident). Declared outputs
+  are scalars-only; emit ``array_join``/``to_json`` projections and
+  keep typed nested results on the operator API.
 
 Usage: python scripts/audit_plans.py [sf_dir]   (exit 1 on any flag)
 """
@@ -59,6 +66,18 @@ BNLJ_ALLOWED: set[str] = {
 }
 
 
+def audit_schema(name: str, schema) -> list[str]:
+    """Scalars-only output contract for declared queries (see module
+    docstring): flag any top-level nested-type column."""
+    from pyspark.sql import types as T
+
+    return [
+        f"nested-output-column {f.name}:{f.dataType.simpleString()}"
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def audit(name: str, plan: str) -> list[str]:
     flags = []
     if "CartesianProduct" in plan:
@@ -88,12 +107,13 @@ def main() -> int:
     bad = 0
     for name, fn in sorted(QUERIES.items()):
         try:
-            plan = explain_str(fn(spark, sf))
+            df = fn(spark, sf)
+            plan = explain_str(df)
         except Exception as e:  # noqa: BLE001
             print(f"FLAG {name}: explain failed: {e}")
             bad += 1
             continue
-        flags = audit(name, plan)
+        flags = audit(name, plan) + audit_schema(name, df.schema)
         if flags:
             bad += 1
             print(f"FLAG {name}: {', '.join(flags)}")

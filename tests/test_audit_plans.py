@@ -17,7 +17,7 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "scripts")
 )
 
-from audit_plans import audit  # noqa: E402
+from audit_plans import audit, audit_schema  # noqa: E402
 
 from data_lake_project_spark.plans import explain_str
 from data_lake_project_spark.queries import QUERIES
@@ -28,6 +28,7 @@ from conftest import SF_DIR
 @pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_plan_has_no_scale_red_flags(name, spark, request):
-    plan = explain_str(QUERIES[name](spark, SF_DIR))
-    flags = audit(name, plan)
+    df = QUERIES[name](spark, SF_DIR)
+    plan = explain_str(df)
+    flags = audit(name, plan) + audit_schema(name, df.schema)
     assert not flags, f"{name}: {', '.join(flags)}\n{plan[:4000]}"
