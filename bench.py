@@ -58,6 +58,15 @@ def main() -> None:
         "SELECT max(rn) FROM (SELECT row_number() OVER "
         "(PARTITION BY id % 4 ORDER BY id) AS rn FROM range(1000))"
     ).collect()
+    # Warm the hash/codegen expression path: the first md5/xxhash-heavy
+    # query in a session pays JIT + codegen compilation that isn't its
+    # plan's cost (round-5 driver sweep: the rotated head q46/q47 read
+    # 3.7-4.7x their warm medians purely from this — the round-4 suite
+    # head tax moved with the head).
+    spark.sql(
+        "SELECT max(length(m)), bit_xor(xxhash64(m)) FROM "
+        "(SELECT md5(cast(id AS string)) AS m FROM range(10000))"
+    ).collect()
     # Warm the Python worker pool too: the first pandas-UDF query in a
     # session otherwise eats ~1.5s of daemon/worker spinup that isn't
     # its plan's cost (measured on q28b: 2.2s cold vs 0.7s warm).

@@ -284,7 +284,10 @@ def save_ann_index(index: AnnIndex, path: str) -> None:
 
 
 def ann_index_apply(
-    spark: SparkSession, path: str, new_corpus: DataFrame
+    spark: SparkSession,
+    path: str,
+    new_corpus: DataFrame,
+    assume_new_ids: bool = False,
 ) -> AnnIndex:
     """Persisted O(delta) maintenance fold — the growing-corpus story:
     encode ONLY ``new_corpus`` with the SAVED model (no retraining —
@@ -293,8 +296,12 @@ def ann_index_apply(
     codes next to the standing ones. The standing corpus is never
     re-read, re-encoded, or reshuffled. Returns the reloaded index.
 
-    Caller contract: ``new_corpus`` ids are new to the index (gate
-    upstream); appending an existing id would duplicate its code row.
+    By default the delta is anti-joined against the stored code ids
+    first, so a replayed/overlapping batch folds in as a no-op instead
+    of silently duplicating code rows (which would duplicate search
+    results). The guard joins only the id column of the codes table
+    (column-pruned scan). Callers that already gated the batch
+    upstream can pass ``assume_new_ids=True`` to skip it.
     Incremental ≡ full rebuild is CI-pinned (same model → the encode
     is a pure deterministic map, so fold order cannot matter).
     """
@@ -302,6 +309,9 @@ def ann_index_apply(
 
     idx = load_ann_index(spark, path)
     p = idx.params
+    if not assume_new_ids:
+        existing = idx.codes.select(p["id_col"]).distinct()
+        new_corpus = new_corpus.join(existing, p["id_col"], "left_anti")
     if idx.kind == "ivf":
         delta = _ivf_assign(
             new_corpus, idx.centroids, p["id_col"], p["vec_col"]

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_lake_project_spark.functions import tokens
+from data_lake_project_spark.functions import pround, tokens
 
 END_OF_WORD = "</w>"
 
@@ -84,6 +84,7 @@ def bpe_merges(
     text_col: str = "text",
     min_pair_count: int = 2,
     lowercase: bool = True,
+    vocab_partitions: int | None = None,
 ) -> DataFrame:
     """Learn up to ``k_merges`` BPE merges over the corpus.
 
@@ -99,17 +100,27 @@ def bpe_merges(
 
     Deterministic: winner = max count, ties broken (left, right)
     ascending — a total order, no RNG.
+
+    ``vocab_partitions`` sizes the compacted vocabulary frame each of
+    the k iteration jobs runs over. Default: a quarter of
+    ``defaultParallelism``, floored at 8 — on local[32] that is the
+    measured sweet spot (each merge job schedules a handful of tasks,
+    not a corpus-wide wave), and on a 1000-core cluster it scales the
+    per-iteration parallelism with the cluster instead of serializing
+    a billion-word vocabulary through 8 tasks.
     """
     if k_merges < 1:
         raise ValueError("bpe_merges: k_merges must be >= 1")
     vocab = word_vocab(docs, text_col, lowercase=lowercase)
     # The vocabulary is Heaps'-law sized (orders of magnitude smaller
     # than the corpus): pack it into few partitions so each of the k
-    # iteration jobs schedules a handful of tasks, not a corpus-wide
-    # task wave. 8 partitions ~ tens of millions of words headroom; a
-    # genuinely huge vocab just means more partitions, same plan.
+    # iteration jobs schedules few tasks, not a corpus-wide task wave.
+    if vocab_partitions is None:
+        vocab_partitions = max(
+            8, docs.sparkSession.sparkContext.defaultParallelism // 4
+        )
     cur = (
-        vocab.coalesce(8)
+        vocab.coalesce(vocab_partitions)
         .select(
             F.concat(
                 F.split("__w", ""), F.array(F.lit(END_OF_WORD))
@@ -213,4 +224,51 @@ def bpe_apply(
     )
     return out.select(
         F.col(id_col), F.explode(toks).alias("token")
+    )
+
+
+def subword_compression(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document subword compression ratio under a fixed merge
+    table: ``n_subtoks / n_chars`` — the tokens-per-character quality
+    signal a curation pipeline uses to flag text the tokenizer
+    compresses poorly (gibberish, foreign scripts, binary spill all
+    tokenize near one subword per character; clean in-domain prose
+    compresses far below that). Documents with no tokens get
+    ``n_subtoks = 0``; documents with empty text are excluded (no
+    denominator).
+
+    Output: (id, n_subtoks, n_chars, compression) — ratio
+    ``pround(.., 4)``, char count = ``length(text)``.
+
+    Scale: rides :func:`bpe_apply`'s narrow zero-UDF map plus one
+    doc-keyed count shuffle; the length projection never leaves the
+    row.
+    """
+    counts = (
+        bpe_apply(docs, merges, text_col=text_col, id_col=id_col)
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_subtoks"))
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    ).filter(F.col("n_chars") > 0)
+    return (
+        base.join(counts, id_col, "left")
+        .na.fill({"n_subtoks": 0})
+        .select(
+            id_col,
+            "n_subtoks",
+            "n_chars",
+            pround(
+                F.col("n_subtoks").cast("double")
+                / F.col("n_chars").cast("double"),
+                4,
+            ).alias("compression"),
+        )
     )

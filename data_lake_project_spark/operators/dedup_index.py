@@ -128,18 +128,34 @@ def load_dedup_index(spark: SparkSession, path: str) -> DedupIndex:
 
 
 def dedup_index_apply(
-    spark: SparkSession, path: str, new_docs: DataFrame
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    assume_new_ids: bool = False,
 ) -> DedupIndex:
     """Persisted O(delta) maintenance fold: index ONLY ``new_docs``
     and APPEND to the stored band/set tables — the standing corpus's
     rows are never read, recomputed, or reshuffled (parquet append
     writes new files next to the old ones). Returns the reloaded
-    index. Caller contract: ``new_docs`` ids are new to the index
-    (gate the batch with :func:`dedup_against_index` / an anti-join
-    first, as q102 does) — appending an existing id would double its
-    bands."""
+    index.
+
+    By default the delta is anti-joined against the stored id set
+    first, so a replayed/overlapping batch folds in as a no-op instead
+    of silently doubling an id's band rows (which would inflate every
+    future candidate set). The guard is one bounded join against the
+    distinct stored ids — id-count-sized, not corpus-content-sized.
+    Callers that already gated the batch (q102's
+    :func:`dedup_against_index` + anti-join ingest shape) can pass
+    ``assume_new_ids=True`` to skip it."""
     path = path.rstrip("/")
     params = json.loads(fs.read_text(spark, f"{path}/params.json"))
+    if not assume_new_ids:
+        existing = (
+            spark.read.parquet(f"{path}/bands")
+            .select(params["id_col"])
+            .distinct()
+        )
+        new_docs = new_docs.join(existing, params["id_col"], "left_anti")
     delta = build_dedup_index(
         new_docs,
         k=params["k"],

@@ -37,6 +37,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     digits: int = 6,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Simplified PageRank (the classic Spark-examples formulation):
     ``rank = (1-d) + d * sum(rank(in-neighbor) / outdeg)``, iterated
@@ -46,6 +47,15 @@ def pagerank(
 
     Edge node ids must be comparable/hashable columns (cast mixed
     domains to tagged strings first so keys can't collide).
+
+    ``stats``: pass a dict to receive observability fields (filled in
+    place, like ``connected_components``): ``iters`` = iterations run
+    (always the requested count — fixed-iteration PageRank has no
+    convergence test), ``n_nodes`` / ``n_edges`` = graph size after
+    the edge projection. At scale, cost per iteration = one
+    co-partitioned join of the edge set with the rank vector + one
+    partial-agg'd groupBy — iterations × edge count is the job's cost
+    model.
     """
     if iters < 1:
         raise ValueError("pagerank: iters must be >= 1")
@@ -64,6 +74,10 @@ def pagerank(
     )
     outdeg = ecp.groupBy("__src").agg(F.count("*").alias("__deg"))
     e = ecp.join(outdeg, "__src").localCheckpoint(eager=True)
+    if stats is not None:
+        stats["iters"] = iters
+        stats["n_nodes"] = nodes.count()
+        stats["n_edges"] = ecp.count()
     ranks = nodes.withColumn("rank", F.lit(1.0))
     base = 1.0 - damping
     for _ in range(iters):

@@ -48,6 +48,15 @@ def ewma_residual(
     before its ring-buffer fold), so the bit-identical equivalence
     claim holds on null-bearing streams too. ``alpha`` should be a
     power of two for cross-engine bit-exactness.
+
+    .. versionchanged:: round 5
+       Previously a NULL-value row OCCUPIED a lag slot (its slot
+       contributed nothing but shifted later lags) and output rows
+       came out in the window's order. Now NULL rows are skipped
+       entirely (stream-twin parity) and the output is the unordered
+       union of scored + passthrough rows — order it explicitly.
+       Consumers of ``ewma_prev``/``resid`` on null-bearing series get
+       different (more useful) values than pre-round-5 callers did.
     """
     reserve_columns(df, "ewma_residual", "ewma_prev", "resid")
     # lag over the null-filtered projection: a NULL value must not

@@ -551,12 +551,15 @@ def q133_ivfpq_topk(spark, sf):
 
 
 def _dataset_fingerprint(sf: str, table: str) -> str:
-    """Cheap driver-side content fingerprint of a fixture table
-    (file names, sizes, mtimes) folded into /tmp index-cache keys, so
-    a cached artifact is REBUILT when the underlying data changes
-    instead of silently serving results from a previous corpus. Local
-    paths only — which is what the /tmp build-if-absent lifecycle is
-    for; a cluster deployment versions its indexes explicitly."""
+    """Driver-side CONTENT fingerprint of a fixture table folded into
+    /tmp index-cache keys, so a cached artifact is REBUILT when the
+    underlying data changes instead of silently serving results from a
+    previous corpus. Hashes actual bytes (full file below 16 MB, else
+    size + head/tail 1 MB samples) — size+mtime alone missed an
+    in-place regeneration with identical sizes inside the same mtime
+    second (external review finding, round 5). Local paths only —
+    which is what the /tmp build-if-absent lifecycle is for; a cluster
+    deployment versions its indexes explicitly."""
     import glob as _glob
     import hashlib as _hashlib
     import os as _os
@@ -567,9 +570,49 @@ def _dataset_fingerprint(sf: str, table: str) -> str:
         _glob.glob(base)
         + _glob.glob(_os.path.join(base, "**", "*"), recursive=True)
     ):
-        st = _os.stat(pth)
-        h.update(f"{pth}|{st.st_size}|{int(st.st_mtime)}".encode())
+        if _os.path.isdir(pth):
+            h.update(f"{pth}|dir".encode())
+            continue
+        size = _os.path.getsize(pth)
+        h.update(f"{pth}|{size}".encode())
+        with open(pth, "rb") as fh:
+            if size <= 16 * 1024 * 1024:
+                for block in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(block)
+            else:
+                h.update(fh.read(1 << 20))
+                fh.seek(-(1 << 20), _os.SEEK_END)
+                h.update(fh.read(1 << 20))
     return h.hexdigest()[:12]
+
+
+def _publish_if_absent(spark, path: str, build_fn) -> None:
+    """Single-winner build-if-absent publish for /tmp index caches:
+    build into a unique temp directory next to ``path`` and atomically
+    ``os.rename`` it in. Concurrent runs never observe a half-written
+    index (readers either see nothing — and build their own — or a
+    fully-published directory), and a published path is never
+    overwritten in place (a changed fixture changes the fingerprint
+    and therefore the path). The loser of a publish race deletes its
+    temp build and reads the winner's."""
+    import errno as _errno
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from data_lake_project_spark import fs
+
+    if fs.exists(spark, f"{path}/model.json"):
+        return
+    tmp = f"{path}.build-{_os.getpid()}-{_uuid.uuid4().hex[:8]}"
+    build_fn(tmp)
+    try:
+        _os.rename(tmp, path)
+    except OSError as exc:
+        # ENOTEMPTY/EEXIST: another run published first — use theirs
+        if exc.errno not in (_errno.ENOTEMPTY, _errno.EEXIST):
+            raise
+        _shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q137_ann_index_search(spark, sf):
@@ -581,7 +624,6 @@ def q137_ann_index_search(spark, sf):
     search ≡ inline equality is CI-pinned
     (test_ann_index_roundtrip_matches_inline_operators). See
     ``operators.ann_index``."""
-    from data_lake_project_spark import fs
     from data_lake_project_spark.operators.ann_index import (
         build_ann_index,
         load_ann_index,
@@ -591,13 +633,20 @@ def q137_ann_index_search(spark, sf):
 
     e = load_table(spark, sf, "embeddings")
     # v2 layout: codes partitionBy(__bucket) → searches partition-
-    # prune; the data fingerprint in the key forces a rebuild when the
-    # fixture changes (a stale index would silently serve old results)
+    # prune; the content fingerprint in the key forces a rebuild when
+    # the fixture changes (a stale index would silently serve old
+    # results) and the temp-build + atomic-rename publish keeps
+    # concurrent runs from ever reading a half-written index
     tag = sf.rstrip("/").replace("/", "_").replace(".", "_")
     fp = _dataset_fingerprint(sf, "embeddings")
     path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_ivfpq_16x16x64"
-    if not fs.exists(spark, f"{path}/model.json"):
-        save_ann_index(build_ann_index(e, kind="ivfpq", dim=64), path)
+    _publish_if_absent(
+        spark,
+        path,
+        lambda tmp: save_ann_index(
+            build_ann_index(e, kind="ivfpq", dim=64), tmp
+        ),
+    )
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
@@ -679,59 +728,20 @@ def q141_ingest_pipeline(spark, sf):
     BUDGET (q85's running-cumsum cut, but in learned subwords — the
     unit a training mixture actually buys). One relational plan: band
     equi-join gate → narrow scoring map → tokenizer map + one count
-    shuffle → per-source window. See operators.dedup_index /
-    text.quality_score / bpe.bpe_apply."""
-    from data_lake_project_spark.operators import text as TX
-    from data_lake_project_spark.operators.bpe import bpe_apply
-    from data_lake_project_spark.operators.dedup_index import (
-        build_dedup_index,
-        dedup_against_index,
-    )
+    shuffle → per-source window. The gate subtree's checkpoint policy
+    (eager local / reliable / none) is a parameter of the factored
+    operator — see ``operators.dataset.ingest_pipeline`` for the
+    measured tradeoff."""
+    from data_lake_project_spark.operators.dataset import ingest_pipeline
 
     d = load_table(spark, sf, "documents")
-    corpus = d.filter(F.col("doc_id") % 5 != 0)
-    batch = d.filter(F.col("doc_id") % 5 == 0)
-    # the gate (shingle/minhash/band/verify) is the query's most
-    # expensive subtree and is referenced by the quality join, the
-    # tokenizer AND the staging join — without a cut the physical plan
-    # carries 46 exchanges (the corpus-side band build appears ~5x, 0
-    # ReusedExchange); the eager checkpoint collapses it to 8. Costs
-    # ~0.5 s of materialization at sf0.1 (3.0 → 3.5 warm), buys
-    # single-evaluation of the corpus index at any scale. Eager, not
-    # lazy: three consumers meet in one job and would race a lazy
-    # checkpoint's first materialization (measured 4.6 s).
-    fresh = dedup_against_index(
-        build_dedup_index(corpus), batch
-    ).localCheckpoint(eager=True)
-    kept = (
-        TX.quality_score(fresh)
-        .filter(F.col("quality") >= 0.6)
-        .select("doc_id", "quality")
-        .join(fresh.select("doc_id", "source", "text"), "doc_id")
-    )
-    ntoks = (
-        bpe_apply(kept, _Q140_MERGES)
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_subtoks"))
-    )
-    staged = (
-        kept.select("doc_id", "source", "quality")
-        .join(ntoks, "doc_id", "left")
-        .na.fill({"n_subtoks": 0})
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        staged.withColumn(
-            "cum_subtoks", F.sum("n_subtoks").over(w).cast("long")
-        )
-        .filter(F.col("cum_subtoks") <= 1500)
-        .select("doc_id", "source", "quality", "n_subtoks", "cum_subtoks")
-        .orderBy("doc_id")
-    )
+    return ingest_pipeline(
+        d.filter(F.col("doc_id") % 5 != 0),
+        d.filter(F.col("doc_id") % 5 == 0),
+        _Q140_MERGES,
+        quality_min=0.6,
+        token_budget=1500,
+    ).orderBy("doc_id")
 
 
 # q142's retrieval queries — fixed strings, embedded with the same
@@ -813,7 +823,6 @@ def q143_ann_chunk_retrieval(spark, sf):
     are context-window counts, far below 4096) and unpacks in the
     output. Rows-only like q33/q37; recall >= 0.6 vs q142's exact
     top-5 is CI-pinned (measured 0.93 at sf0.001)."""
-    from data_lake_project_spark import fs
     from data_lake_project_spark.operators.ann_index import (
         build_ann_index,
         load_ann_index,
@@ -835,15 +844,26 @@ def q143_ann_chunk_retrieval(spark, sf):
     tag = sf.rstrip("/").replace("/", "_").replace(".", "_")
     fp = _dataset_fingerprint(sf, "documents")
     path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_chunks_ivf_8"
-    if not fs.exists(spark, f"{path}/model.json"):
+
+    def _build(tmp):
+        # the assert_true lives INSIDE the packing expression (adding
+        # a coalesced NULL) so column pruning can't drop the guard: a
+        # doc with >= 4096 chunks (~98k tokens at stride 24) would
+        # silently collide packed ids and unpack to wrong rows
         chunks = chunk_documents(d, chunk_size=32, overlap=8).select(
-            (F.col("doc_id") * 4096 + F.col("chunk_id")).alias("vec_id"),
+            F.expr(
+                "doc_id * 4096 + chunk_id + coalesce(cast(assert_true("
+                "chunk_id < 4096, 'q143: chunk_id >= 4096 overflows the "
+                "packed vec_id — raise the pack width') AS BIGINT), 0)"
+            ).alias("vec_id"),
             hash_embedding("chunk_text", 16).alias("embedding"),
         )
         save_ann_index(
             build_ann_index(chunks, kind="ivf", n_centroids=8, dim=16),
-            path,
+            tmp,
         )
+
+    _publish_if_absent(spark, path, _build)
     return (
         search_ann_index(
             load_ann_index(spark, path), probes, k=5, nprobe=4

@@ -1688,6 +1688,45 @@ def test_pagerank_split_contributions(spark):
     assert ranks["c"] == 1.425  # 0.15 + 0.85 * (1/2 + 1/1)
 
 
+def test_pagerank_stats_observability(spark):
+    from data_lake_project_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"]
+    )
+    stats: dict = {}
+    pagerank(edges, iters=2, stats=stats).collect()
+    assert stats == {"iters": 2, "n_nodes": 3, "n_edges": 3}
+
+
+def test_ingest_pipeline_checkpoint_variants_agree(spark):
+    """The q141 pipeline's checkpoint policy ('eager' local checkpoint
+    vs no cut at all) must not change results — it is purely a
+    plan-shape/evaluation-count knob; also pin the invalid-value
+    error."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.dataset import ingest_pipeline
+    from data_lake_project_spark.queries import _Q140_MERGES
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = d.filter("doc_id % 5 != 0")
+    batch = d.filter("doc_id % 5 = 0")
+
+    def rows(ckpt):
+        return sorted(
+            tuple(r)
+            for r in ingest_pipeline(
+                corpus, batch, _Q140_MERGES, checkpoint=ckpt
+            ).collect()
+        )
+
+    eager = rows("eager")
+    assert eager == rows("none") and len(eager) > 0
+    with _pytest.raises(ValueError, match="checkpoint must be"):
+        ingest_pipeline(corpus, batch, _Q140_MERGES, checkpoint="bogus")
+
+
 def test_infer_json_schema_type_lattice(spark):
     from data_lake_project_spark.operators.sketches import infer_json_schema
 
@@ -1798,6 +1837,35 @@ def test_dedup_index_incremental_equals_recompute(spark, tmp_path):
         r.doc_id for r in dedup_against(full, batch).collect()
     )
     assert kept_idx == kept_oneshot and len(kept_idx) > 0
+
+
+def test_dedup_index_apply_replayed_delta_is_noop(spark, tmp_path):
+    """Folding the SAME delta twice (a replayed batch — the silent-
+    corruption failure mode the apply guard closes) must leave the
+    persisted index unchanged: the default anti-join gate drops
+    already-indexed ids. assume_new_ids=True (the documented gated-
+    upstream fast path) skips the guard and duplicates — pinned here
+    so the contract stays honest."""
+    from data_lake_project_spark.operators.dedup_index import (
+        build_dedup_index,
+        dedup_index_apply,
+        save_dedup_index,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    part1 = d.filter("doc_id % 5 in (1, 2)")
+    part2 = d.filter("doc_id % 5 in (3, 4)")
+    path = str(tmp_path / "dedup_idx_replay")
+    save_dedup_index(build_dedup_index(part1), path)
+    once = dedup_index_apply(spark, path, part2)
+    n_bands, n_sets = once.bands.count(), once.sets.count()
+    # replay the same delta: guarded fold is a no-op
+    replayed = dedup_index_apply(spark, path, part2)
+    assert replayed.bands.count() == n_bands
+    assert replayed.sets.count() == n_sets
+    # ungated fold duplicates — the guard is what protects the artifact
+    dup = dedup_index_apply(spark, path, part2, assume_new_ids=True)
+    assert dup.bands.count() > n_bands
 
 
 def test_cdc_apply_last_op_wins(spark):
@@ -2420,6 +2488,40 @@ def test_ann_index_apply_incremental_equals_rebuild(spark, tmp_path):
             for r in search_ann_index(folded, probes, k=7).collect()
         )
         assert got == want
+
+
+def test_ann_index_apply_replayed_delta_is_noop(spark, tmp_path):
+    """Replaying the same delta through ann_index_apply must not
+    duplicate code rows (duplicated codes duplicate search results):
+    the default anti-join gate makes the second fold a no-op."""
+    from data_lake_project_spark.operators.ann_index import (
+        ann_index_apply,
+        build_ann_index,
+        save_ann_index,
+    )
+    from data_lake_project_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    half1 = e.filter("vec_id % 2 = 0")
+    half2 = e.filter("vec_id % 2 = 1")
+    full = build_ann_index(e, kind="ivf", dim=64)
+    path = str(tmp_path / "replay_ivf")
+    save_ann_index(
+        type(full)(
+            full.kind,
+            full.params,
+            full.centroids,
+            full.codebooks,
+            full.codes.join(half1.select("vec_id"), "vec_id", "left_semi"),
+        ),
+        path,
+    )
+    once = ann_index_apply(spark, path, half2)
+    n = once.codes.count()
+    replayed = ann_index_apply(spark, path, half2)
+    assert replayed.codes.count() == n
+    dup = ann_index_apply(spark, path, half2, assume_new_ids=True)
+    assert dup.codes.count() > n
 
 
 def test_ann_index_pq_roundtrip_nondefault_params(spark):
