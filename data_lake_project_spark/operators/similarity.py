@@ -42,12 +42,21 @@ def brute_force_topk(
     probe_id_col: str = "probe_id",
     round_digits: int = 4,
     impl: str = "expr",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each probe.
 
     Deterministic: ranks on ``(round(cosine, d) DESC, id)`` so ULP
     noise in float summation can never reorder the result.
     Output: (probe_id, vec_id, cosine) — cosine rounded.
+
+    ``exclude_self`` drops corpus rows whose id EQUALS the probe id —
+    correct when probes ARE corpus rows (q22's self-neighbor query),
+    WRONG when probe ids live in an independent namespace that merely
+    overlaps corpus ids (a query-id 3 must not hide document 3 —
+    q145's hybrid retrieval). Explicit parameter by the round-5
+    review rule: never bake one namespace's semantics into a shared
+    serving path.
 
     ``impl='arrow'`` replaces the per-pair JVM lambda scoring with one
     X·Pᵀ BLAS matmul per corpus Arrow batch (``mapInPandas``; the
@@ -60,7 +69,14 @@ def brute_force_topk(
     """
     if impl == "arrow":
         return _brute_force_topk_arrow(
-            corpus, probes, k, id_col, vec_col, probe_id_col, round_digits
+            corpus,
+            probes,
+            k,
+            id_col,
+            vec_col,
+            probe_id_col,
+            round_digits,
+            exclude_self,
         )
     c = spread(corpus).select(
         F.col(id_col), _as_double(vec_col).alias("__cv")
@@ -76,11 +92,10 @@ def brute_force_topk(
     )
     sim = pround(dot / (F.col("__pn") * F.col("__cn")), round_digits)
 
-    joined = (
-        c.crossJoin(F.broadcast(p))
-        .filter(F.col(probe_id_col) != F.col(id_col))
-        .withColumn("cosine", sim)
-    )
+    joined = c.crossJoin(F.broadcast(p))
+    if exclude_self:
+        joined = joined.filter(F.col(probe_id_col) != F.col(id_col))
+    joined = joined.withColumn("cosine", sim)
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)
     )
@@ -99,6 +114,7 @@ def _brute_force_topk_arrow(
     vec_col: str,
     probe_id_col: str,
     round_digits: int,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Arrow/BLAS twin of brute_force_topk (see its docstring).
 
@@ -138,8 +154,11 @@ def _brute_force_topk_arrow(
             out_p, out_i, out_c = [], [], []
             for j in range(len(bpids)):
                 col = sims[:, j]
-                mask = ids != bpids[j]  # self-match exclusion
-                cids, cc = ids[mask], col[mask]
+                if exclude_self:
+                    mask = ids != bpids[j]
+                    cids, cc = ids[mask], col[mask]
+                else:
+                    cids, cc = ids, col
                 # batch-local top-k under the GLOBAL ranking contract
                 # (rounded cosine desc, id asc) — lexsort's last key
                 # is primary

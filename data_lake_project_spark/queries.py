@@ -878,6 +878,218 @@ def q143_ann_chunk_retrieval(spark, sf):
     )
 
 
+def q144_bm25_retrieval(spark, sf):
+    """Exact BM25 lexical retrieval: top-5 documents per query for the
+    q142 query set — the lexical lane of the retrieval ladder (dense
+    lanes: q142 exact cosine, q143 ANN-served). Rational idf (the q45
+    no-libm rule) + decimal-summed per-term contributions keep the
+    score bit-identical on both engines. See
+    ``operators.retrieval.bm25_topk``."""
+    from data_lake_project_spark.operators.retrieval import bm25_topk
+
+    d = load_table(spark, sf, "documents")
+    q = spark.createDataFrame(_Q142_QUERIES, "query_id int, qtext string")
+    return (
+        bm25_topk(d, q, k=5)
+        .withColumn("rk", F.col("rk").cast("long"))
+        .orderBy("query_id", "doc_id")
+    )
+
+
+def q145_hybrid_retrieval(spark, sf):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    lane (q144's scorer, top-10) and the dense cosine lane (doc-level
+    hash embeddings through q22's exact scorer, top-10) —
+    ``rrf = 1/(60+rk_lex) + 1/(60+rk_dense)``, missing lane = 0, the
+    standard zero-tuning fusion (Cormack et al., SIGIR 2009). Both
+    lanes and the fusion arithmetic are engine-exact, so the whole
+    hybrid stack is hash-checked. See
+    ``operators.retrieval.rrf_fuse``."""
+    from data_lake_project_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    d = load_table(spark, sf, "documents")
+    qdf = spark.createDataFrame(
+        _Q142_QUERIES, "query_id int, qtext string"
+    )
+    lex = bm25_topk(d, qdf, k=10).select("query_id", "doc_id", "rk")
+    corpus = d.select(
+        F.col("doc_id").alias("vec_id"),
+        hash_embedding("text", 16).alias("embedding"),
+    )
+    probes = qdf.select(
+        F.col("query_id").alias("probe_id"),
+        hash_embedding("qtext", 16).alias("embedding"),
+    )
+    wd = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    # exclude_self=False: query ids and doc ids are independent
+    # namespaces that merely overlap — doc 3 must stay visible to
+    # query 3 (the similarity module's namespace rule)
+    dense = (
+        SIM.brute_force_topk(corpus, probes, k=10, exclude_self=False)
+        .withColumn("rk", F.row_number().over(wd))
+        .select(
+            F.col("probe_id").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "rk",
+        )
+    )
+    return (
+        rrf_fuse(lex, dense, ["query_id", "doc_id"], k=10)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf",
+            F.col("rk_a").alias("rk_bm25"),
+            F.col("rk_b").alias("rk_cos"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("query_id", "doc_id")
+    )
+
+
+def q146_bpe_compression(spark, sf):
+    """Per-document subword compression ratio under the fixed q140
+    merge table — the tokens-per-character curation signal (gibberish
+    and out-of-domain text tokenize near 1 subword/char; clean prose
+    compresses well below). Fully oracle-checked: the BPE serving
+    algebra is q140's engine-portable replace chain. See
+    ``operators.bpe.subword_compression``."""
+    from data_lake_project_spark.operators.bpe import subword_compression
+
+    d = load_table(spark, sf, "documents")
+    return subword_compression(d, _Q140_MERGES).orderBy("doc_id")
+
+
+def q147_importance_weights(spark, sf):
+    """DSIR-style hashed-unigram importance weighting: score every
+    document by how target-like its token distribution is (target =
+    the ``src0`` slice, the probe domain stand-in), via Laplace-
+    smoothed bucket probability RATIOS (64 md5 buckets) — the
+    data-selection pass that steers a pretraining mixture toward a
+    target domain without a trained classifier. Ratio (not log-ratio)
+    + decimal sums keep it engine-exact. See
+    ``operators.dataset.importance_weights``."""
+    from data_lake_project_spark.operators.dataset import importance_weights
+
+    d = load_table(spark, sf, "documents")
+    return importance_weights(
+        d, F.col("source") == "src0", n_buckets=64
+    ).orderBy("doc_id")
+
+
+def q148_lsh_quality_report(spark, sf):
+    """Candidate-generator quality evaluation: recall and precision of
+    the MinHash/LSH band candidates (q25's generator) measured against
+    the EXACT Jaccard >= 1/2 ground truth from the zero-false-negative
+    prefix-filter join (q92's operator) — the observability query a
+    dedup pipeline runs when tuning bands/hashes. One-row report; the
+    integer-rational threshold keeps the truth set boundary-exact on
+    both engines. Composition of two independently hash-green
+    operators."""
+    from data_lake_project_spark.operators.dedup import (
+        minhash_candidates_sets,
+        minhash_sets,
+        prefix_filter_join,
+        shingle_sets,
+    )
+
+    d = load_table(spark, sf, "documents")
+    sets = shingle_sets(d, k=3)
+    # both pair lists are consumed TWICE (their own count + the hit
+    # join) over an expensive shared shingle subtree — the q141
+    # multi-consumer rule: cut eagerly or the three 1-row aggs
+    # re-evaluate the whole minhash/prefix pipeline (measured 16 s ->
+    # ~3 s at sf0.1); the materialized frames are pair-list-sized
+    cand = (
+        minhash_candidates_sets(
+            minhash_sets(sets, num_hashes=8), band_size=2
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        prefix_filter_join(sets, threshold=(1, 2))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    nt = truth.agg(F.count("*").cast("long").alias("n_true"))
+    nc = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    nh = hit.agg(F.count("*").cast("long").alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.when(
+                F.col("n_true") > 0,
+                pround(
+                    F.col("n_hit").cast("double")
+                    / F.col("n_true").cast("double"),
+                    4,
+                ),
+            ).alias("recall"),
+            F.when(
+                F.col("n_cand") > 0,
+                pround(
+                    F.col("n_hit").cast("double")
+                    / F.col("n_cand").cast("double"),
+                    4,
+                ),
+            ).alias("prec"),
+        )
+    )
+
+
+def q149_tokenizer_fertility(spark, sf):
+    """Tokenizer fertility per source: subwords-per-word under the
+    fixed q140 merge table — the standard tokenizer-evaluation metric
+    (fertility near 1 = the vocabulary covers the domain; high
+    fertility = the tokenizer fragments it). Integer token sums make
+    the per-source ratio engine-exact."""
+    from data_lake_project_spark.operators.bpe import bpe_apply
+
+    d = load_table(spark, sf, "documents")
+    words = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_words"))
+    )
+    subs = (
+        bpe_apply(d, _Q140_MERGES)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_subtoks"))
+    )
+    return (
+        words.join(subs, "source")
+        .select(
+            "source",
+            "n_words",
+            "n_subtoks",
+            pround(
+                F.col("n_subtoks").cast("double")
+                / F.col("n_words").cast("double"),
+                4,
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
 def q37_ivf_topk(spark, sf):
     """Approximate ANN via IVF coarse quantizer — rows-only check
     (recall depends on nprobe; exact baseline is q22, LSH variant q33).
@@ -3692,6 +3904,12 @@ QUERIES: dict[str, QueryFn] = {
     "q141_ingest_pipeline": q141_ingest_pipeline,
     "q142_chunk_retrieval": q142_chunk_retrieval,
     "q143_ann_chunk_retrieval": q143_ann_chunk_retrieval,
+    "q144_bm25_retrieval": q144_bm25_retrieval,
+    "q145_hybrid_retrieval": q145_hybrid_retrieval,
+    "q146_bpe_compression": q146_bpe_compression,
+    "q147_importance_weights": q147_importance_weights,
+    "q148_lsh_quality_report": q148_lsh_quality_report,
+    "q149_tokenizer_fertility": q149_tokenizer_fertility,
     "q131_cluster_safe_split": q131_cluster_safe_split,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
@@ -6942,6 +7160,290 @@ ORACLE["q142_chunk_retrieval"] = f"""
     )
     SELECT query_id, doc_id, chunk_id, cosine
     FROM r WHERE rk <= 5 ORDER BY query_id, doc_id, chunk_id
+"""
+
+
+def _bm25_lane_sql() -> str:
+    """BM25 CTE chain — engine-exact twin of
+    ``operators.retrieval.bm25_topk`` (k1=1.2, b=0.75; constants
+    folded to the same literals the Spark side embeds; every
+    BIGINT-meets-decimal-literal site casts to DOUBLE first so DuckDB
+    never drops into exact-decimal arithmetic the JVM isn't doing).
+    Ends in a ``lex`` relation (query_id, doc_id, bm25, rk)."""
+    return f"""
+    toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    per_doc AS (
+        SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tk GROUP BY 1),
+    dfv AS (SELECT tok, count(*)::BIGINT AS df FROM per_doc GROUP BY 1),
+    st AS (
+        SELECT count(*)::DOUBLE AS n,
+               sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+        FROM dl
+    ),
+    qt0 AS (
+        SELECT query_id,
+               unnest(regexp_split_to_array(lower(trim(qtext)), '\\s+')) AS tok
+        FROM (VALUES {_Q142_QUERY_ROWS}) AS qq(query_id, qtext)
+    ),
+    qt AS (SELECT DISTINCT query_id, tok FROM qt0 WHERE tok <> ''),
+    contrib AS (
+        SELECT q.query_id, p.doc_id,
+               floor(((st.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                     * ((CAST(p.tf AS DOUBLE) * 2.2)
+                        / (p.tf + 1.2 * (0.25 + 0.75 * (dl.dl / st.avgdl))))
+                     * 1000000.0 + 0.5) / 1000000.0 AS c
+        FROM qt q
+        JOIN per_doc p USING (tok)
+        JOIN dl ON dl.doc_id = p.doc_id
+        JOIN dfv USING (tok)
+        CROSS JOIN st
+    ),
+    sc_bm AS (
+        SELECT query_id, doc_id,
+               floor(sum(CAST(c AS DECIMAL(27,6)))::DOUBLE * 10000.0 + 0.5)
+                   / 10000.0 AS bm25
+        FROM contrib GROUP BY 1, 2
+    ),
+    lex AS (
+        SELECT query_id, doc_id, bm25,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY bm25 DESC, doc_id) AS rk
+        FROM sc_bm
+    )"""
+
+
+ORACLE["q144_bm25_retrieval"] = f"""
+    WITH {_bm25_lane_sql()}
+    SELECT query_id, doc_id, bm25, rk::BIGINT AS rk
+    FROM lex WHERE rk <= 5 ORDER BY query_id, doc_id
+"""
+
+
+# q145: the BM25 lane (k=10) + the dense lane (doc-level hash
+# embeddings through q22's cosine recipe) fused with RRF. The
+# CAST(rk AS DOUBLE) inside 1/(60+rk) keeps DuckDB in IEEE double
+# division (60.0 + BIGINT would be exact-decimal arithmetic).
+ORACLE["q145_hybrid_retrieval"] = f"""
+    WITH {_bm25_lane_sql()},
+    dv AS (
+        SELECT doc_id, {_Q142_EMBED.format(src="text")} AS v
+        FROM documents
+    ),
+    dn AS (
+        SELECT doc_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM dv
+    ),
+    qv AS (
+        SELECT query_id, {_Q142_EMBED.format(src="qtext")} AS p
+        FROM (VALUES {_Q142_QUERY_ROWS}) AS qq2(query_id, qtext)
+    ),
+    qn2 AS (
+        SELECT query_id, p,
+               sqrt(list_sum(list_transform(p, x -> x * x))) AS pn
+        FROM qv
+    ),
+    ds AS (
+        SELECT q.query_id, d.doc_id,
+               floor(list_sum(list_transform(range(len(d.v)),
+                         i -> q.p[i+1] * d.v[i+1])) / (q.pn * d.nrm)
+                     * 10000.0 + 0.5) / 10000.0 AS cosine
+        FROM qn2 q, dn d
+    ),
+    den AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, doc_id) AS rk
+        FROM ds
+    ),
+    den10 AS (SELECT * FROM den WHERE rk <= 10),
+    lex10 AS (SELECT query_id, doc_id, rk FROM lex WHERE rk <= 10),
+    fused AS (
+        SELECT coalesce(l.query_id, d.query_id) AS query_id,
+               coalesce(l.doc_id, d.doc_id) AS doc_id,
+               floor((coalesce(1.0 / (60.0 + CAST(l.rk AS DOUBLE)), 0.0)
+                      + coalesce(1.0 / (60.0 + CAST(d.rk AS DOUBLE)), 0.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS rrf,
+               coalesce(l.rk, 0)::BIGINT AS rk_bm25,
+               coalesce(d.rk, 0)::BIGINT AS rk_cos
+        FROM lex10 l FULL OUTER JOIN den10 d
+             ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    ),
+    fr AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, doc_id) AS frk
+        FROM fused
+    )
+    SELECT query_id, doc_id, rrf, rk_bm25, rk_cos, frk::BIGINT AS rk
+    FROM fr WHERE frk <= 10 ORDER BY query_id, doc_id
+"""
+
+
+# q146: q140's engine-portable BPE replace chain, per-doc subword
+# counts (the q141 nt CTE shape) over ALL documents, ratioed against
+# the character length.
+ORACLE["q146_bpe_compression"] = f"""
+    WITH bw0 AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    bw AS (
+        SELECT doc_id, replace(w, chr(31), '') AS w
+        FROM bw0 WHERE len(w) > 0
+    ),
+    bs AS (
+        SELECT doc_id,
+               array_to_string(
+                 list_transform(string_split(w, ''),
+                                c -> chr(31) || c || chr(31)),
+                 '') || chr(31) || '</w>' || chr(31) AS s
+        FROM bw
+    ),
+    bm AS (SELECT doc_id, {_q140_replace_chain('s')} AS s FROM bs),
+    nt AS (
+        SELECT doc_id,
+               sum(len(string_split(substring(s, 2, len(s) - 2),
+                                    chr(31) || chr(31))))::BIGINT AS n_subtoks
+        FROM bm GROUP BY doc_id
+    ),
+    base AS (
+        SELECT doc_id, len(text)::BIGINT AS n_chars
+        FROM documents WHERE len(text) > 0
+    )
+    SELECT b.doc_id,
+           coalesce(nt.n_subtoks, 0)::BIGINT AS n_subtoks,
+           b.n_chars,
+           floor(CAST(coalesce(nt.n_subtoks, 0) AS DOUBLE)
+                 / CAST(b.n_chars AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+               AS compression
+    FROM base b LEFT JOIN nt ON nt.doc_id = b.doc_id
+    ORDER BY b.doc_id
+"""
+
+
+# q147: hashed-unigram buckets (the hash_embedding BIGINT hex-parse
+# recipe), Laplace-smoothed target/raw ratio per bucket, per-doc
+# decimal-summed mean. Every BIGINT-meets-decimal site casts DOUBLE.
+ORACLE["q147_importance_weights"] = """
+    WITH tk0 AS (
+        SELECT doc_id, source = 'src0' AS t,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    tk AS (
+        SELECT doc_id, t,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS b
+        FROM tk0 WHERE tok <> ''
+    ),
+    pb AS (
+        SELECT b,
+               sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS nt,
+               sum(CASE WHEN t THEN 0 ELSE 1 END)::BIGINT AS nr
+        FROM tk GROUP BY b
+    ),
+    tot AS (
+        SELECT sum(CASE WHEN t THEN 1 ELSE 0 END)::DOUBLE AS tot_t,
+               sum(CASE WHEN t THEN 0 ELSE 1 END)::DOUBLE AS tot_r
+        FROM tk
+    ),
+    br AS (
+        SELECT b,
+               floor(((CAST(nt AS DOUBLE) + 1.0) / (tot_t + 64.0))
+                     / ((CAST(nr AS DOUBLE) + 1.0) / (tot_r + 64.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS r
+        FROM pb CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_toks,
+           floor(sum(CAST(r AS DECIMAL(27,6)))::DOUBLE / count(*)::DOUBLE
+                 * 10000.0 + 0.5) / 10000.0 AS importance
+    FROM tk JOIN br USING (b)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+# q148: LSH candidates from the shared shingle/minhash/band CTE;
+# ground truth = shared-shingle pairs with integer-exact Jaccard
+# >= 1/2 (2*inter >= union — the prefix_filter_join boundary, no
+# float compare anywhere).
+ORACLE["q148_lsh_quality_report"] = f"""
+    WITH {_SHINGLE_CTE.strip()},
+    ss AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+    pair_inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*)::BIGINT AS i
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b
+        FROM pair_inter p
+        JOIN ss sa ON sa.doc_id = p.id_a
+        JOIN ss sb ON sb.doc_id = p.id_b
+        WHERE 2 * p.i >= sa.sz + sb.sz - p.i
+    ),
+    hit AS (
+        SELECT t.id_a, t.id_b FROM truth t
+        JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    ),
+    agg AS (
+        SELECT (SELECT count(*)::BIGINT FROM truth) AS n_true,
+               (SELECT count(*)::BIGINT FROM cand) AS n_cand,
+               (SELECT count(*)::BIGINT FROM hit) AS n_hit
+    )
+    SELECT n_true, n_cand, n_hit,
+           CASE WHEN n_true > 0
+                THEN floor(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)
+                           * 10000.0 + 0.5) / 10000.0 END AS recall,
+           CASE WHEN n_cand > 0
+                THEN floor(CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)
+                           * 10000.0 + 0.5) / 10000.0 END AS prec
+    FROM agg
+"""
+
+
+# q149: word counts + the q140 BPE replace chain rolled up per source.
+ORACLE["q149_tokenizer_fertility"] = f"""
+    WITH w0 AS (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, source, replace(w, chr(31), '') AS w
+        FROM w0 WHERE len(w) > 0
+    ),
+    nw AS (SELECT source, count(*)::BIGINT AS n_words FROM w GROUP BY source),
+    bs AS (
+        SELECT source,
+               array_to_string(
+                 list_transform(string_split(w, ''),
+                                c -> chr(31) || c || chr(31)),
+                 '') || chr(31) || '</w>' || chr(31) AS s
+        FROM w
+    ),
+    bm AS (SELECT source, {_q140_replace_chain('s')} AS s FROM bs),
+    ns AS (
+        SELECT source,
+               sum(len(string_split(substring(s, 2, len(s) - 2),
+                                    chr(31) || chr(31))))::BIGINT AS n_subtoks
+        FROM bm GROUP BY source
+    )
+    SELECT source, n_words, n_subtoks,
+           floor(CAST(n_subtoks AS DOUBLE) / CAST(n_words AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS fertility
+    FROM nw JOIN ns USING (source)
+    ORDER BY source
 """
 
 

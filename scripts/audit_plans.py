@@ -63,6 +63,14 @@ BNLJ_ALLOWED: set[str] = {
     "q110_ks_drift",
     # 1-row total joined onto the 9-digit count table.
     "q126_benford",
+    # 1-row (N, avgdl) corpus-stats scalar joined onto the inverted-
+    # index-shaped candidate set; probe side is also a tiny broadcast.
+    "q144_bm25_retrieval",
+    "q145_hybrid_retrieval",
+    # 1-row token-totals scalar joined onto the 64-row bucket table.
+    "q147_importance_weights",
+    # three 1-row count scalars cross-joined into the one-row report.
+    "q148_lsh_quality_report",
 }
 
 

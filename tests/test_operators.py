@@ -164,6 +164,115 @@ def test_brute_force_topk_self_similarity(spark):
     assert top.vec_id == 0 and top.cosine == 1.0
 
 
+def test_brute_force_topk_exclude_self_is_a_parameter(spark):
+    """exclude_self=False must keep a corpus row whose id merely
+    equals the probe id (independent namespaces — the q145 hybrid-
+    retrieval shape); default True preserves q22's self-neighbor
+    semantics. Both impls honor it."""
+    rows = [
+        Row(vec_id=i, embedding=[float(i == j) for j in range(4)])
+        for i in range(4)
+    ]
+    corpus = spark.createDataFrame(rows)
+    # probe id 1 collides with corpus id 1 but IS vector e0, so with
+    # the self-filter off its top hit is corpus 0, and corpus 1 stays
+    # eligible (cosine 0) further down
+    probes = spark.createDataFrame(
+        [Row(probe_id=1, embedding=[1.0, 0.0, 0.0, 0.0])]
+    )
+    kept = brute_force_topk(corpus, probes, k=4, exclude_self=False)
+    ids = [r.vec_id for r in kept.collect()]
+    assert 1 in ids and len(ids) == 4
+    dropped = brute_force_topk(corpus, probes, k=4, exclude_self=True)
+    assert 1 not in [r.vec_id for r in dropped.collect()]
+    arrow = brute_force_topk(
+        corpus, probes, k=4, exclude_self=False, impl="arrow"
+    )
+    assert sorted(tuple(r) for r in arrow.collect()) == sorted(
+        tuple(r) for r in kept.collect()
+    )
+
+
+def test_bm25_topk_matches_hand_computation(spark):
+    """Two-doc corpus, one-term query, BM25 computed by hand with the
+    operator's exact constants (k1=1.2, b=0.75, rational idf)."""
+    from data_lake_project_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a a b")], ["doc_id", "text"]
+    )
+    import pytest
+
+    q = spark.createDataFrame([(10, "a")], ["query_id", "qtext"])
+    out = {r.doc_id: r for r in bm25_topk(docs, q, k=5).collect()}
+    # N=2, avgdl=2.5, df(a)=2 -> idf=(2-2+0.5)/(2+0.5)=0.2
+    # d1: tf=1, dl=2 -> 0.2 * 2.2/(1+1.2*(0.25+0.75*0.8)) = 0.217822
+    # d2: tf=2, dl=3 -> 0.2 * 4.4/(2+1.2*(0.25+0.75*1.2)) = 0.260355
+    assert out[1].bm25 == pytest.approx(0.2178, abs=1e-9)
+    assert out[2].bm25 == pytest.approx(0.2604, abs=1e-9)
+    assert out[2].rk == 1 and out[1].rk == 2
+
+
+def test_rrf_fuse_missing_lane_contributes_zero(spark):
+    import pytest
+
+    from data_lake_project_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, "x", 1)], ["query_id", "item", "rk"])
+    b = spark.createDataFrame([(1, "y", 1)], ["query_id", "item", "rk"])
+    out = {
+        r.item: r
+        for r in rrf_fuse(a, b, ["query_id", "item"], k=10).collect()
+    }
+    want = round(1.0 / 61.0, 6)
+    assert out["x"].rrf == pytest.approx(want, abs=1e-9)
+    assert out["x"].rk_a == 1 and out["x"].rk_b == 0
+    assert out["y"].rrf == pytest.approx(want, abs=1e-9)
+    assert out["y"].rk_a == 0 and out["y"].rk_b == 1
+    # both tie on rrf -> item tie-break orders x before y
+    assert out["x"].rk == 1 and out["y"].rk == 2
+
+
+def test_subword_compression_edge_docs(spark):
+    from data_lake_project_spark.operators.bpe import subword_compression
+    from data_lake_project_spark.queries import _Q140_MERGES
+
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "   "), (3, "")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in subword_compression(docs, _Q140_MERGES).collect()
+    }
+    assert 3 not in out  # empty text: no denominator
+    assert out[2].n_subtoks == 0 and out[2].compression == 0.0
+    assert out[1].n_subtoks > 0 and out[1].n_chars == 9
+
+
+def test_importance_weights_prefers_target_like_docs(spark):
+    from data_lake_project_spark.operators.dataset import importance_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t", "apple banana apple banana"),
+            (2, "t", "apple banana banana"),
+            (3, "r", "car door car door window"),
+            (4, "r", "car window door"),
+            (5, "r", "apple banana apple"),  # raw doc with target vocab
+        ],
+        ["doc_id", "grp", "text"],
+    )
+    out = {
+        r.doc_id: r.importance
+        for r in importance_weights(
+            docs, F.col("grp") == "t", n_buckets=16
+        ).collect()
+    }
+    assert len(out) == 5
+    # the target-vocab raw doc must outscore the raw-vocab raw docs
+    assert out[5] > out[3] and out[5] > out[4]
+
+
 def test_ivf_topk_recall_vs_brute_force(spark):
     from data_lake_project_spark.operators.similarity import (
         brute_force_topk,
