@@ -293,15 +293,18 @@ def ann_index_apply(
     encode ONLY ``new_corpus`` with the SAVED model (no retraining —
     the codebooks/centroids are the frozen artifact, exactly how a
     production FAISS index absorbs new vectors) and parquet-append the
-    codes next to the standing ones. The standing corpus is never
-    re-read, re-encoded, or reshuffled. Returns the reloaded index.
+    codes next to the standing ones. The standing corpus's CONTENT is
+    never re-encoded or reshuffled. Returns the reloaded index.
 
     By default the delta is anti-joined against the stored code ids
     first, so a replayed/overlapping batch folds in as a no-op instead
     of silently duplicating code rows (which would duplicate search
-    results). The guard joins only the id column of the codes table
-    (column-pruned scan). Callers that already gated the batch
-    upstream can pass ``assume_new_ids=True`` to skip it.
+    results). The guard costs one column-pruned scan + distinct of the
+    stored ID COLUMN — O(index ids), not O(delta) — which is the right
+    default for correctness but does grow with the standing index.
+    High-frequency production folds that already gate batches upstream
+    (the q102 ingest shape) should pass ``assume_new_ids=True`` to
+    keep the fold strictly O(delta).
     Incremental ≡ full rebuild is CI-pinned (same model → the encode
     is a pure deterministic map, so fold order cannot matter).
     """

@@ -635,15 +635,13 @@ def importance_weights(
     totals one row (broadcast). No corpus-sized join keys other than
     the doc-keyed contribution sum every text operator pays.
     """
-    from data_lake_project_spark.functions import dec_sum, pround
+    from data_lake_project_spark.functions import dec_sum, pround, tokens
 
     toks = (
         docs.select(
             F.col(id_col),
             is_target.alias("__t"),
-            F.explode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-            ).alias("tok"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
         )
         .filter(F.col("tok") != "")
         .withColumn(

@@ -133,20 +133,20 @@ def dedup_index_apply(
     new_docs: DataFrame,
     assume_new_ids: bool = False,
 ) -> DedupIndex:
-    """Persisted O(delta) maintenance fold: index ONLY ``new_docs``
-    and APPEND to the stored band/set tables — the standing corpus's
-    rows are never read, recomputed, or reshuffled (parquet append
-    writes new files next to the old ones). Returns the reloaded
-    index.
+    """Persisted maintenance fold: index ONLY ``new_docs`` and APPEND
+    to the stored band/set tables — the standing corpus's CONTENT is
+    never recomputed or reshuffled (parquet append writes new files
+    next to the old ones). Returns the reloaded index.
 
     By default the delta is anti-joined against the stored id set
     first, so a replayed/overlapping batch folds in as a no-op instead
     of silently doubling an id's band rows (which would inflate every
-    future candidate set). The guard is one bounded join against the
-    distinct stored ids — id-count-sized, not corpus-content-sized.
-    Callers that already gated the batch (q102's
-    :func:`dedup_against_index` + anti-join ingest shape) can pass
-    ``assume_new_ids=True`` to skip it."""
+    future candidate set). The guard is one column-pruned scan +
+    distinct of the stored id column — O(index ids), not O(delta) —
+    the right correctness default, but it grows with the standing
+    index. High-frequency folds that already gated the batch (q102's
+    :func:`dedup_against_index` + anti-join ingest shape) should pass
+    ``assume_new_ids=True`` to keep the fold strictly O(delta)."""
     path = path.rstrip("/")
     params = json.loads(fs.read_text(spark, f"{path}/params.json"))
     if not assume_new_ids:

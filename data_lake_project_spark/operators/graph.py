@@ -76,8 +76,11 @@ def pagerank(
     e = ecp.join(outdeg, "__src").localCheckpoint(eager=True)
     if stats is not None:
         stats["iters"] = iters
+        # both counts are served from the eager checkpoints above (the
+        # inner join on __src preserves every ecp row, so e.count() ==
+        # edge count) — no upstream re-evaluation
         stats["n_nodes"] = nodes.count()
-        stats["n_edges"] = ecp.count()
+        stats["n_edges"] = e.count()
     ranks = nodes.withColumn("rank", F.lit(1.0))
     base = 1.0 - damping
     for _ in range(iters):

@@ -555,11 +555,14 @@ def _dataset_fingerprint(sf: str, table: str) -> str:
     /tmp index-cache keys, so a cached artifact is REBUILT when the
     underlying data changes instead of silently serving results from a
     previous corpus. Hashes actual bytes (full file below 16 MB, else
-    size + head/tail 1 MB samples) — size+mtime alone missed an
-    in-place regeneration with identical sizes inside the same mtime
-    second (external review finding, round 5). Local paths only —
-    which is what the /tmp build-if-absent lifecycle is for; a cluster
-    deployment versions its indexes explicitly."""
+    size + head/tail 1 MB samples) AND the mtime — size+mtime alone
+    missed an in-place regeneration with identical sizes inside the
+    same mtime second (round-5 review), and content samples alone
+    would miss a middle-only rewrite of a large file (round-6 review):
+    together, a stale hit needs identical samples in the same mtime
+    second. Local paths only — which is what the /tmp build-if-absent
+    lifecycle is for; a cluster deployment versions its indexes
+    explicitly."""
     import glob as _glob
     import hashlib as _hashlib
     import os as _os
@@ -573,8 +576,9 @@ def _dataset_fingerprint(sf: str, table: str) -> str:
         if _os.path.isdir(pth):
             h.update(f"{pth}|dir".encode())
             continue
-        size = _os.path.getsize(pth)
-        h.update(f"{pth}|{size}".encode())
+        st = _os.stat(pth)
+        size = st.st_size
+        h.update(f"{pth}|{size}|{st.st_mtime_ns}".encode())
         with open(pth, "rb") as fh:
             if size <= 16 * 1024 * 1024:
                 for block in iter(lambda: fh.read(1 << 20), b""):
@@ -605,14 +609,20 @@ def _publish_if_absent(spark, path: str, build_fn) -> None:
     if fs.exists(spark, f"{path}/model.json"):
         return
     tmp = f"{path}.build-{_os.getpid()}-{_uuid.uuid4().hex[:8]}"
-    build_fn(tmp)
     try:
+        build_fn(tmp)
         _os.rename(tmp, path)
     except OSError as exc:
         # ENOTEMPTY/EEXIST: another run published first — use theirs
         if exc.errno not in (_errno.ENOTEMPTY, _errno.EEXIST):
+            _shutil.rmtree(tmp, ignore_errors=True)
             raise
         _shutil.rmtree(tmp, ignore_errors=True)
+    except BaseException:
+        # failed build (OOM, interrupt, disk full): never leave the
+        # partial temp dir accumulating in /tmp
+        _shutil.rmtree(tmp, ignore_errors=True)
+        raise
 
 
 def q137_ann_index_search(spark, sf):
@@ -999,12 +1009,13 @@ def q148_lsh_quality_report(spark, sf):
     )
 
     d = load_table(spark, sf, "documents")
-    sets = shingle_sets(d, k=3)
-    # both pair lists are consumed TWICE (their own count + the hit
-    # join) over an expensive shared shingle subtree — the q141
-    # multi-consumer rule: cut eagerly or the three 1-row aggs
-    # re-evaluate the whole minhash/prefix pipeline (measured 16 s ->
-    # ~3 s at sf0.1); the materialized frames are pair-list-sized
+    # the shingle explode feeds BOTH candidate generators (and the
+    # prefix filter references it three more times internally) — cut
+    # it once, then cut each pair list: every frame here has multiple
+    # consumers, the q141 rule (un-cut, the three 1-row aggs
+    # re-evaluated the whole pipeline: measured 16.1 s -> ~4.5 s at
+    # sf0.1); all materialized frames are set-list/pair-list-sized
+    sets = shingle_sets(d, k=3).localCheckpoint(eager=True)
     cand = (
         minhash_candidates_sets(
             minhash_sets(sets, num_hashes=8), band_size=2
@@ -1057,12 +1068,12 @@ def q149_tokenizer_fertility(spark, sf):
     from data_lake_project_spark.operators.bpe import bpe_apply
 
     d = load_table(spark, sf, "documents")
+    from data_lake_project_spark.functions import tokens as _tokens
+
     words = (
         d.select(
             "source",
-            F.explode(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-            ).alias("w"),
+            F.explode(_tokens(F.lower(F.col("text")))).alias("w"),
         )
         .filter(F.col("w") != "")
         .groupBy("source")
