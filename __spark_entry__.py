@@ -35,11 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the q01-prefix; r05 is the rotated q46-prefix). Rotating the head
 # each round walks the sweep window across the full declared surface:
 # q01-q45 were driver-green rounds 1-4, q46-q95(+q136) round 5. Round
-# 6 fronts the 47 oracle-backed queries that have never had a driver
-# row (q96-q135 window, q140-q142, and the new q144-q149) plus q55
-# (driver-ERR in r5; its output is now scalarized) and 2
-# re-confirmation picks (q51's warm regression, the q136 index
-# lane). This lives
+# 6 fronts the 48 oracle-backed queries that have never had a driver
+# row (q96-q135 window, q140-q142, and the new q144-q150) plus q55
+# (driver-ERR in r5; its output is now scalarized) and one
+# re-confirmation pick (q51's warm regression). This lives
 # HERE — the driver contract module — not in the library: library
 # consumers (bench, audits, tests) see stable declaration order, and a
 # membership drift degrades to a warning, never an import failure.
@@ -58,12 +57,11 @@ _SWEEP_HEAD = (
         k
         for k in QUERIES
         if k in ORACLE
-        and 96 <= _qnum(k) <= 149
+        and 96 <= _qnum(k) <= 150
         and k != "q136_dedup_index_gate"  # driver-green r5 already
     ]
     + [
         "q51_dedup_clusters",
-        "q136_dedup_index_gate",
     ]
 )
 

@@ -29,6 +29,9 @@ all-pairs stage anywhere; the only corpus-sized shuffles are the
 
 from __future__ import annotations
 
+import json
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -58,7 +61,59 @@ def bm25_topk(
     ``(bm25 DESC, doc_id)``.
 
     Output: (query_id, doc_id, bm25, rk) for the top ``k`` per query.
+
+    Composition-equal to ``search_bm25_index(build_bm25_index(docs),
+    queries)`` — this IS literally build + search, so the persisted
+    index lane (q150) serves identical results by construction.
     """
+    return search_bm25_index(
+        build_bm25_index(docs, text_col=text_col, id_col=id_col),
+        queries,
+        k=k,
+        k1=k1,
+        b=b,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted lexical (BM25) index — the train-once/serve-many lifecycle
+# for the lexical lane, mirroring operators.ann_index (dense lane) and
+# operators.dedup_index (dedup lane): at 100 TB the corpus-side
+# tokenize + count IS the dominant cost of every BM25 query, and a
+# production stack (Lucene/ES) computes it once, persists it, and
+# folds new documents in as O(delta) appends.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Bm25Index:
+    """A built lexical index: params + the two corpus-keyed frames.
+
+    ``tfs``  (id, tok, __tf) — the inverted term-frequency table;
+    ``dl``   (id, __dl)      — per-document token lengths.
+
+    df and the (N, avgdl) corpus stats are DERIVED at serve time from
+    these tables (one vocabulary-sized and one 1-row aggregate) rather
+    than stored, so an O(delta) fold never has to rewrite global
+    statistics — the standard tradeoff (Lucene also derives df from
+    segment postings at query time).
+    """
+
+    params: dict
+    tfs: DataFrame
+    dl: DataFrame
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Bm25Index:
+    """Index a corpus in ONE pass: token explode → per-(doc, term)
+    counts + per-doc lengths. Deterministic (pure counting, no RNG):
+    incremental fold ≡ full rebuild."""
     toks = (
         spread(docs)
         .select(
@@ -67,10 +122,92 @@ def bm25_topk(
         )
         .filter(F.col("tok") != "")
     )
-    per_doc = toks.groupBy(id_col, "tok").agg(
+    tfs = toks.groupBy(id_col, "tok").agg(
         F.count("*").cast("long").alias("__tf")
     )
-    dl = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("__dl"))
+    dl = toks.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("__dl")
+    )
+    return Bm25Index(
+        {"text_col": text_col, "id_col": id_col}, tfs, dl
+    )
+
+
+def save_bm25_index(index: Bm25Index, path: str) -> None:
+    """Persist tfs + dl as parquet and params as one small JSON
+    (written last — a reader that sees params sees the tables)."""
+    from data_lake_project_spark import fs
+
+    path = path.rstrip("/")
+    index.tfs.write.mode("overwrite").parquet(f"{path}/tfs")
+    index.dl.write.mode("overwrite").parquet(f"{path}/dl")
+    spark = index.tfs.sparkSession
+    fs.write_text(spark, f"{path}/params.json", json.dumps(index.params))
+
+
+def load_bm25_index(spark, path: str) -> Bm25Index:
+    from data_lake_project_spark import fs
+
+    path = path.rstrip("/")
+    params = json.loads(fs.read_text(spark, f"{path}/params.json"))
+    return Bm25Index(
+        params,
+        spark.read.parquet(f"{path}/tfs"),
+        spark.read.parquet(f"{path}/dl"),
+    )
+
+
+def bm25_index_apply(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    assume_new_ids: bool = False,
+) -> Bm25Index:
+    """Persisted maintenance fold: index ONLY ``new_docs`` and APPEND
+    to the stored tf/dl tables — the standing corpus's content is
+    never re-tokenized or reshuffled. Returns the reloaded index.
+
+    Same replay-guard contract as ``ann_index_apply``: by default the
+    delta anti-joins the stored doc ids (one column-pruned scan +
+    distinct — O(index ids)); gated-upstream callers pass
+    ``assume_new_ids=True`` for the strictly O(delta) fold. df/avgdl
+    need no maintenance — they are derived at serve time.
+    """
+    from data_lake_project_spark import fs
+
+    path = path.rstrip("/")
+    params = json.loads(fs.read_text(spark, f"{path}/params.json"))
+    id_col = params["id_col"]
+    if not assume_new_ids:
+        existing = (
+            spark.read.parquet(f"{path}/dl").select(id_col).distinct()
+        )
+        new_docs = new_docs.join(existing, id_col, "left_anti")
+    delta = build_bm25_index(
+        new_docs, text_col=params["text_col"], id_col=id_col
+    )
+    delta.tfs.write.mode("append").parquet(f"{path}/tfs")
+    delta.dl.write.mode("append").parquet(f"{path}/dl")
+    return load_bm25_index(spark, path)
+
+
+def search_bm25_index(
+    index: Bm25Index,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """Serve BM25 top-k from a (built or loaded) index: derive df and
+    (N, avgdl) — one vocabulary-sized and one 1-row aggregate — then
+    score only the documents containing a query term. This is the
+    single scoring path for inline and persisted lanes (``bm25_topk``
+    is literally build + this), so the two are equal by construction.
+    """
+    id_col = index.params["id_col"]
+    per_doc, dl = index.tfs, index.dl
     df_docs = per_doc.groupBy("tok").agg(
         F.count("*").cast("long").alias("__df")
     )

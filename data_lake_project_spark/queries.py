@@ -1101,6 +1101,39 @@ def q149_tokenizer_fertility(spark, sf):
     )
 
 
+def q150_bm25_index_search(spark, sf):
+    """BM25 served from a PERSISTED lexical index — the q137/q136
+    lifecycle story for the lexical retrieval lane: the inverted
+    tf/dl tables are built once per (sf, fingerprint) and saved; every
+    run after loads them and pays only the vocabulary-sized df/stats
+    aggregates + the query-term candidate join. ``bm25_topk`` is
+    literally build + search, so this equals q144 by construction —
+    and shares q144's oracle (the q136/q102 pattern). See
+    ``operators.retrieval``."""
+    from data_lake_project_spark.operators.retrieval import (
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+        search_bm25_index,
+    )
+
+    d = load_table(spark, sf, "documents")
+    tag = sf.rstrip("/").replace("/", "_").replace(".", "_")
+    fp = _dataset_fingerprint(sf, "documents")
+    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_bm25"
+    _publish_if_absent(
+        spark,
+        path,
+        lambda tmp: save_bm25_index(build_bm25_index(d), tmp),
+    )
+    q = spark.createDataFrame(_Q142_QUERIES, "query_id int, qtext string")
+    return (
+        search_bm25_index(load_bm25_index(spark, path), q, k=5)
+        .withColumn("rk", F.col("rk").cast("long"))
+        .orderBy("query_id", "doc_id")
+    )
+
+
 def q37_ivf_topk(spark, sf):
     """Approximate ANN via IVF coarse quantizer — rows-only check
     (recall depends on nprobe; exact baseline is q22, LSH variant q33).
@@ -3921,6 +3954,7 @@ QUERIES: dict[str, QueryFn] = {
     "q147_importance_weights": q147_importance_weights,
     "q148_lsh_quality_report": q148_lsh_quality_report,
     "q149_tokenizer_fertility": q149_tokenizer_fertility,
+    "q150_bm25_index_search": q150_bm25_index_search,
     "q131_cluster_safe_split": q131_cluster_safe_split,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
@@ -7235,6 +7269,13 @@ ORACLE["q144_bm25_retrieval"] = f"""
     SELECT query_id, doc_id, bm25, rk::BIGINT AS rk
     FROM lex WHERE rk <= 5 ORDER BY query_id, doc_id
 """
+
+
+# q150 serves q144's exact results from the persisted lexical index
+# (bm25_topk IS build + search — equality by construction), so it
+# shares q144's oracle verbatim: the q136/q102 incremental-index
+# pattern.
+ORACLE["q150_bm25_index_search"] = ORACLE["q144_bm25_retrieval"]
 
 
 # q145: the BM25 lane (k=10) + the dense lane (doc-level hash

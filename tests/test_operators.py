@@ -273,6 +273,51 @@ def test_importance_weights_prefers_target_like_docs(spark):
     assert out[5] > out[3] and out[5] > out[4]
 
 
+def test_bm25_index_roundtrip_and_incremental_fold(spark, tmp_path):
+    """The persisted lexical index lifecycle: build→save→load→search
+    must equal inline bm25_topk exactly; folding half the corpus into
+    an index built on the other half must equal a full one-shot build;
+    a replayed delta must be a no-op (default guard)."""
+    from data_lake_project_spark.operators.retrieval import (
+        bm25_index_apply,
+        bm25_topk,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+        search_bm25_index,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    q = spark.createDataFrame(
+        [(1, "supplier quality metrics"), (2, "customer order history")],
+        ["query_id", "qtext"],
+    )
+    inline = sorted(tuple(r) for r in bm25_topk(d, q, k=5).collect())
+    assert len(inline) > 0
+    # roundtrip
+    path = str(tmp_path / "bm25_idx")
+    save_bm25_index(build_bm25_index(d), path)
+    loaded = load_bm25_index(spark, path)
+    assert inline == sorted(
+        tuple(r)
+        for r in search_bm25_index(loaded, q, k=5).collect()
+    )
+    # incremental fold == full rebuild
+    path2 = str(tmp_path / "bm25_idx_half")
+    save_bm25_index(
+        build_bm25_index(d.filter("doc_id % 2 = 0")), path2
+    )
+    folded = bm25_index_apply(spark, path2, d.filter("doc_id % 2 = 1"))
+    assert inline == sorted(
+        tuple(r)
+        for r in search_bm25_index(folded, q, k=5).collect()
+    )
+    # replayed delta is a no-op under the default guard
+    n = folded.tfs.count()
+    replayed = bm25_index_apply(spark, path2, d.filter("doc_id % 2 = 1"))
+    assert replayed.tfs.count() == n
+
+
 def test_ivf_topk_recall_vs_brute_force(spark):
     from data_lake_project_spark.operators.similarity import (
         brute_force_topk,

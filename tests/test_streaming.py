@@ -1429,3 +1429,102 @@ def test_streaming_embedding_ingest_folds_into_persisted_ann_index(
     assert (102, 100) in hit_pairs
     # and the final index holds base + both batches
     assert streamed[1] == sorted(list(range(20)) + [100, 101, 102, 103])
+
+
+def test_streaming_document_ingest_folds_into_persisted_bm25_index(
+    spark, tmp_path
+):
+    """The lexical-lane twin of the streamed ANN fold test: each
+    micro-batch of new documents is FIRST retrieved against the
+    persisted BM25 index (serve-before-ingest) and THEN folded in with
+    the O(delta) bm25_index_apply, so a later batch's query can hit an
+    earlier batch's documents. Search results and the final index must
+    equal the batch twin run over the same micro-batches in order —
+    with this, all three index lanes (dedup q136, ANN q137, BM25 q150)
+    have a streaming equivalence proof."""
+    import glob as _glob
+
+    from data_lake_project_spark.operators.retrieval import (
+        bm25_index_apply,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+        search_bm25_index,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(i, f"base document number {i} about warehouses") for i in range(10)],
+        schema,
+    )
+    b1 = [(100, "fresh report on supplier quality metrics")]
+    b2 = [(101, "follow-up on supplier quality metrics and delays")]
+    queries = spark.createDataFrame(
+        [(1, "supplier quality metrics")], "query_id int, qtext string"
+    )
+
+    def run(tag, via_stream):
+        path = str(tmp_path / f"bm25_grow_{tag}")
+        save_bm25_index(build_bm25_index(corpus), path)
+        hits_sink = str(tmp_path / f"bm25_hits_{tag}")
+
+        def handle(batch_df, batch_id):
+            s = batch_df.sparkSession
+            rows = batch_df.collect()  # test-sized
+            if not rows:
+                return
+            idx = load_bm25_index(s, path)
+            search_bm25_index(idx, queries, k=5).write.mode(
+                "append"
+            ).parquet(hits_sink)
+            bm25_index_apply(s, path, s.createDataFrame(rows, schema))
+
+        if via_stream:
+            src = str(tmp_path / f"bm25_src_{tag}")
+            os.makedirs(src)
+            base = 1_700_000_000
+            for i, rows in enumerate((b1, b2)):
+                part = str(tmp_path / f"bm25_stage_{tag}_{i}")
+                spark.createDataFrame(rows, schema).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(part)
+                for f in sorted(_glob.glob(f"{part}/part-*.parquet")):
+                    dst = os.path.join(src, f"{i:02d}.parquet")
+                    shutil.copy(f, dst)
+                    os.utime(dst, (base + i, base + i))
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(handle)
+                .option(
+                    "checkpointLocation", str(tmp_path / f"bck_{tag}")
+                )
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        else:
+            for i, rows in enumerate((b1, b2)):
+                handle(spark.createDataFrame(rows, schema), i)
+
+        hits = sorted(
+            tuple(r) for r in spark.read.parquet(hits_sink).collect()
+        )
+        final = sorted(
+            r.doc_id
+            for r in load_bm25_index(spark, path).dl.select(
+                "doc_id"
+            ).collect()
+        )
+        return hits, final
+
+    streamed = run("s", via_stream=True)
+    batched = run("b", via_stream=False)
+    assert streamed == batched
+    # batch 2's search (run BEFORE folding batch 2) must retrieve
+    # batch 1's doc 100 from the grown index
+    hit_docs = {r[1] for r in streamed[0]}
+    assert 100 in hit_docs and 101 not in hit_docs
+    # the final index holds base + both batches
+    assert streamed[1] == sorted(list(range(10)) + [100, 101])
