@@ -818,3 +818,157 @@ def test_bpe_apply_matches_reference_on_random_merges(
             syms = out
         want.update(syms)
     assert got == want
+
+
+def _ref_bm25(doc_words, query_words, k1=1.2, b=0.75):
+    """Pure-Python BM25 with the operator's EXACT arithmetic: rational
+    idf, per-term pround(6), exact-decimal (micro-int) summation,
+    final pround(4) — the same IEEE op sequence, so equality is
+    bit-for-bit, not approximate."""
+    import math
+
+    dl = {i: len(ws) for i, ws in doc_words.items() if ws}
+    if not dl:
+        return []
+    n = float(len(dl))
+    avgdl = float(sum(dl.values())) / n
+    df = {}
+    for ws in doc_words.values():
+        for t in set(ws):
+            df[t] = df.get(t, 0) + 1
+    qterms = set(query_words)
+    micros = {}
+    for i, ws in doc_words.items():
+        if not ws:
+            continue
+        for t in qterms:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+            tf_term = (tf * 2.2) / (
+                tf + 1.2 * (0.25 + 0.75 * (dl[i] / avgdl))
+            )
+            c = math.floor(idf * tf_term * 1000000.0 + 0.5) / 1000000.0
+            micros[i] = micros.get(i, 0) + round(c * 1000000.0)
+    out = []
+    for i, m in micros.items():
+        s = m / 1000000.0
+        out.append((i, math.floor(s * 10000.0 + 0.5) / 10000.0))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcde", min_size=1, max_size=3),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=3),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_bm25_matches_reference_on_random_corpora(spark, doc_lists, qws):
+    """The distributed BM25 (inverted-index candidate join + decimal
+    sums) must equal a pure-Python reference with identical arithmetic
+    on arbitrary corpora — repeated terms, empty docs, query terms
+    absent from the corpus, tie storms on a 5-letter alphabet."""
+    from data_lake_project_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(doc_lists)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, " ".join(qws))], "query_id int, qtext string"
+    )
+    got = sorted(
+        (r.doc_id, r.bm25)
+        for r in bm25_topk(docs, q, k=1000).collect()
+    )
+    want = sorted(
+        _ref_bm25({i: ws for i, ws in enumerate(doc_lists)}, qws)
+    )
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),
+            st.lists(
+                st.text(alphabet="abcde", min_size=1, max_size=3),
+                min_size=0,
+                max_size=10,
+            ),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_importance_weights_matches_reference(spark, rows):
+    """dataset.importance_weights must equal a pure-Python reference
+    with identical arithmetic (md5 buckets, Laplace-smoothed float
+    ratio in the same op order, micro-int sums, final pround(4)) on
+    arbitrary target/raw splits — including all-target, all-raw and
+    empty-doc corpora."""
+    import hashlib
+    import math
+
+    from data_lake_project_spark.operators.dataset import importance_weights
+
+    n_buckets = 8
+    docs = spark.createDataFrame(
+        [
+            (i, "t" if is_t else "r", " ".join(ws))
+            for i, (is_t, ws) in enumerate(rows)
+        ],
+        "doc_id long, grp string, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.n_toks, r.importance)
+        for r in importance_weights(
+            docs, F.col("grp") == "t", n_buckets=n_buckets
+        ).collect()
+    )
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+    nt, nr = {}, {}
+    tot_t = tot_r = 0
+    for is_t, ws in rows:
+        for w in ws:
+            b = bucket(w)
+            if is_t:
+                nt[b] = nt.get(b, 0) + 1
+                tot_t += 1
+            else:
+                nr[b] = nr.get(b, 0) + 1
+                tot_r += 1
+    v = float(n_buckets)
+    ratio = {}
+    for b in set(nt) | set(nr):
+        r = ((nt.get(b, 0) + 1.0) / (tot_t + v)) / (
+            (nr.get(b, 0) + 1.0) / (tot_r + v)
+        )
+        ratio[b] = math.floor(r * 1000000.0 + 0.5) / 1000000.0
+    want = []
+    for i, (is_t, ws) in enumerate(rows):
+        if not ws:
+            continue
+        micros = sum(round(ratio[bucket(w)] * 1000000.0) for w in ws)
+        mean = (micros / 1000000.0) / float(len(ws))
+        want.append(
+            (i, len(ws), math.floor(mean * 10000.0 + 0.5) / 10000.0)
+        )
+    assert got == sorted(want)
