@@ -91,25 +91,41 @@ def bm25_topk(
 class Bm25Index:
     """A built lexical index: params + the two corpus-keyed frames.
 
-    ``tfs``  (id, tok, __tf) — the inverted term-frequency table;
-    ``dl``   (id, __dl)      — per-document token lengths.
+    ``tfs``  (id, tok, __tf, __tb) — the inverted term-frequency
+    table; ``__tb`` is a deterministic md5 hash bucket of the term,
+    the persisted layout's partition key;
+    ``dl``   (id, __dl)            — per-document token lengths.
 
     df and the (N, avgdl) corpus stats are DERIVED at serve time from
     these tables (one vocabulary-sized and one 1-row aggregate) rather
     than stored, so an O(delta) fold never has to rewrite global
     statistics — the standard tradeoff (Lucene also derives df from
-    segment postings at query time).
+    segment postings at query time). ``persisted`` marks an index
+    loaded from disk, where ``tfs`` is bucket-partitioned and searches
+    add a static bucket filter that PARTITION-PRUNES the scan (the
+    same gate discipline as ``AnnIndex.persisted``).
     """
 
     params: dict
     tfs: DataFrame
     dl: DataFrame
+    persisted: bool = False
+
+
+def _tok_bucket(col, n_buckets: int):
+    """md5 hash bucket of a term — the identical integer driver-side
+    is ``int(md5(tok).hexdigest()[:8], 16) % n_buckets``."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    )
 
 
 def build_bm25_index(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tok_buckets: int = 64,
 ) -> Bm25Index:
     """Index a corpus in ONE pass: token explode → per-(doc, term)
     counts + per-doc lengths. Deterministic (pure counting, no RNG):
@@ -124,12 +140,18 @@ def build_bm25_index(
     )
     tfs = toks.groupBy(id_col, "tok").agg(
         F.count("*").cast("long").alias("__tf")
-    )
+    ).withColumn("__tb", _tok_bucket(F.col("tok"), tok_buckets))
     dl = toks.groupBy(id_col).agg(
         F.count("*").cast("long").alias("__dl")
     )
     return Bm25Index(
-        {"text_col": text_col, "id_col": id_col}, tfs, dl
+        {
+            "text_col": text_col,
+            "id_col": id_col,
+            "tok_buckets": tok_buckets,
+        },
+        tfs,
+        dl,
     )
 
 
@@ -139,7 +161,13 @@ def save_bm25_index(index: Bm25Index, path: str) -> None:
     from data_lake_project_spark import fs
 
     path = path.rstrip("/")
-    index.tfs.write.mode("overwrite").parquet(f"{path}/tfs")
+    # bucket-partitioned layout: a search's static query-term-bucket
+    # filter partition-prunes the tfs scan to the handful of probed
+    # directories — at 100 TB the difference between reading
+    # |query buckets|/tok_buckets of the postings and all of them
+    index.tfs.write.mode("overwrite").partitionBy("__tb").parquet(
+        f"{path}/tfs"
+    )
     index.dl.write.mode("overwrite").parquet(f"{path}/dl")
     spark = index.tfs.sparkSession
     fs.write_text(spark, f"{path}/params.json", json.dumps(index.params))
@@ -150,10 +178,16 @@ def load_bm25_index(spark, path: str) -> Bm25Index:
 
     path = path.rstrip("/")
     params = json.loads(fs.read_text(spark, f"{path}/params.json"))
+    # partition-column type inference reads __tb back as int — pin it
+    # to the build-side bigint so filters/joins never coerce
+    tfs = spark.read.parquet(f"{path}/tfs").withColumn(
+        "__tb", F.col("__tb").cast("bigint")
+    )
     return Bm25Index(
         params,
-        spark.read.parquet(f"{path}/tfs"),
+        tfs,
         spark.read.parquet(f"{path}/dl"),
+        persisted=True,
     )
 
 
@@ -184,9 +218,14 @@ def bm25_index_apply(
         )
         new_docs = new_docs.join(existing, id_col, "left_anti")
     delta = build_bm25_index(
-        new_docs, text_col=params["text_col"], id_col=id_col
+        new_docs,
+        text_col=params["text_col"],
+        id_col=id_col,
+        tok_buckets=params.get("tok_buckets", 64),
     )
-    delta.tfs.write.mode("append").parquet(f"{path}/tfs")
+    delta.tfs.write.mode("append").partitionBy("__tb").parquet(
+        f"{path}/tfs"
+    )
     delta.dl.write.mode("append").parquet(f"{path}/dl")
     return load_bm25_index(spark, path)
 
@@ -208,6 +247,38 @@ def search_bm25_index(
     """
     id_col = index.params["id_col"]
     per_doc, dl = index.tfs, index.dl
+    if index.persisted:
+        # static bucket pre-filter → PartitionFilters on the tfs scan
+        # (plan-pinned): collecting the distinct query terms is the
+        # same bounded driver action the ANN search performs on its
+        # probe side — the query set is tiny by contract. Correctness
+        # is unaffected: a term's postings all live in one bucket, so
+        # every kept term's df is computed from its complete postings.
+        import hashlib as _hashlib
+
+        n_b = index.params.get("tok_buckets", 64)
+        toks_rows = (
+            queries.select(
+                F.explode(
+                    tokens(F.lower(F.col(query_text_col)))
+                ).alias("tok")
+            )
+            .filter(F.col("tok") != "")
+            .distinct()
+            .collect()
+        )
+        buckets = sorted(
+            {
+                int(
+                    _hashlib.md5(r.tok.encode("utf-8")).hexdigest()[:8],
+                    16,
+                )
+                % n_b
+                for r in toks_rows
+            }
+        )
+        if buckets:
+            per_doc = per_doc.filter(F.col("__tb").isin(buckets))
     df_docs = per_doc.groupBy("tok").agg(
         F.count("*").cast("long").alias("__df")
     )

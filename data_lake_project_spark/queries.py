@@ -1120,7 +1120,11 @@ def q150_bm25_index_search(spark, sf):
     d = load_table(spark, sf, "documents")
     tag = sf.rstrip("/").replace("/", "_").replace(".", "_")
     fp = _dataset_fingerprint(sf, "documents")
-    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_bm25"
+    # _tb64 = layout version: tfs partitioned by the 64-way token
+    # hash bucket (bump the suffix whenever the on-disk layout
+    # changes, so a stale /tmp cache from an older layout can never
+    # be loaded)
+    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_bm25_tb64"
     _publish_if_absent(
         spark,
         path,

@@ -442,3 +442,32 @@ def test_ann_index_search_prunes_bucket_partitions(spark, tmp_path):
             kind,
             pf[:1] or plan[:1500],
         )
+
+
+def test_bm25_index_search_prunes_token_bucket_partitions(spark, tmp_path):
+    """A persisted BM25 search must read ONLY the buckets containing
+    query terms: tfs is written partitionBy(__tb) and the search's
+    static In-filter shows up as a PartitionFilter on the tfs scan —
+    the lexical-lane twin of the ANN bucket-pruning pin."""
+    from data_lake_project_spark.operators.retrieval import (
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+        search_bm25_index,
+    )
+    from data_lake_project_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    q = spark.createDataFrame(
+        [(1, "supplier quality metrics")], "query_id int, qtext string"
+    )
+    path = str(tmp_path / "bm25_pin")
+    save_bm25_index(build_bm25_index(d), path)
+    out = search_bm25_index(load_bm25_index(spark, path), q, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "__tb" in ln
+    ]
+    assert pf and " IN (" in pf[0], pf[:1] or plan[:1500]
