@@ -164,10 +164,14 @@ def save_bm25_index(index: Bm25Index, path: str) -> None:
     # bucket-partitioned layout: a search's static query-term-bucket
     # filter partition-prunes the tfs scan to the handful of probed
     # directories — at 100 TB the difference between reading
-    # |query buckets|/tok_buckets of the postings and all of them
-    index.tfs.write.mode("overwrite").partitionBy("__tb").parquet(
-        f"{path}/tfs"
-    )
+    # |query buckets|/tok_buckets of the postings and all of them.
+    # repartition by the bucket key first so each bucket directory is
+    # ONE file, not one-per-task (without it the 64 dirs held ~32
+    # small files each and listing/footer overhead made the pruned
+    # scan SLOWER than the unpartitioned one at bench scale)
+    index.tfs.repartition("__tb").write.mode("overwrite").partitionBy(
+        "__tb"
+    ).parquet(f"{path}/tfs")
     index.dl.write.mode("overwrite").parquet(f"{path}/dl")
     spark = index.tfs.sparkSession
     fs.write_text(spark, f"{path}/params.json", json.dumps(index.params))
@@ -223,9 +227,9 @@ def bm25_index_apply(
         id_col=id_col,
         tok_buckets=params.get("tok_buckets", 64),
     )
-    delta.tfs.write.mode("append").partitionBy("__tb").parquet(
-        f"{path}/tfs"
-    )
+    delta.tfs.repartition("__tb").write.mode("append").partitionBy(
+        "__tb"
+    ).parquet(f"{path}/tfs")
     delta.dl.write.mode("append").parquet(f"{path}/dl")
     return load_bm25_index(spark, path)
 
@@ -257,6 +261,11 @@ def search_bm25_index(
         import hashlib as _hashlib
 
         n_b = index.params.get("tok_buckets", 64)
+        # collect WITHOUT distinct: the raw exploded tokens are
+        # query-set-sized, and skipping distinct keeps this a single
+        # narrow map job (a distinct would shuffle across all
+        # spark.sql.shuffle.partitions for a handful of rows) —
+        # dedupe happens in the Python set below
         toks_rows = (
             queries.select(
                 F.explode(
@@ -264,7 +273,6 @@ def search_bm25_index(
                 ).alias("tok")
             )
             .filter(F.col("tok") != "")
-            .distinct()
             .collect()
         )
         buckets = sorted(
