@@ -75,3 +75,67 @@ def zorder_file_stats(
             F.max(y_col).alias("y_max"),
         )
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str,
+    id_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planner (the metadata half of Delta's
+    OPTIMIZE / Iceberg's rewrite_data_files): within each table
+    partition, files under ``target_bytes`` are greedily packed — in
+    deterministic id order — into output groups that close once their
+    cumulative size reaches the target (next-fit bin packing via a
+    window cumulative sum: group = floor(cum_size_before / target)).
+    Files already >= target pass through untouched.
+
+    Scale: the input is the FILE INVENTORY (one row per file — a
+    metadata table millions of rows at 100 TB, not the data), the
+    window is per-partition so packing parallelizes across partitions,
+    and the output is one row per rewrite group — the job list a
+    compactor executes. Greedy-by-id (not best-fit) is deliberate:
+    it is single-pass, stable under appends (new files only ever
+    extend the LAST group), and within 2x of optimal bin count.
+
+    Output: (part, group_id, n_files, group_bytes, first_file,
+    last_file) for rewrite groups, plus one row per kept-as-is file
+    with group_id = -1.
+    """
+    from pyspark.sql import Window
+
+    part = F.col(part_col)
+    size = F.col(size_col).cast("long")
+    small = files.filter(size < F.lit(target_bytes))
+    big = files.filter(size >= F.lit(target_bytes))
+
+    w = Window.partitionBy(part).orderBy(F.col(id_col))
+    cum_before = F.coalesce(
+        F.sum(size).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    planned = small.withColumn(
+        # explicit double division (exact for metadata-scale integer
+        # operands) so the oracle's CAST-to-DOUBLE twin is bit-identical
+        "group_id",
+        F.floor(
+            cum_before.cast("double") / F.lit(float(target_bytes))
+        ).cast("long"),
+    )
+    groups = planned.groupBy(part.alias("part"), "group_id").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(size).cast("long").alias("group_bytes"),
+        F.min(id_col).cast("long").alias("first_file"),
+        F.max(id_col).cast("long").alias("last_file"),
+    )
+    kept = big.select(
+        part.alias("part"),
+        F.lit(-1).cast("long").alias("group_id"),
+        F.lit(1).cast("long").alias("n_files"),
+        size.alias("group_bytes"),
+        F.col(id_col).cast("long").alias("first_file"),
+        F.col(id_col).cast("long").alias("last_file"),
+    )
+    return groups.unionByName(kept)

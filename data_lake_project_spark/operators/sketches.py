@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_lake_project_spark.functions import pround
+
 
 def approx_quantiles(
     df: DataFrame,
@@ -302,3 +304,215 @@ def count_min_estimate(
             .alias("cms_count")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable DataSketches rollups (Spark 4's built-in Apache
+# DataSketches aggregates). The lifecycle mirrors the persisted
+# index lanes (ann_index / dedup_index / retrieval): build the
+# per-key sketch table ONCE with a single partial-agg'd corpus pass,
+# persist it, fold O(delta) batches in by key-wise union, and answer
+# any slice/rollup question from the sketch table alone — the corpus
+# is never rescanned. Unlike the positional indexes, replaying a
+# delta is SAFE BY ALGEBRA here: HLL/theta union is idempotent on
+# identical inputs (register-wise max / hash-set union), so the fold
+# needs no anti-join guard. Sketch BYTES are not canonical across
+# partitionings (serialization mode depends on merge order) —
+# equivalence contracts compare ESTIMATES, never bytes.
+# ---------------------------------------------------------------------------
+
+
+def build_hll_rollup(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-key HLL sketch of ``value_col``'s distinct set — one
+    partial-aggregated pass (map-side sketches merge in the combine,
+    the shuffle carries lg_k-sized registers, never values)."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll_sketch")
+    )
+
+
+def save_hll_rollup(rollup: DataFrame, path: str) -> None:
+    rollup.write.mode("error").parquet(path)
+
+
+def load_hll_rollup(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def fold_hll_rollup(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Fold a new batch into a standing rollup: sketch the delta,
+    then key-wise ``hll_union_agg`` with the stored sketches. Cost is
+    O(delta) + a rollup-key-sized merge; replaying the same delta is
+    a no-op on every estimate (union idempotence)."""
+    d = build_hll_rollup(delta, keys, value_col, lg_k)
+    return (
+        existing.unionByName(d)
+        .groupBy(*keys)
+        .agg(F.hll_union_agg("hll_sketch").alias("hll_sketch"))
+    )
+
+
+def query_hll_rollup(
+    rollup: DataFrame, group_keys: list[str]
+) -> DataFrame:
+    """Distinct-count estimates for ANY coarser grouping of a stored
+    rollup: union the member sketches per output group and estimate.
+    (key-count)-sized input — the 100 TB corpus never re-enters.
+
+    Output: (*group_keys, approx_ndv bigint).
+    """
+    g = rollup.groupBy(*group_keys) if group_keys else rollup.groupBy()
+    return g.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sketch"))
+        .cast("long")
+        .alias("approx_ndv")
+    )
+
+
+def theta_overlap(
+    df: DataFrame, set_col: str, value_col: str
+) -> DataFrame:
+    """Pairwise distinct-set algebra across the values of ``set_col``
+    via theta sketches: |A∩B|, |A∪B|, |A\\B| and a Jaccard estimate
+    for every unordered pair — without ever shuffling the raw value
+    sets (the exact computation is a self-join of the full data; this
+    is one sketch pass + a (k choose 2)-row driver-scale join).
+
+    Output: (set_a, set_b, n_inter, n_union, n_only_a, jaccard_est),
+    set_a < set_b.
+    """
+    sk = df.groupBy(F.col(set_col).alias("set_id")).agg(
+        F.theta_sketch_agg(value_col).alias("__sk")
+    )
+    a = sk.select(
+        F.col("set_id").alias("set_a"), F.col("__sk").alias("__ska")
+    )
+    b = sk.select(
+        F.col("set_id").alias("set_b"), F.col("__sk").alias("__skb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("set_a") < F.col("set_b"))
+    inter = F.theta_sketch_estimate(
+        F.theta_intersection("__ska", "__skb")
+    ).cast("long")
+    uni = F.theta_sketch_estimate(F.theta_union("__ska", "__skb")).cast(
+        "long"
+    )
+    only_a = F.theta_sketch_estimate(
+        F.theta_difference("__ska", "__skb")
+    ).cast("long")
+    return pairs.select(
+        "set_a",
+        "set_b",
+        inter.alias("n_inter"),
+        uni.alias("n_union"),
+        only_a.alias("n_only_a"),
+        pround(
+            inter.cast("double")
+            / F.greatest(uni.cast("double"), F.lit(1.0)),
+            4,
+        ).alias("jaccard_est"),
+    )
+
+
+def kll_quantile_rollup(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    quantiles: list[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable per-key quantile sketches (KLL over BIGINT values)
+    plus a merged ``__all__`` row PROVING mergeability: the global
+    quantiles come from folding the per-key sketches pairwise
+    (``kll_sketch_merge_bigint`` over the sorted sketch list), not
+    from rescanning the data — the continuous-aggregate shape for
+    percentile dashboards over 100 TB.
+
+    Output: (key, n bigint, q_<pct> bigint ...) with key='__all__'
+    for the merged row.
+    """
+    vals = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    per = vals.groupBy("key").agg(
+        F.kll_sketch_agg_bigint("__v").alias("__kll"),
+        F.count("*").alias("n"),
+    )
+
+    def qcols(sk):
+        return [
+            F.kll_sketch_get_quantile_bigint(sk, F.lit(float(q)))
+            .cast("long")
+            .alias(f"q_{int(q * 100)}")
+            for q in quantiles
+        ]
+
+    per_out = per.select("key", "n", *qcols(F.col("__kll")))
+    merged = per.agg(
+        F.sort_array(F.collect_list(F.struct("key", "__kll"))).alias(
+            "__ks"
+        ),
+        F.sum("n").alias("n"),
+    ).select(
+        F.lit("__all__").alias("key"),
+        "n",
+        *qcols(
+            F.aggregate(
+                F.expr("slice(__ks, 2, size(__ks) - 1)"),
+                F.col("__ks")[0]["__kll"],
+                lambda acc, x: F.kll_sketch_merge_bigint(acc, x["__kll"]),
+            )
+        ),
+    )
+    return per_out.unionByName(merged)
+
+
+def hll_rollup_apply(
+    spark,
+    path: str,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> None:
+    """O(delta) fold into a PERSISTED rollup at ``path``: sketch the
+    delta and parquet-append its per-key rows. No read-modify-write —
+    a key may accumulate multiple sketch rows, and every query path
+    (:func:`query_hll_rollup`) already unions rows per output group,
+    so duplicates are invisible to estimates. A replayed delta
+    appends rows whose union is an estimate no-op (idempotent sketch
+    algebra) — the lane needs no replay guard, unlike the positional
+    indexes (ann_index/dedup_index, where a replay DUPLICATES rows in
+    results). Run :func:`compact_hll_rollup` occasionally to fold
+    accumulated rows back to one per key."""
+    build_hll_rollup(delta, keys, value_col, lg_k).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def compact_hll_rollup(spark, path: str) -> None:
+    """Maintenance fold: rewrite the rollup to ONE sketch row per key
+    (union-merging the appended delta rows). Estimates are unchanged
+    — pinned by test. The merged table is eagerly materialized
+    (``localCheckpoint``) before the overwrite so the write never
+    scans the files it is replacing; a cluster deployment would write
+    a new versioned directory and swap instead."""
+    r = load_hll_rollup(spark, path)
+    keys = [c for c in r.columns if c != "hll_sketch"]
+    merged = (
+        r.groupBy(*keys)
+        .agg(F.hll_union_agg("hll_sketch").alias("hll_sketch"))
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(path)

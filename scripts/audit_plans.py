@@ -74,6 +74,15 @@ BNLJ_ALLOWED: set[str] = {
     # the q144 scoring shape served from the persisted index — same
     # 1-row (N, avgdl) stats broadcast.
     "q150_bm25_index_search",
+    # (k choose 2) pairing of the per-set theta sketches: both sides
+    # are set-count-sized (one row per event_type), the '<' pair
+    # condition is the deliberate broadcast nested loop.
+    "q152_theta_overlap",
+    # the q22 brute-force shape over int8 codes: tiny encoded probes
+    # broadcast against the encoded corpus scan.
+    "q155_int8_topk",
+    # 1-row max-doc-id scalar broadcast onto the batch derivation.
+    "q156_vocab_growth",
 }
 
 

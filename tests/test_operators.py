@@ -2976,3 +2976,235 @@ def test_ann_chunk_retrieval_recall_vs_exact(spark):
         for r in QUERIES["q143_ann_chunk_retrieval"](spark, sf).collect()
     }
     assert again == ann
+
+
+# ---------------------------------------------------------------------------
+# Mergeable DataSketches rollups (q151-q153)
+# ---------------------------------------------------------------------------
+
+
+def _hll_est(rollup, keys):
+    from data_lake_project_spark.operators.sketches import query_hll_rollup
+
+    return sorted(
+        tuple(r) for r in query_hll_rollup(rollup, keys).collect()
+    )
+
+
+def test_hll_rollup_lifecycle(spark, tmp_path):
+    """Build → save → load → fold ≡ full rebuild ≡ exact (sparse-mode
+    regime), and a replayed fold is a no-op on every estimate —
+    union idempotence, the reason this lane needs no anti-join guard."""
+    from data_lake_project_spark.operators.sketches import (
+        build_hll_rollup,
+        fold_hll_rollup,
+        load_hll_rollup,
+        save_hll_rollup,
+    )
+
+    e = load_table(spark, SF_DIR, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    keys = ["event_type", "day"]
+    old = e.filter(F.dayofmonth("day") <= 15)
+    new = e.filter(F.dayofmonth("day") > 15)
+    assert old.count() > 0 and new.count() > 0
+
+    path = str(tmp_path / "hll")
+    save_hll_rollup(build_hll_rollup(old, keys, "user_id"), path)
+    folded = fold_hll_rollup(
+        load_hll_rollup(spark, path), new, keys, "user_id"
+    )
+    rebuilt = build_hll_rollup(e, keys, "user_id")
+    assert _hll_est(folded, ["event_type"]) == _hll_est(
+        rebuilt, ["event_type"]
+    )
+    assert _hll_est(folded, []) == _hll_est(rebuilt, [])
+
+    exact = sorted(
+        tuple(r)
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("approx_ndv"))
+        .collect()
+    )
+    assert _hll_est(folded, ["event_type"]) == exact
+
+    replayed = fold_hll_rollup(folded, new, keys, "user_id")
+    assert _hll_est(replayed, ["event_type"]) == _hll_est(
+        folded, ["event_type"]
+    )
+
+
+def test_theta_overlap_matches_exact(spark):
+    from data_lake_project_spark.operators.sketches import theta_overlap
+
+    e = load_table(spark, SF_DIR, "events")
+    got = {
+        (r.set_a, r.set_b): (r.n_inter, r.n_union, r.n_only_a)
+        for r in theta_overlap(e, "event_type", "user_id").collect()
+    }
+    sets: dict[str, set] = {}
+    for r in e.select("event_type", "user_id").collect():
+        sets.setdefault(r.event_type, set()).add(r.user_id)
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            only = len(sets[a] - sets[b])
+            assert got[(a, b)] == (inter, uni, only)
+
+
+def test_kll_quantile_rank_error(spark):
+    """Each reported quantile's TRUE normalized rank must sit within
+    the KLL rank-error envelope (k=200 → eps ~1.65%; pinned at 3.5%
+    plus the 1/n discretization step)."""
+    from data_lake_project_spark.operators.sketches import (
+        kll_quantile_rollup,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    out = {
+        r.key: r
+        for r in kll_quantile_rollup(
+            d, "source", "n_chars", [0.5, 0.9, 0.99]
+        ).collect()
+    }
+    vals_by_key: dict[str, list[int]] = {"__all__": []}
+    for r in d.select("source", "n_chars").collect():
+        vals_by_key.setdefault(r.source, []).append(r.n_chars)
+        vals_by_key["__all__"].append(r.n_chars)
+    for key, row in out.items():
+        vals = sorted(vals_by_key[key])
+        n = len(vals)
+        assert row.n == n
+        for q in (50, 90, 99):
+            v = getattr(row, f"q_{q}")
+            assert vals[0] <= v <= vals[-1]
+            lo = sum(1 for x in vals if x < v) / n
+            hi = sum(1 for x in vals if x <= v) / n
+            assert lo - 0.035 <= q / 100 <= hi + 0.035, (
+                key,
+                q,
+                v,
+                lo,
+                hi,
+            )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (q155)
+# ---------------------------------------------------------------------------
+
+
+def test_sq_topk_codes_recall_and_stats_param(spark):
+    from data_lake_project_spark.operators.similarity import (
+        sq_encode,
+        sq_stats,
+        sq_topk,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    mins, maxs = sq_stats(e, "embedding", 64)
+    assert len(mins) == 64 and len(maxs) == 64
+    assert all(m <= x for m, x in zip(mins, maxs))
+
+    enc = sq_encode(e, mins, maxs)
+    assert dict(enc.dtypes)["codes"] == "array<tinyint>"  # 1 byte/dim
+    codes = enc.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("w"),
+    ).first()
+    assert codes.lo >= -128 and codes.hi <= 127 and codes.w == 64
+
+    got = sq_topk(e, probes, k=10, dim=64)
+    # explicit-stats path is the same computation
+    got2 = sq_topk(e, probes, k=10, dim=64, stats=(mins, maxs))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, got2.collect())
+    )
+
+    exact = brute_force_topk(e, probes, k=10)
+    by_probe: dict[int, set] = {}
+    for r in exact.collect():
+        by_probe.setdefault(r.probe_id, set()).add(r.vec_id)
+    hits = tot = 0
+    for r in got.collect():
+        tot += 1
+        hits += r.vec_id in by_probe[r.probe_id]
+    assert hits / tot >= 0.7, f"int8 recall {hits/tot:.2f}"
+
+
+# ---------------------------------------------------------------------------
+# Compaction planner (q154)
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_plan_matches_reference_packing(spark):
+    """Exact equality against a pure-Python next-fit reference, plus
+    conservation: every small file lands in exactly one group."""
+    from data_lake_project_spark.operators.layout import compaction_plan
+
+    rows = [
+        ("a", i, sz)
+        for i, sz in enumerate([100, 900, 700, 200, 1600, 50, 2000, 999])
+    ] + [("b", i, sz) for i, sz in enumerate([1599, 1, 1, 1600])]
+    files = spark.createDataFrame(rows, "part string, id long, sz long")
+    target = 1600
+    got = sorted(
+        tuple(r)
+        for r in compaction_plan(files, "part", "id", "sz", target).collect()
+    )
+
+    expected = []
+    for part in ("a", "b"):
+        fs = sorted((i, sz) for p, i, sz in rows if p == part)
+        small = [(i, sz) for i, sz in fs if sz < target]
+        cum = 0
+        groups: dict[int, list] = {}
+        for i, sz in small:
+            groups.setdefault(cum // target, []).append((i, sz))
+            cum += sz
+        for g, members in groups.items():
+            expected.append(
+                (
+                    part,
+                    g,
+                    len(members),
+                    sum(s for _, s in members),
+                    min(i for i, _ in members),
+                    max(i for i, _ in members),
+                )
+            )
+        expected += [
+            (part, -1, 1, sz, i, i) for i, sz in fs if sz >= target
+        ]
+    assert got == sorted(expected)
+    n_small = sum(1 for _, _, sz in rows if sz < target)
+    assert sum(r[2] for r in got if r[1] >= 0) == n_small
+
+
+def test_vocab_growth_conservation(spark):
+    """Batch novelty accounting: new-type counts partition the global
+    vocabulary, and the cumulative curve ends at the corpus type
+    count."""
+    from data_lake_project_spark.queries import QUERIES
+
+    out = QUERIES["q156_vocab_growth"](spark, SF_DIR).collect()
+    d = load_table(spark, SF_DIR, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    n_types = toks.select("w").distinct().count()
+    n_tokens = toks.count()
+    assert sum(r.new_types for r in out) == n_types
+    assert out[-1].cum_types == n_types
+    assert sum(r.n_tokens for r in out) == n_tokens
+    prev = 0
+    for r in out:
+        assert r.cum_types == prev + r.new_types
+        prev = r.cum_types

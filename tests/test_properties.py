@@ -972,3 +972,92 @@ def test_importance_weights_matches_reference(spark, rows):
             (i, len(ws), math.floor(mean * 10000.0 + 0.5) / 10000.0)
         )
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# Compaction planner (q154) vs a pure-python next-fit reference, and
+# int8 scalar-quantization round-trip error bounds (q155)
+# ---------------------------------------------------------------------------
+
+_file_sizes = st.lists(
+    st.integers(min_value=1, max_value=3000), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_file_sizes, _file_sizes)
+def test_compaction_plan_matches_reference_on_random_inventories(
+    spark, sizes_a, sizes_b
+):
+    from data_lake_project_spark.operators.layout import compaction_plan
+
+    target = 1600
+    rows = [("a", i, s) for i, s in enumerate(sizes_a)] + [
+        ("b", i, s) for i, s in enumerate(sizes_b)
+    ]
+    files = spark.createDataFrame(rows, "part string, id long, sz long")
+    got = sorted(
+        tuple(r)
+        for r in compaction_plan(files, "part", "id", "sz", target).collect()
+    )
+    expected = []
+    for part, sizes in (("a", sizes_a), ("b", sizes_b)):
+        cum = 0
+        groups: dict[int, list] = {}
+        for i, s in enumerate(sizes):
+            if s >= target:
+                expected.append((part, -1, 1, s, i, i))
+                continue
+            groups.setdefault(cum // target, []).append((i, s))
+            cum += s
+        for g, members in groups.items():
+            expected.append(
+                (
+                    part,
+                    g,
+                    len(members),
+                    sum(s for _, s in members),
+                    min(i for i, _ in members),
+                    max(i for i, _ in members),
+                )
+            )
+    assert got == sorted(expected)
+
+
+_vec = st.lists(
+    st.floats(-10, 10, allow_nan=False, allow_infinity=False, width=32),
+    min_size=8,
+    max_size=8,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_vec, min_size=2, max_size=12))
+def test_sq_quantization_roundtrip_error_bound(spark, vecs):
+    """Dequantized values stay within one quantization step of the
+    input on every dimension — the SQ8 error contract that makes the
+    reconstructed-cosine ranking faithful."""
+    from data_lake_project_spark.operators.similarity import (
+        sq_encode,
+        sq_stats,
+        _sq_reconstruct,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    mins, maxs = sq_stats(df, "embedding", 8)
+    enc = sq_encode(df, mins, maxs)
+    rec = {
+        r.vec_id: r.rv
+        for r in enc.select(
+            "vec_id",
+            _sq_reconstruct(F.col("codes"), mins, maxs).alias("rv"),
+        ).collect()
+    }
+    orig = {r.vec_id: [float(x) for x in r.embedding] for r in df.collect()}
+    for vid, rv in rec.items():
+        for d, (xhat, x) in enumerate(zip(rv, orig[vid])):
+            step = (maxs[d] - mins[d]) / 255.0
+            assert abs(xhat - x) <= step + 1e-9, (vid, d, xhat, x, step)

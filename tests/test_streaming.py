@@ -1528,3 +1528,108 @@ def test_streaming_document_ingest_folds_into_persisted_bm25_index(
     assert 100 in hit_docs and 101 not in hit_docs
     # the final index holds base + both batches
     assert streamed[1] == sorted(list(range(10)) + [100, 101])
+
+
+def test_streaming_events_fold_into_persisted_hll_rollup(spark, tmp_path):
+    """Sketch-lane streaming equivalence (q151): each micro-batch is
+    served against the standing HLL rollup (serve-before-ingest) and
+    then folded in with the O(delta) parquet-append
+    ``hll_rollup_apply``. Estimate sequences and the final rollup must
+    equal the batch twin; a replayed fold and a compaction must both
+    be estimate no-ops — the replay safety here comes from sketch
+    ALGEBRA (union idempotence), not an anti-join guard. With this,
+    all FOUR persisted lifecycles (dedup q136, ANN q137, BM25 q150,
+    HLL q151) have streaming proofs."""
+    import glob as _glob
+
+    from data_lake_project_spark.operators.sketches import (
+        build_hll_rollup,
+        compact_hll_rollup,
+        hll_rollup_apply,
+        load_hll_rollup,
+        query_hll_rollup,
+        save_hll_rollup,
+    )
+
+    schema = "etype string, day string, user_id long"
+    base = [("click", "d1", i) for i in range(20)] + [
+        ("view", "d1", i) for i in range(5, 15)
+    ]
+    b1 = [("click", "d2", i) for i in range(10, 30)]
+    b2 = [("view", "d2", i) for i in range(25, 40)]
+    keys = ["etype", "day"]
+
+    def estimates(rollup):
+        return sorted(
+            tuple(r) for r in query_hll_rollup(rollup, ["etype"]).collect()
+        )
+
+    def run(tag, via_stream):
+        path = str(tmp_path / f"hll_grow_{tag}")
+        save_hll_rollup(
+            build_hll_rollup(
+                spark.createDataFrame(base, schema), keys, "user_id"
+            ),
+            path,
+        )
+        served = []
+
+        def handle(batch_df, batch_id):
+            s = batch_df.sparkSession
+            if not batch_df.take(1):
+                return
+            served.append(estimates(load_hll_rollup(s, path)))
+            hll_rollup_apply(s, path, batch_df, keys, "user_id")
+
+        if via_stream:
+            src = str(tmp_path / f"hll_src_{tag}")
+            os.makedirs(src)
+            t0 = 1_700_000_000
+            for i, rows in enumerate((b1, b2)):
+                part = str(tmp_path / f"hll_stage_{tag}_{i}")
+                spark.createDataFrame(rows, schema).coalesce(
+                    1
+                ).write.mode("overwrite").parquet(part)
+                for f in sorted(_glob.glob(f"{part}/part-*.parquet")):
+                    dst = os.path.join(src, f"{i:02d}.parquet")
+                    shutil.copy(f, dst)
+                    os.utime(dst, (t0 + i, t0 + i))
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(handle)
+                .option(
+                    "checkpointLocation", str(tmp_path / f"hck_{tag}")
+                )
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        else:
+            for i, rows in enumerate((b1, b2)):
+                handle(spark.createDataFrame(rows, schema), i)
+
+        return served, estimates(load_hll_rollup(spark, path)), path
+
+    s_served, s_final, s_path = run("s", via_stream=True)
+    b_served, b_final, _ = run("b", via_stream=False)
+    assert s_served == b_served
+    assert s_final == b_final
+
+    # exact in the sparse regime: the folded rollup counts the true
+    # distinct sets (click: 0..29 = 30; view: 5..14 ∪ 25..39 = 25)
+    assert s_final == [("click", 30), ("view", 25)]
+
+    # replayed fold: estimate no-op by union idempotence
+    hll_rollup_apply(
+        spark, s_path, spark.createDataFrame(b2, schema), keys, "user_id"
+    )
+    assert estimates(load_hll_rollup(spark, s_path)) == s_final
+
+    # compaction folds the appended rows to one per key, estimates
+    # unchanged, row count shrinks to the key count
+    compact_hll_rollup(spark, s_path)
+    r = load_hll_rollup(spark, s_path)
+    assert estimates(r) == s_final
+    assert r.count() == r.select(*keys).distinct().count()
