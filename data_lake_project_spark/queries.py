@@ -3934,6 +3934,38 @@ def q155_int8_topk(spark, sf):
     )
 
 
+def q157_sq_index_search(spark, sf):
+    """q155 served from a PERSISTED int8 index — the fifth
+    train-once/serve-many lifecycle: stats + tinyint codes are built
+    once per (sf, fingerprint) and saved; every run after scans the
+    4x-compressed codes table instead of the raw embeddings.
+    ``search_sq_index`` is the ``sq_topk`` ranking verbatim, so q157
+    equals q155 by construction and SHARES its oracle (the q150/q144
+    pattern). See ``operators.sq_index``."""
+    from data_lake_project_spark.operators.sq_index import (
+        build_sq_index,
+        load_sq_index,
+        save_sq_index,
+        search_sq_index,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    tag = sf.rstrip("/").replace("/", "_").replace(".", "_")
+    fp = _dataset_fingerprint(sf, "embeddings")
+    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_sq8_64"
+    _publish_if_absent(
+        spark,
+        path,
+        lambda tmp: save_sq_index(build_sq_index(e, dim=64), tmp),
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return search_sq_index(
+        load_sq_index(spark, path), probes, k=10
+    ).orderBy("probe_id", "vec_id")
+
+
 def q156_vocab_growth(spark, sf):
     """Vocabulary-growth curve across ingest batches: per batch, the
     token count, the NEW types (first ever seen in that batch), the
@@ -4147,6 +4179,7 @@ QUERIES: dict[str, QueryFn] = {
     "q154_compaction_plan": q154_compaction_plan,
     "q155_int8_topk": q155_int8_topk,
     "q156_vocab_growth": q156_vocab_growth,
+    "q157_sq_index_search": q157_sq_index_search,
     "q131_cluster_safe_split": q131_cluster_safe_split,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
@@ -7877,3 +7910,8 @@ ORACLE["q156_vocab_growth"] = """
                  * 1000000.0 + 0.5) / 1000000.0 AS novelty_rate
     FROM j ORDER BY batch
 """
+
+# q157 serves q155's exact results from the persisted int8 index
+# (search_sq_index is the sq_topk ranking verbatim over the stored
+# codes) — same oracle by construction, the q150/q144 pattern.
+ORACLE["q157_sq_index_search"] = ORACLE["q155_int8_topk"]

@@ -81,6 +81,8 @@ BNLJ_ALLOWED: set[str] = {
     # the q22 brute-force shape over int8 codes: tiny encoded probes
     # broadcast against the encoded corpus scan.
     "q155_int8_topk",
+    # same shape served from the persisted codes table.
+    "q157_sq_index_search",
     # 1-row max-doc-id scalar broadcast onto the batch derivation.
     "q156_vocab_growth",
 }

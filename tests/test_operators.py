@@ -3208,3 +3208,81 @@ def test_vocab_growth_conservation(spark):
     for r in out:
         assert r.cum_types == prev + r.new_types
         prev = r.cum_types
+
+
+# ---------------------------------------------------------------------------
+# Persisted int8 SQ index lifecycle (q157)
+# ---------------------------------------------------------------------------
+
+
+def test_sq_index_roundtrip_and_incremental_fold(spark, tmp_path):
+    """build→save→load→search ≡ inline sq_topk; O(delta) fold under
+    the frozen stats ≡ a rebuild encoded with the same stats; the
+    default anti-join guard makes a replayed delta a no-op while
+    assume_new_ids=True demonstrably duplicates — the ann_index
+    contract on the dense-exact lane."""
+    from data_lake_project_spark.operators.similarity import sq_topk
+    from data_lake_project_spark.operators.sq_index import (
+        build_sq_index,
+        load_sq_index,
+        save_sq_index,
+        search_sq_index,
+        sq_index_apply,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    path = str(tmp_path / "sq")
+    idx = build_sq_index(e, dim=64)
+    save_sq_index(idx, path)
+
+    served = sorted(
+        tuple(r)
+        for r in search_sq_index(
+            load_sq_index(spark, path), probes, k=10
+        ).collect()
+    )
+    inline = sorted(
+        tuple(r)
+        for r in sq_topk(
+            e, probes, k=10, dim=64, stats=(idx.mins, idx.maxs)
+        ).collect()
+    )
+    assert served == inline
+
+    # split corpus: base index + folded delta == full encode under
+    # the SAME (frozen) stats — codes AND model must share them, so
+    # the base is encoded with the full-corpus stats explicitly
+    from data_lake_project_spark.operators.similarity import sq_encode
+    from data_lake_project_spark.operators.sq_index import SqIndex
+
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+    path2 = str(tmp_path / "sq_grow")
+    save_sq_index(
+        SqIndex(
+            sq_encode(base, idx.mins, idx.maxs),
+            idx.mins,
+            idx.maxs,
+            idx.params,
+        ),
+        path2,
+    )
+    sq_index_apply(spark, path2, delta)
+    grown = sorted(
+        tuple(r)
+        for r in search_sq_index(
+            load_sq_index(spark, path2), probes, k=10
+        ).collect()
+    )
+    assert grown == served
+
+    # replayed delta: guard makes it a no-op
+    n_before = load_sq_index(spark, path2).codes.count()
+    sq_index_apply(spark, path2, delta)
+    assert load_sq_index(spark, path2).codes.count() == n_before
+    # ungated fast path duplicates (the documented tradeoff)
+    sq_index_apply(spark, path2, delta, assume_new_ids=True)
+    assert load_sq_index(spark, path2).codes.count() > n_before
