@@ -3822,22 +3822,14 @@ def q100_json_schema_infer(spark, sf):
 # ---------------------------------------------------------------------------
 
 
-def q151_hll_rollup(spark, sf):
-    """Distinct-user rollup served from a PERSISTED HLL sketch table:
-    per-(event_type, day) sketches are built once per (sf,
-    fingerprint) with one partial-agg'd pass and saved; every
-    slice/rollup after unions KB-sized registers — the raw events are
-    never rescanned (the continuous-aggregate shape for NDV
-    dashboards over 100 TB of events). Oracle-exact BY REGIME, not by
-    luck: a datasketches HLL stays in exact sparse mode far above the
-    fixture's per-slice cardinality (~150 users « 2^lg_k), so every
-    estimate here IS the true distinct count; the property suite pins
-    the fold/replay algebra at the same scale. See
-    ``operators.sketches.build_hll_rollup``."""
+def _published_hll_rollup(spark, sf):
+    """The q151/q158 shared artifact: per-(event_type, day) HLL
+    sketches of distinct users, built once per (sf, fingerprint) and
+    published under /tmp; both queries serve from this table and the
+    raw events are never rescanned."""
     from data_lake_project_spark.operators.sketches import (
         build_hll_rollup,
         load_hll_rollup,
-        query_hll_rollup,
         save_hll_rollup,
     )
 
@@ -3854,7 +3846,26 @@ def q151_hll_rollup(spark, sf):
             build_hll_rollup(e, ["event_type", "day"], "user_id", 12), tmp
         ),
     )
-    r = load_hll_rollup(spark, path)
+    return load_hll_rollup(spark, path)
+
+
+def q151_hll_rollup(spark, sf):
+    """Distinct-user rollup served from a PERSISTED HLL sketch table:
+    per-(event_type, day) sketches are built once per (sf,
+    fingerprint) with one partial-agg'd pass and saved; every
+    slice/rollup after unions KB-sized registers — the raw events are
+    never rescanned (the continuous-aggregate shape for NDV
+    dashboards over 100 TB of events). Oracle-exact BY REGIME, not by
+    luck: a datasketches HLL stays in exact sparse mode far above the
+    fixture's per-slice cardinality (~150 users « 2^lg_k), so every
+    estimate here IS the true distinct count; the property suite pins
+    the fold/replay algebra at the same scale. See
+    ``operators.sketches.build_hll_rollup``."""
+    from data_lake_project_spark.operators.sketches import (
+        query_hll_rollup,
+    )
+
+    r = _published_hll_rollup(spark, sf)
     per_type = query_hll_rollup(r, ["event_type"]).select(
         F.col("event_type").alias("slice_key"), "approx_ndv"
     )
@@ -3931,6 +3942,36 @@ def q155_int8_topk(spark, sf):
     )
     return SIM.sq_topk(e, probes, k=10, dim=64).orderBy(
         "probe_id", "vec_id"
+    )
+
+
+def q158_sketch_cube(spark, sf):
+    """The full OLAP distinct-count CUBE — (event_type x day) lattice
+    with both margins and the grand total — answered ENTIRELY from
+    the persisted q151 sketch table: ``cube()`` over key-count-sized
+    rows, each lattice cell a union of its member sketches. This is
+    the continuous-aggregate + cube composition (Druid/Timescale's
+    sketch-rollup dashboards): the 100 TB event stream contributes
+    one partial-agg'd pass EVER, and every cube cell after reads KB
+    of registers. Exact in the sparse regime like q151."""
+    r = _published_hll_rollup(spark, sf)
+    return (
+        r.cube("event_type", "day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hll_sketch"))
+            .cast("long")
+            .alias("approx_ndv")
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("__all__")).alias(
+                "etype"
+            ),
+            F.coalesce(
+                F.col("day").cast("string"), F.lit("__all__")
+            ).alias("day"),
+            "approx_ndv",
+        )
+        .orderBy("etype", "day")
     )
 
 
@@ -4180,6 +4221,7 @@ QUERIES: dict[str, QueryFn] = {
     "q155_int8_topk": q155_int8_topk,
     "q156_vocab_growth": q156_vocab_growth,
     "q157_sq_index_search": q157_sq_index_search,
+    "q158_sketch_cube": q158_sketch_cube,
     "q131_cluster_safe_split": q131_cluster_safe_split,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
@@ -7915,3 +7957,15 @@ ORACLE["q156_vocab_growth"] = """
 # (search_sq_index is the sq_topk ranking verbatim over the stored
 # codes) — same oracle by construction, the q150/q144 pattern.
 ORACLE["q157_sq_index_search"] = ORACLE["q155_int8_topk"]
+
+
+ORACLE["q158_sketch_cube"] = """
+    SELECT COALESCE(event_type, '__all__') AS etype,
+           COALESCE(CAST(day AS VARCHAR), '__all__') AS day,
+           count(DISTINCT user_id)::BIGINT AS approx_ndv
+    FROM (
+        SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+    )
+    GROUP BY CUBE(event_type, day)
+    ORDER BY etype, day
+"""

@@ -1061,3 +1061,48 @@ def test_sq_quantization_roundtrip_error_bound(spark, vecs):
         for d, (xhat, x) in enumerate(zip(rv, orig[vid])):
             step = (maxs[d] - mins[d]) / 255.0
             assert abs(xhat - x) <= step + 1e-9, (vid, d, xhat, x, step)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_file_sizes, _file_sizes)
+def test_compaction_plan_is_stable_under_appends(spark, sizes, appended):
+    """The docstring's incremental-replan claim, pinned: appending
+    files (higher ids) never changes the group assignment of existing
+    small files — new files only ever extend the LAST group or open
+    new ones."""
+    from data_lake_project_spark.operators.layout import compaction_plan
+
+    target = 1600
+    rows1 = [("p", i, s) for i, s in enumerate(sizes)]
+    rows2 = rows1 + [
+        ("p", len(sizes) + i, s) for i, s in enumerate(appended)
+    ]
+    f1 = spark.createDataFrame(rows1, "part string, id long, sz long")
+    f2 = spark.createDataFrame(rows2, "part string, id long, sz long")
+
+    def memberships(files):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as FF
+
+        plan = compaction_plan(files, "part", "id", "sz", target)
+        # recover per-file membership from the plan's group ranges by
+        # recomputing: a small file belongs to the group whose
+        # [first_file, last_file] range contains it
+        out = {}
+        groups = [
+            (r.group_id, r.first_file, r.last_file)
+            for r in plan.filter(FF.col("group_id") >= 0).collect()
+        ]
+        for fid, sz in [(i, s) for _, i, s in files.collect()]:
+            if sz >= target:
+                continue
+            for g, lo, hi in groups:
+                if lo <= fid <= hi:
+                    out[fid] = g
+                    break
+        return out
+
+    m1 = memberships(f1)
+    m2 = memberships(f2)
+    for fid, g in m1.items():
+        assert m2[fid] == g, (fid, g, m2[fid])
