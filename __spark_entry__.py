@@ -91,7 +91,8 @@ def oracle_sql() -> dict[str, str]:
     Keys absent here (q32_approx_distinct, q33_lsh_topk, q37_ivf_topk,
     q88_kmeans_clusters, q129_pq_topk, q133_ivfpq_topk,
     q137_ann_index_search, q138_bpe_vocab, q139_semantic_dedup,
-    q143_ann_chunk_retrieval) are approximate/iterative operators —
+    q143_ann_chunk_retrieval, q153_kll_quantile_rollup) are
+    approximate/iterative operators —
     the driver records a rows-only check; their quality contracts are
     CI-pinned instead (recall floors, inertia monotonicity,
     determinism, persisted-index ≡ inline equality, exact golden vs
