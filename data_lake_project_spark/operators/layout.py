@@ -102,7 +102,10 @@ def compaction_plan(
 
     Output: (part, group_id, n_files, group_bytes, first_file,
     last_file) for rewrite groups, plus one row per kept-as-is file
-    with group_id = -1.
+    with group_id = -1, plus one row per NULL-size file with
+    group_id = -2 (stats not yet collected — surfaced explicitly so
+    the plan accounts for every inventory row; silently dropping them
+    would let a compactor believe the inventory was fully covered).
     """
     from pyspark.sql import Window
 
@@ -110,6 +113,7 @@ def compaction_plan(
     size = F.col(size_col).cast("long")
     small = files.filter(size < F.lit(target_bytes))
     big = files.filter(size >= F.lit(target_bytes))
+    unknown = files.filter(size.isNull())
 
     w = Window.partitionBy(part).orderBy(F.col(id_col))
     cum_before = F.coalesce(
@@ -138,4 +142,12 @@ def compaction_plan(
         F.col(id_col).cast("long").alias("first_file"),
         F.col(id_col).cast("long").alias("last_file"),
     )
-    return groups.unionByName(kept)
+    missing = unknown.select(
+        part.alias("part"),
+        F.lit(-2).cast("long").alias("group_id"),
+        F.lit(1).cast("long").alias("n_files"),
+        F.lit(None).cast("long").alias("group_bytes"),
+        F.col(id_col).cast("long").alias("first_file"),
+        F.col(id_col).cast("long").alias("last_file"),
+    )
+    return groups.unionByName(kept).unionByName(missing)

@@ -1095,22 +1095,28 @@ def _sq_codes(vec_col: str, mins: list[float], maxs: list[float]):
         lambda x, i: (
             F.when(
                 F.element_at(mx_arr, i + 1) == F.element_at(mn_arr, i + 1),
-                F.lit(0),
+                F.lit(0).cast("long"),
             )
             .otherwise(
-                F.least(
-                    F.lit(255),
-                    F.greatest(
-                        F.lit(0),
-                        F.floor(
+                # clamp the DOUBLE before floor (floor's long cast —
+                # and any later narrowing — would throw under ANSI on
+                # an extreme-drift dimension folded under a tiny
+                # trained range, instead of clamping as documented).
+                # For in-envelope values this is op-for-op identical
+                # to the oracle's floor-then-clamp on BIGINT.
+                F.floor(
+                    F.least(
+                        F.lit(255.0),
+                        F.greatest(
+                            F.lit(0.0),
                             (x - F.element_at(mn_arr, i + 1))
                             * F.lit(255.0)
                             / (
                                 F.element_at(mx_arr, i + 1)
                                 - F.element_at(mn_arr, i + 1)
-                            )
-                        ).cast("int"),
-                    ),
+                            ),
+                        ),
+                    )
                 )
             )
             - F.lit(128)
@@ -1183,15 +1189,44 @@ def sq_topk(
     Output: (probe_id, vec_id, qcosine).
     """
     mins, maxs = stats if stats is not None else sq_stats(corpus, vec_col, dim)
+    return _sq_search(
+        sq_encode(corpus, mins, maxs, id_col, vec_col),
+        sq_encode(probes, mins, maxs, probe_id_col, vec_col),
+        mins,
+        maxs,
+        k,
+        id_col,
+        probe_id_col,
+        exclude_self,
+    )
+
+
+def _sq_search(
+    codes: DataFrame,
+    probe_codes: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    k: int,
+    id_col: str,
+    probe_id_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """THE scoring path for both the inline (``sq_topk``) and
+    persisted (``sq_index.search_sq_index``) int8 lanes — q157 ==
+    q155 holds by construction only because both call this one body
+    (the ``search_bm25_index``/``_ivf_search`` single-path
+    convention). Inputs are (id, codes array<tinyint>) frames encoded
+    under the SAME stats."""
     c = (
-        spread(sq_encode(corpus, mins, maxs, id_col, vec_col))
+        spread(codes)
         .withColumn("__cv", _sq_reconstruct(F.col("codes"), mins, maxs))
         .drop("codes")
         .withColumn("__cn", _norm(F.col("__cv")))
     )
     p = (
-        sq_encode(probes, mins, maxs, probe_id_col, vec_col)
-        .withColumn("__pv", _sq_reconstruct(F.col("codes"), mins, maxs))
+        probe_codes.withColumn(
+            "__pv", _sq_reconstruct(F.col("codes"), mins, maxs)
+        )
         .drop("codes")
         .withColumn("__pn", _norm(F.col("__pv")))
     )

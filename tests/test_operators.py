@@ -3286,3 +3286,40 @@ def test_sq_index_roundtrip_and_incremental_fold(spark, tmp_path):
     # ungated fast path duplicates (the documented tradeoff)
     sq_index_apply(spark, path2, delta, assume_new_ids=True)
     assert load_sq_index(spark, path2).codes.count() > n_before
+
+
+def test_compaction_plan_surfaces_null_sizes(spark):
+    from data_lake_project_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [("a", 0, 100), ("a", 1, None), ("a", 2, 2000)],
+        "part string, id long, sz long",
+    )
+    got = {
+        r.group_id: (r.n_files, r.group_bytes, r.first_file)
+        for r in compaction_plan(files, "part", "id", "sz", 1600).collect()
+    }
+    assert got[0] == (1, 100, 0)  # small file packed
+    assert got[-1] == (1, 2000, 2)  # big file kept
+    assert got[-2] == (1, None, 1)  # null-size surfaced, not dropped
+
+
+def test_kll_quantile_rollup_empty_input(spark):
+    from data_lake_project_spark.operators.sketches import (
+        kll_quantile_rollup,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").filter(F.lit(False))
+    assert kll_quantile_rollup(d, "source", "n_chars").count() == 0
+
+
+def test_sq_codes_clamp_under_extreme_drift(spark):
+    """The documented fold contract: an out-of-envelope delta clamps
+    to the trained range instead of throwing under ANSI."""
+    from data_lake_project_spark.operators.similarity import sq_encode
+
+    df = spark.createDataFrame(
+        [(0, [1.0e30, -1.0e30])], "vec_id long, embedding array<float>"
+    )
+    row = sq_encode(df, [0.0, 0.0], [1e-6, 1e-6]).first()
+    assert list(row.codes) == [127, -128]  # 255-128, 0-128
