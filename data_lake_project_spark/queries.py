@@ -3984,6 +3984,68 @@ def q158_sketch_cube(spark, sf):
     )
 
 
+def q159_basket_lift(spark, sf):
+    """Market-basket association mining: per part-pair basket
+    co-occurrence + lift over lineitem orders (the apriori-first-pass
+    / item-item recommender statistic). Pair fan-out is per-basket
+    C(n,2) under an explicit mega-basket cap; counts stay integer and
+    lift is one portable double division. Top-50 by (support desc,
+    pair) — a total order. See ``operators.market.cooccurrence_lift``."""
+    from data_lake_project_spark.operators.market import (
+        cooccurrence_lift,
+    )
+
+    l = load_table(spark, sf, "lineitem")
+    return (
+        cooccurrence_lift(
+            l, "l_orderkey", "l_partkey", min_support=3, max_basket=200
+        )
+        .orderBy(F.col("n_ab").desc(), "item_a", "item_b")
+        .limit(50)
+    )
+
+
+def q160_golden_record(spark, sf):
+    """MDM survivorship: q87's fuzzy-match pairs promoted to entity
+    clusters (deterministic min-label components), then a GOLDEN
+    RECORD per cluster assembled attribute-by-attribute with explicit
+    survivorship rules — min id as canonical key, max completeness
+    (n_chars), deterministic representative source, member/provenance
+    counts. Unmatched records survive as their own golden record
+    (cluster_id = own id; component labels are min member ids, so the
+    namespaces cannot collide). Oracle: the identical pair SQL + the
+    q51 recursive-CTE closure + the same aggregation rules."""
+    from data_lake_project_spark.operators.linkage import fuzzy_join
+
+    d = load_table(spark, sf, "documents")
+    pairs = fuzzy_join(
+        d, ["lang", "source"], "text", "doc_id", max_dist=14, prefix_len=24
+    ).select(
+        F.col("left_id").alias("id_a"), F.col("right_id").alias("id_b")
+    )
+    comp = D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    labeled = (
+        d.select("doc_id", "source", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+        )
+    )
+    return (
+        labeled.groupBy(F.col("cluster_id").cast("long").alias("cluster_id"))
+        .agg(
+            F.min("doc_id").cast("long").alias("golden_id"),
+            F.count("*").cast("long").alias("n_members"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.max("n_chars").cast("long").alias("best_n_chars"),
+            F.min("source").alias("rep_source"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def q157_sq_index_search(spark, sf):
     """q155 served from a PERSISTED int8 index — the fifth
     train-once/serve-many lifecycle: stats + tinyint codes are built
@@ -4231,6 +4293,8 @@ QUERIES: dict[str, QueryFn] = {
     "q156_vocab_growth": q156_vocab_growth,
     "q157_sq_index_search": q157_sq_index_search,
     "q158_sketch_cube": q158_sketch_cube,
+    "q159_basket_lift": q159_basket_lift,
+    "q160_golden_record": q160_golden_record,
     "q131_cluster_safe_split": q131_cluster_safe_split,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
@@ -7977,4 +8041,71 @@ ORACLE["q158_sketch_cube"] = """
     )
     GROUP BY CUBE(event_type, day)
     ORDER BY etype, day
+"""
+
+
+ORACLE["q159_basket_lift"] = """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ),
+    kept AS (
+        SELECT bk FROM (SELECT bk, count(*) AS c FROM b GROUP BY bk)
+        WHERE c <= 200
+    ),
+    b2 AS (SELECT b.bk, b.it FROM b JOIN kept USING (bk)),
+    pairs AS (
+        SELECT x.it AS item_a, y.it AS item_b, count(*)::BIGINT AS n_ab
+        FROM b2 x JOIN b2 y ON x.bk = y.bk AND x.it < y.it
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    ),
+    ci AS (SELECT it, count(*)::BIGINT AS n_i FROM b2 GROUP BY it),
+    nb AS (SELECT count(DISTINCT bk)::BIGINT AS N FROM b2)
+    SELECT p.item_a, p.item_b, p.n_ab, a.n_i AS n_a, c.n_i AS n_b,
+           floor(CAST(p.n_ab * nb.N AS DOUBLE)
+                 / CAST(a.n_i * c.n_i AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS lift
+    FROM pairs p
+    JOIN ci a ON a.it = p.item_a
+    JOIN ci c ON c.it = p.item_b
+    CROSS JOIN nb
+    ORDER BY p.n_ab DESC, p.item_a, p.item_b LIMIT 50
+"""
+
+ORACLE["q160_golden_record"] = """
+    WITH RECURSIVE d AS (
+        SELECT doc_id, lang, source, n_chars, substr(text, 1, 24) AS p
+        FROM documents
+    ),
+    pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.p, b.p) <= 14
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pr
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pr
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.src, re.r FROM edges e JOIN reach re ON re.id = e.dst
+    ),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    lab AS (
+        SELECT doc.doc_id, doc.source, doc.n_chars,
+               COALESCE(c.cluster_id, doc.doc_id)::BIGINT AS cluster_id
+        FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id
+    )
+    SELECT cluster_id,
+           min(doc_id)::BIGINT AS golden_id,
+           count(*)::BIGINT AS n_members,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           max(n_chars)::BIGINT AS best_n_chars,
+           min(source) AS rep_source
+    FROM lab GROUP BY cluster_id ORDER BY cluster_id
 """

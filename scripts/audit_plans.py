@@ -85,6 +85,8 @@ BNLJ_ALLOWED: set[str] = {
     "q157_sq_index_search",
     # 1-row max-doc-id scalar broadcast onto the batch derivation.
     "q156_vocab_growth",
+    # 1-row basket-count scalar broadcast onto the pair-count table.
+    "q159_basket_lift",
 }
 
 

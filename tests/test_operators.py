@@ -3323,3 +3323,91 @@ def test_sq_codes_clamp_under_extreme_drift(spark):
     )
     row = sq_encode(df, [0.0, 0.0], [1e-6, 1e-6]).first()
     assert list(row.codes) == [127, -128]  # 255-128, 0-128
+
+
+# ---------------------------------------------------------------------------
+# Market-basket lift (q159) and golden-record survivorship (q160)
+# ---------------------------------------------------------------------------
+
+
+def test_cooccurrence_lift_matches_python_reference(spark):
+    from itertools import combinations
+
+    from data_lake_project_spark.operators.market import (
+        cooccurrence_lift,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"), (3, "c"),  # dup item in basket: counted once
+        (4, "b"), (4, "c"),
+        (5, "a"),
+    ]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = {
+        (r.item_a, r.item_b): (r.n_ab, r.n_a, r.n_b, r.lift)
+        for r in cooccurrence_lift(df, "bk", "it", min_support=1).collect()
+    }
+    baskets: dict[int, set] = {}
+    for bk, it in rows:
+        baskets.setdefault(bk, set()).add(it)
+    n_baskets = len(baskets)
+    item_n: dict[str, int] = {}
+    pair_n: dict[tuple, int] = {}
+    for items in baskets.values():
+        for it in items:
+            item_n[it] = item_n.get(it, 0) + 1
+        for a, b in combinations(sorted(items), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    import math
+
+    expected = {
+        p: (
+            n,
+            item_n[p[0]],
+            item_n[p[1]],
+            math.floor(
+                n * n_baskets / (item_n[p[0]] * item_n[p[1]]) * 10000.0
+                + 0.5
+            )
+            / 10000.0,
+        )
+        for p, n in pair_n.items()
+    }
+    assert got == expected
+
+
+def test_cooccurrence_lift_mega_basket_guard(spark):
+    from data_lake_project_spark.operators.market import (
+        cooccurrence_lift,
+    )
+
+    rows = [(1, f"i{k}") for k in range(10)] + [(2, "i0"), (2, "i1")]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = cooccurrence_lift(
+        df, "bk", "it", min_support=1, max_basket=5
+    ).collect()
+    # basket 1 (10 items) is dropped; only basket 2's single pair
+    # remains, and item counts exclude the dropped basket
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b, r.n_ab, r.n_a, r.n_b) == (
+        "i0", "i1", 1, 1, 1,
+    )
+
+
+def test_golden_record_survivorship_invariants(spark):
+    """Every document lands in exactly one golden record; golden ids
+    are cluster members; singleton clusters are their own golden
+    record; the best_n_chars survivor is the max over members."""
+    from data_lake_project_spark.queries import QUERIES
+
+    out = QUERIES["q160_golden_record"](spark, SF_DIR).collect()
+    d = {r.doc_id: r for r in load_table(spark, SF_DIR, "documents").collect()}
+    assert sum(r.n_members for r in out) == len(d)
+    assert len({r.cluster_id for r in out}) == len(out)
+    for r in out:
+        assert r.golden_id == r.cluster_id  # min-label == min member id
+        assert r.n_sources <= r.n_members
+        assert r.best_n_chars >= d[r.golden_id].n_chars
