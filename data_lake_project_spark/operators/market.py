@@ -40,16 +40,26 @@ def cooccurrence_lift(
     counts baskets containing the item (after the basket-size cap),
     ``lift`` is pround(N * n_ab / (n_a * n_b), 4).
     """
+    from pyspark.sql import Window
+
     b = df.select(
         F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
     ).distinct()
-    kept = (
-        b.groupBy("__bk")
-        .agg(F.count("*").alias("__bn"))
+    # size-gate via one basket-keyed window (no second agg + join),
+    # then EAGERLY materialize: four consumers read this frame (both
+    # sides of the pair self-join, the item counts, the basket
+    # count) — without the cut each re-derives the distinct + gate
+    # from scratch (measured 19 exchanges -> 6; the q148/q141
+    # multi-consumer rule: count evaluations, not references). On a
+    # cluster flip to reliable checkpoint — same call shape.
+    b2 = (
+        b.withColumn(
+            "__bn", F.count("*").over(Window.partitionBy("__bk"))
+        )
         .filter(F.col("__bn") <= max_basket)
-        .select("__bk")
+        .drop("__bn")
+        .localCheckpoint(eager=True)
     )
-    b2 = b.join(kept, "__bk")
     pairs = (
         b2.select("__bk", F.col("__it").alias("item_a"))
         .join(b2.select("__bk", F.col("__it").alias("item_b")), "__bk")

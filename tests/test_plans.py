@@ -471,3 +471,47 @@ def test_bm25_index_search_prunes_token_bucket_partitions(spark, tmp_path):
         if "PartitionFilters" in ln and "__tb" in ln
     ]
     assert pf and " IN (" in pf[0], pf[:1] or plan[:1500]
+
+
+@pytest.mark.parametrize(
+    "qname,max_exchanges",
+    [
+        # rollup load + slice agg + presentation sort
+        ("q151_hll_rollup", 3),
+        # one sketch agg + the (k choose 2) broadcast pairing + sort
+        ("q152_theta_overlap", 3),
+        # per-key sketch agg + the 1-row merge fold + union sort
+        ("q153_kll_quantile_rollup", 3),
+        # one per-partition window + one group roll-up (+ sort)
+        ("q154_compaction_plan", 2),
+        # broadcast-probe scan over codes: top-k window + sort only
+        ("q155_int8_topk", 2),
+        ("q157_sq_index_search", 2),
+        # token min-agg + batch agg + 8-row window/sort
+        ("q156_vocab_growth", 4),
+        # one cube agg over the sketch table + sort
+        ("q158_sketch_cube", 2),
+        # distinct + gate window + pair agg + count joins post-
+        # checkpoint (the 19-exchange unfactored shape is the pin's
+        # target regression)
+        ("q159_basket_lift", 5),
+        # blocked fuzzy pairs + final survivorship agg; CC rounds are
+        # checkpoint-truncated out of the final plan
+        ("q160_golden_record", 6),
+    ],
+)
+def test_round6_operators_pin_their_shuffle_budget(
+    spark, qname, max_exchanges
+):
+    """Round-6 plan-shape pins (same contract as the round-4 set): a
+    regression that de-optimizes one of these — a lost broadcast, a
+    re-evaluated multi-consumer subtree, a lost checkpoint — fails
+    here instead of as a scale blowup."""
+    from data_lake_project_spark.queries import QUERIES
+
+    df = QUERIES[qname](spark, "/root/testdata/sf0.001")
+    n = P.exchange_count(df)
+    assert n <= max_exchanges, (
+        f"{qname}: {n} exchanges > {max_exchanges}\n"
+        + P.explain_str(df)[:3000]
+    )
