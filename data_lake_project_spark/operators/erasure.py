@@ -1,0 +1,180 @@
+"""Right-to-be-forgotten erasure across the persisted index lanes.
+
+A 100 TB lakehouse that persists derived artifacts (ANN codes, BM25
+postings, dedup bands, SQ codes) must be able to ERASE a record from
+every one of them, not just from the source table — GDPR/CCPA delete
+propagation. Parquet is immutable, so erasure is a targeted rewrite:
+
+- For a table PARTITIONED on a pruning key (IVF/IVFPQ codes by
+  ``__bucket``, BM25 postings by token bucket ``__tb``), only the
+  partitions that actually contain the erased ids are rewritten —
+  dynamic partition overwrite (`partitionOverwriteMode=dynamic`)
+  leaves every other directory byte-identical (CI-pinned). At scale
+  that is the difference between rewriting nprobe-sized slices and
+  rewriting the whole index.
+- Unpartitioned tables (SQ codes, dedup bands/sets, BM25 dl) are
+  anti-join rewritten whole; a deployment that expects frequent
+  erasure partitions them by an id bucket first.
+- The HLL sketch rollup is NOT erasable in place: sketches are not
+  invertible (you cannot subtract a user from a register set). The
+  honest contract is :func:`rebuild_hll_keys` — recompute ONLY the
+  rollup keys the erased records touched from the remaining source
+  rows; every other key's sketch row is untouched.
+
+Every rewrite eagerly materializes the surviving rows
+(``localCheckpoint``) before overwriting, so the write never scans
+the files it replaces (the ``compact_hll_rollup`` discipline); a
+cluster deployment would write a new versioned directory and swap.
+
+Semantics after erasure: serving an erased index equals serving an
+index whose fold never saw the erased ids — CI-pinned per lane (for
+BM25 even the df/N statistics agree, because they are derived from
+the postings at serve time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _erase_rows(
+    spark: SparkSession,
+    table_path: str,
+    id_col: str,
+    ids: DataFrame,
+    partition_col: str | None = None,
+) -> int:
+    """Anti-join rewrite of one parquet table; returns rows erased.
+
+    With ``partition_col``, only partitions containing erased ids are
+    rewritten (dynamic overwrite); the ids frame is broadcast (an
+    erasure batch is by-contract small — a deletion request list).
+    """
+    t = spark.read.parquet(table_path)
+    ids = F.broadcast(ids.select(F.col(ids.columns[0]).alias(id_col)).distinct())
+    doomed = t.join(ids, id_col, "left_semi")
+    n = doomed.count()
+    if n == 0:
+        return 0
+    if partition_col is not None:
+        from data_lake_project_spark import fs
+
+        parts = [
+            r[0]
+            for r in doomed.select(partition_col).distinct().collect()
+        ]
+        survivors = (
+            t.filter(F.col(partition_col).isin(parts))
+            .join(ids, id_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        (
+            survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(table_path)
+        )
+        # a partition whose rows were ALL erased has no survivor rows,
+        # so dynamic overwrite never touches its directory — the
+        # erased rows would silently remain; delete those dirs
+        alive = {
+            r[0] for r in survivors.select(partition_col).distinct().collect()
+        }
+        for p in parts:
+            if p not in alive:
+                fs.delete(
+                    spark, f"{table_path.rstrip('/')}/{partition_col}={p}"
+                )
+    else:
+        survivors = t.join(ids, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        survivors.write.mode("overwrite").parquet(table_path)
+    return n
+
+
+def erase_ann_index(spark: SparkSession, path: str, ids: DataFrame) -> int:
+    """Erase vectors from a persisted ann_index; bucket-partitioned
+    kinds rewrite only the buckets the ids live in."""
+    import json
+
+    from data_lake_project_spark import fs
+
+    model = json.loads(fs.read_text(spark, f"{path.rstrip('/')}/model.json"))
+    part = "__bucket" if model["kind"] in ("ivf", "ivfpq") else None
+    return _erase_rows(
+        spark,
+        f"{path.rstrip('/')}/codes",
+        model["params"]["id_col"],
+        ids,
+        part,
+    )
+
+
+def erase_sq_index(spark: SparkSession, path: str, ids: DataFrame) -> int:
+    """Erase vectors from a persisted sq_index (unpartitioned codes).
+    The frozen stats model is untouched: it is an aggregate envelope,
+    not per-record data."""
+    import json
+
+    from data_lake_project_spark import fs
+
+    model = json.loads(fs.read_text(spark, f"{path.rstrip('/')}/model.json"))
+    return _erase_rows(
+        spark,
+        f"{path.rstrip('/')}/codes",
+        model["params"]["id_col"],
+        ids,
+        None,
+    )
+
+
+def erase_bm25_index(spark: SparkSession, path: str, ids: DataFrame) -> int:
+    """Erase documents from a persisted BM25 index: the bucketed
+    postings rewrite only the token buckets containing the docs'
+    terms; dl rewrites whole (doc-count-sized). df and (N, avgdl) are
+    DERIVED from these tables at serve time, so post-erasure scoring
+    equals an index that never ingested the docs."""
+    p = path.rstrip("/")
+    n = _erase_rows(spark, f"{p}/tfs", "doc_id", ids, "__tb")
+    _erase_rows(spark, f"{p}/dl", "doc_id", ids, None)
+    return n
+
+
+def erase_dedup_index(
+    spark: SparkSession, path: str, ids: DataFrame
+) -> int:
+    """Erase documents from a persisted dedup index (bands + sets)."""
+    p = path.rstrip("/")
+    n = _erase_rows(spark, f"{p}/bands", "doc_id", ids, None)
+    _erase_rows(spark, f"{p}/sets", "doc_id", ids, None)
+    return n
+
+
+def rebuild_hll_keys(
+    spark: SparkSession,
+    path: str,
+    remaining: DataFrame,
+    touched_keys: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> None:
+    """Erasure for the sketch lane: HLL registers cannot subtract, so
+    the keys the erased records touched are RECOMPUTED from
+    ``remaining`` (the source minus erased rows, pre-filtered by the
+    caller) and every other key's rows pass through untouched. Cost
+    is O(remaining rows in touched keys) + a rollup-sized rewrite."""
+    from data_lake_project_spark.operators.sketches import (
+        build_hll_rollup,
+        load_hll_rollup,
+    )
+
+    tk = F.broadcast(touched_keys.select(*keys).distinct())
+    fresh = build_hll_rollup(
+        remaining.join(tk, keys, "left_semi"), keys, value_col, lg_k
+    )
+    untouched = load_hll_rollup(spark, path).join(tk, keys, "left_anti")
+    merged = untouched.unionByName(fresh).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(path)

@@ -3411,3 +3411,180 @@ def test_golden_record_survivorship_invariants(spark):
         assert r.golden_id == r.cluster_id  # min-label == min member id
         assert r.n_sources <= r.n_members
         assert r.best_n_chars >= d[r.golden_id].n_chars
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten erasure across the persisted index lanes
+# ---------------------------------------------------------------------------
+
+
+def test_erasure_propagates_through_every_index_lane(spark, tmp_path):
+    """Erase a set of ids from each persisted artifact and pin the
+    delete-propagation contract: (1) erased ids never appear in any
+    search again, (2) serving the erased index EQUALS serving an
+    index that never ingested those ids, (3) for bucket-partitioned
+    tables only the affected partitions are rewritten (untouched
+    directories stay byte-identical), including partitions whose rows
+    were ALL erased (directory removed, not silently kept)."""
+    import os
+
+    from data_lake_project_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        save_ann_index,
+        search_ann_index,
+    )
+    from data_lake_project_spark.operators.erasure import (
+        erase_ann_index,
+        erase_bm25_index,
+        erase_sq_index,
+    )
+    from data_lake_project_spark.operators.retrieval import (
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+        search_bm25_index,
+    )
+    from data_lake_project_spark.operators.sq_index import (
+        build_sq_index,
+        load_sq_index,
+        save_sq_index,
+        search_sq_index,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    docs = load_table(spark, SF_DIR, "documents")
+    erased_vecs = spark.createDataFrame(
+        [(i,) for i in range(10, 30)], "vec_id long"
+    )
+    erased_docs = spark.createDataFrame(
+        [(i,) for i in range(0, 40, 3)], "doc_id long"
+    )
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    remaining_vecs = e.join(erased_vecs, "vec_id", "left_anti")
+    remaining_docs = docs.join(erased_docs, "doc_id", "left_anti")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # --- SQ lane: erase == never-ingested (same frozen stats)
+    sq_path = str(tmp_path / "sq")
+    idx = build_sq_index(e, dim=64)
+    save_sq_index(idx, sq_path)
+    assert erase_sq_index(spark, sq_path, erased_vecs) == 20
+    got = search_sq_index(load_sq_index(spark, sq_path), probes, k=10)
+    assert not {r.vec_id for r in got.collect()} & set(range(10, 30))
+    from data_lake_project_spark.operators.similarity import sq_encode
+    from data_lake_project_spark.operators.sq_index import SqIndex
+
+    twin = SqIndex(
+        sq_encode(remaining_vecs, idx.mins, idx.maxs), idx.mins, idx.maxs,
+        idx.params,
+    )
+    assert rows(got) == rows(search_sq_index(twin, probes, k=10))
+
+    # --- ANN lane (bucket-partitioned): partition-pruned rewrite
+    ann_path = str(tmp_path / "ann")
+    save_ann_index(build_ann_index(e, kind="ivf", dim=64), ann_path)
+    codes_dir = f"{ann_path}/codes"
+    pre = spark.read.parquet(codes_dir)
+    affected = {
+        r[0]
+        for r in pre.join(erased_vecs, "vec_id", "left_semi")
+        .select("__bucket").distinct().collect()
+    }
+    untouched_files = {}
+    for d in os.listdir(codes_dir):
+        if d.startswith("__bucket=") and int(d.split("=")[1]) not in affected:
+            full = os.path.join(codes_dir, d)
+            untouched_files[d] = {
+                f: os.stat(os.path.join(full, f)).st_mtime_ns
+                for f in os.listdir(full)
+            }
+    assert erase_ann_index(spark, ann_path, erased_vecs) == 20
+    for d, files in untouched_files.items():
+        full = os.path.join(codes_dir, d)
+        assert {
+            f: os.stat(os.path.join(full, f)).st_mtime_ns
+            for f in os.listdir(full)
+        } == files, f"untouched partition {d} was rewritten"
+    got = search_ann_index(load_ann_index(spark, ann_path), probes, k=5)
+    assert not {r.vec_id for r in got.collect()} & set(range(10, 30))
+
+    # --- BM25 lane: erase == rebuild on remaining corpus (stats too)
+    bm_path = str(tmp_path / "bm25")
+    save_bm25_index(build_bm25_index(docs.select("doc_id", "text")), bm_path)
+    q = spark.createDataFrame(
+        [(1, "table value part hash")], "query_id int, qtext string"
+    )
+    assert erase_bm25_index(spark, bm_path, erased_docs) > 0
+    got = search_bm25_index(load_bm25_index(spark, bm_path), q, k=5)
+    assert not {r.doc_id for r in got.collect()} & set(range(0, 40, 3))
+    rebuilt_path = str(tmp_path / "bm25_rebuilt")
+    save_bm25_index(
+        build_bm25_index(remaining_docs.select("doc_id", "text")),
+        rebuilt_path,
+    )
+    assert rows(got) == rows(
+        search_bm25_index(load_bm25_index(spark, rebuilt_path), q, k=5)
+    )
+
+
+def test_erasure_drops_fully_erased_partitions(spark, tmp_path):
+    """A bucket whose rows are ALL erased must vanish, not survive the
+    dynamic overwrite untouched."""
+    from data_lake_project_spark.operators.erasure import _erase_rows
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, b int"
+    )
+    path = str(tmp_path / "t")
+    df.write.partitionBy("b").parquet(path)
+    # erase every row of bucket 1 + some of bucket 0
+    ids = spark.createDataFrame(
+        [(i,) for i in range(30) if i % 3 == 1 or i in (0, 3)], "id long"
+    )
+    n = _erase_rows(spark, path, "id", ids, "b")
+    assert n == 12
+    left = spark.read.parquet(path)
+    assert left.filter("b = 1").count() == 0
+    assert left.count() == 18
+    got = sorted(r.id for r in left.collect())
+    assert got == sorted(
+        i for i in range(30) if i % 3 != 1 and i not in (0, 3)
+    )
+
+
+def test_erasure_hll_rebuild_touched_keys(spark, tmp_path):
+    from data_lake_project_spark.operators.erasure import (
+        rebuild_hll_keys,
+    )
+    from data_lake_project_spark.operators.sketches import (
+        build_hll_rollup,
+        load_hll_rollup,
+        query_hll_rollup,
+        save_hll_rollup,
+    )
+
+    e = load_table(spark, SF_DIR, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    keys = ["event_type", "day"]
+    path = str(tmp_path / "hll")
+    save_hll_rollup(build_hll_rollup(e, keys, "user_id"), path)
+
+    erased_users = e.filter(F.col("user_id") % 7 == 0).select("user_id").distinct()
+    remaining = e.join(erased_users, "user_id", "left_anti")
+    touched = e.join(erased_users, "user_id", "left_semi").select(*keys)
+    rebuild_hll_keys(spark, path, remaining, touched, keys, "user_id")
+
+    def est(r):
+        return sorted(
+            tuple(x) for x in query_hll_rollup(r, ["event_type"]).collect()
+        )
+
+    assert est(load_hll_rollup(spark, path)) == est(
+        build_hll_rollup(remaining, keys, "user_id")
+    )
