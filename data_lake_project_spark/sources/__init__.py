@@ -9,7 +9,7 @@ The reference's ingest surface re-expressed:
   URIs natively — no WebHDFS client needed (``GetData.py:106-126``).
 - S9's UUID-keyed JSON record stream (``GetData.py:113-126``).
 - S10 Kafka produce (``GetData.py:101-104``) — format("kafka") write.
-- S11 binary landing-zone ingest (see ``multimodal``).
+- S11 binary landing-zone ingest (see ``multimodal``).\n- XML landing-zone read/write (Spark 4 built-in source; Avro stays\n  env-blocked — external jar, see SCALE.md blockers).
 - Keyed lakehouse table with idempotent MERGE-on-key upsert (S4/S5
   analog — fixes the reference's at-least-once Cassandra sink).
 """
@@ -67,6 +67,29 @@ def write_orc(df: DataFrame, path: str) -> None:
     :func:`read_orc`; schema round-trips losslessly for the engine's
     scalar/array/struct types (CI-pinned)."""
     df.write.mode("overwrite").orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """Landing-zone XML ingest (Spark 4's built-in XML source — no
+    external jar): one DataFrame row per ``row_tag`` element, schema
+    inferred unless pinned. Splittable like JSON for multi-file
+    inputs; a single giant document parses on one task, so landing
+    zones should shard by file."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    df.write.mode("overwrite").format("xml").option(
+        "rowTag", row_tag
+    ).save(path)
 
 
 def to_keyed_json_records(df: DataFrame, key_col: str | None = None) -> DataFrame:

@@ -143,3 +143,17 @@ def test_find_first_page_per_doc_multi_one_scan(spark):
     # one aggregation pass: a single pair of exchanges (partial/final
     # agg), never one scan per keyword
     assert P.exchange_count(multi) <= 1, P.explain_str(multi)
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from data_lake_project_spark.sources import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y<z&"), (3, None)], "a long, b string"
+    )
+    path = str(tmp_path / "xml_rt")
+    write_xml(df, path, row_tag="rec")
+    back = read_xml(spark, path, row_tag="rec")
+    assert sorted(map(tuple, back.select("a", "b").collect())) == sorted(
+        map(tuple, df.collect())
+    )
