@@ -92,6 +92,35 @@ def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
     ).save(path)
 
 
+def read_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Bronze-layer quarantine ingest: parse JSON lines PERMISSIVEly
+    against a pinned schema and split the result into (good, bad) —
+    rows that parsed cleanly vs rows captured in the corrupt-record
+    column (malformed JSON, schema-violating shapes). The standard
+    landing-zone contract: bad rows are never dropped (they route to
+    a quarantine sink for replay after a schema fix), and the good
+    lane is typed end-to-end.
+
+    Spark requires the corrupt column to be declared in the schema
+    AND the parsed frame to be cached/materialized before filtering
+    on it (the parser populates it lazily per-access) — both handled
+    here. One scan, two narrow filters.
+    """
+    full = f"{schema}, {corrupt_col} string"
+    df = spark.read.schema(full).json(path)
+    # referencing the corrupt column straight off a JSON scan raises
+    # AnalysisException (Spark requires materialization first)
+    df = df.localCheckpoint(eager=True)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    return good, bad
+
+
 def to_keyed_json_records(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """S9: rows → (key, value) JSON pairs; key is a provided column or
     a fresh UUID per record (``GetData.py:124-126`` semantics, with

@@ -157,3 +157,22 @@ def test_xml_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.select("a", "b").collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def test_json_quarantine_splits_good_and_bad(spark, tmp_path):
+    from data_lake_project_spark.sources import read_json_quarantine
+
+    p = str(tmp_path / "in.json")
+    with open(p, "w") as f:
+        f.write('{"a": 1, "b": "x"}\n')
+        f.write('{"a": 2, "b": "y"}\n')
+        f.write('{"a": "NOT_A_NUMBER", "b": "z"}\n')  # type violation
+        f.write('{broken json\n')  # malformed
+    good, bad = read_json_quarantine(spark, p, "a long, b string")
+    assert sorted(map(tuple, good.collect())) == [(1, "x"), (2, "y")]
+    bad_rows = [r[0] for r in bad.collect()]
+    assert len(bad_rows) == 2
+    assert any("NOT_A_NUMBER" in r for r in bad_rows)
+    assert any("broken" in r for r in bad_rows)
+    # conservation: every input line lands in exactly one lane
+    assert good.count() + bad.count() == 4

@@ -1106,3 +1106,34 @@ def test_compaction_plan_is_stable_under_appends(spark, sizes, appended):
     m2 = memberships(f2)
     for fid, g in m1.items():
         assert m2[fid] == g, (fid, g, m2[fid])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abcd"), st.integers(0, 400)),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_theta_overlap_exact_below_sampling_threshold(spark, rows):
+    """Theta set algebra is EXACT below the sketch's k=4096 sampling
+    threshold — pinned on random memberships against python sets."""
+    from itertools import combinations
+
+    from data_lake_project_spark.operators.sketches import theta_overlap
+
+    df = spark.createDataFrame(rows, "s string, u long")
+    got = {
+        (r.set_a, r.set_b): (r.n_inter, r.n_union, r.n_only_a)
+        for r in theta_overlap(df, "s", "u").collect()
+    }
+    sets: dict[str, set] = {}
+    for s, u in rows:
+        sets.setdefault(s, set()).add(u)
+    for a, b in combinations(sorted(sets), 2):
+        assert got[(a, b)] == (
+            len(sets[a] & sets[b]),
+            len(sets[a] | sets[b]),
+            len(sets[a] - sets[b]),
+        )
