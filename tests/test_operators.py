@@ -3588,3 +3588,49 @@ def test_erasure_hll_rebuild_touched_keys(spark, tmp_path):
     assert est(load_hll_rollup(spark, path)) == est(
         build_hll_rollup(remaining, keys, "user_id")
     )
+
+
+def test_erasure_dedup_index_equals_never_ingested(spark, tmp_path):
+    """Erasing docs from the dedup index == an index that never saw
+    them: a batch duplicating ONLY erased docs passes the gate clean,
+    and the served keep-set equals the rebuilt-on-remaining twin."""
+    from data_lake_project_spark.operators.dedup_index import (
+        build_dedup_index,
+        dedup_against_index,
+        load_dedup_index,
+        save_dedup_index,
+    )
+    from data_lake_project_spark.operators.erasure import (
+        erase_dedup_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    erased = spark.createDataFrame(
+        [(i,) for i in range(0, 50, 2)], "doc_id long"
+    )
+    path = str(tmp_path / "dd")
+    save_dedup_index(build_dedup_index(docs), path)
+    assert erase_dedup_index(spark, path, erased) > 0
+
+    # replay copies of a mix of erased and retained docs through the
+    # gate: copies of RETAINED docs must still be caught, and the
+    # whole keep-set must equal the never-ingested twin (note: a copy
+    # of an erased doc may STILL be caught legitimately — via a
+    # retained near-duplicate of it; the twin equality is the
+    # contract, not per-id pass-through)
+    batch = docs.filter(F.col("doc_id").isin(0, 2, 1, 3)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    kept = dedup_against_index(load_dedup_index(spark, path), batch)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 100001 not in kept_ids and 100003 not in kept_ids  # retained caught
+
+    rebuilt = str(tmp_path / "dd2")
+    save_dedup_index(
+        build_dedup_index(docs.join(erased, "doc_id", "left_anti")),
+        rebuilt,
+    )
+    kept2 = dedup_against_index(load_dedup_index(spark, rebuilt), batch)
+    assert sorted(map(tuple, kept.collect())) == sorted(
+        map(tuple, kept2.collect())
+    )
