@@ -151,3 +151,35 @@ def compaction_plan(
         F.col(id_col).cast("long").alias("last_file"),
     )
     return groups.unionByName(kept).unionByName(missing)
+
+
+def write_zordered(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    path: str,
+    bits: int = 16,
+    n_files: int = 8,
+) -> None:
+    """The WRITE path for the Z-order layout q104 analyzes: range-
+    partition rows on their Morton key and sort within partitions, so
+    each output file's parquet footer carries a NARROW min/max
+    envelope on BOTH dimensions — which is what makes ordinary
+    row-group stats pruning fire for either single-column predicate
+    on read. (``OPTIMIZE ZORDER BY``'s effect with plain parquet
+    writers.) Callers bucket/clip raw values into [0, 2^bits) first,
+    as with :func:`zvalue`.
+
+    Scale: ``repartitionByRange`` samples the Z distribution (one
+    skippable pass) and produces size-balanced files regardless of
+    key skew; the sort is within-partition only.
+    """
+    z = zvalue(F.col(x_col), F.col(y_col), bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
