@@ -33,37 +33,54 @@ def entry(spark: SparkSession) -> DataFrame:
 # correctness sweep hash-checks exactly the first 50 entries of
 # ``queries()`` in dict order (CORRECTNESS_r01-r04 are byte-for-byte
 # the q01-prefix; r05 is the rotated q46-prefix). Rotating the head
-# each round walks the sweep window across the full declared surface:
-# q01-q45 were driver-green rounds 1-4, q46-q95(+q136) round 5. Round
-# 6 fronts the 48 oracle-backed queries that have never had a driver
-# row (q96-q135 window, q140-q142, and the new q144-q150) plus q55
-# (driver-ERR in r5; its output is now scalarized) and one
-# re-confirmation pick (q51's warm regression). This lives
-# HERE — the driver contract module — not in the library: library
-# consumers (bench, audits, tests) see stable declaration order, and a
-# membership drift degrades to a warning, never an import failure.
-# The self-run artifact (scripts/self_correctness.py →
-# CORRECTNESS_SELF_r*.json) still covers every query every round.
+# each round walks the sweep window across the full declared surface.
+#
+# As of round 6 the head is DATA-DRIVEN: it is computed from the
+# committed CORRECTNESS_r*.json artifacts — every oracle-backed query
+# that has never had a driver hash-green row goes first (declaration
+# order), and the remainder of the 50-slot window back-fills with the
+# LONGEST-UNCONFIRMED green queries (round-robin re-confirmation, so
+# old rows keep getting refreshed instead of going permanently
+# stale). No per-round hand-picking, no membership-drift warnings:
+# adding queries or landing a new driver artifact re-derives the
+# right head automatically. This lives HERE — the driver contract
+# module — not in the library: library consumers (bench, audits,
+# tests) see stable declaration order. The self-run artifact
+# (scripts/self_correctness.py → CORRECTNESS_SELF_r*.json) still
+# covers every query every round.
 # ---------------------------------------------------------------------------
-def _qnum(name: str) -> int:
-    import re
-
-    return int(re.match(r"q(\d+)", name).group(1))
 
 
-_SWEEP_HEAD = (
-    ["q55_inverted_index"]
-    + [
-        k
-        for k in QUERIES
-        if k in ORACLE
-        and 96 <= _qnum(k) <= 150
-        and k != "q136_dedup_index_gate"  # driver-green r5 already
-    ]
-    + [
-        "q51_dedup_clusters",
-    ]
-)
+def _sweep_head(window: int = 50, artifact_dir: str | None = None) -> list[str]:
+    import glob
+    import json
+
+    here = artifact_dir or os.path.dirname(os.path.abspath(__file__))
+    last_green: dict[str, int] = {}  # name -> latest round hash-green
+    rounds = []
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+            rnd = int(p.rsplit("_r", 1)[1].split(".")[0])
+        except Exception:  # noqa: BLE001 — a malformed artifact never breaks import
+            continue
+        rounds.append(rnd)
+        if not isinstance(d, dict):
+            continue
+        for name, row in d.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    oracle_backed = [k for k in QUERIES if k in ORACLE]
+    never = [k for k in oracle_backed if k not in last_green]
+    stale_first = sorted(
+        (k for k in oracle_backed if k in last_green),
+        key=lambda k: (last_green[k], list(QUERIES).index(k)),
+    )
+    return (never + stale_first)[:window]
+
+
+_SWEEP_HEAD = _sweep_head()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -176,3 +176,38 @@ def test_json_quarantine_splits_good_and_bad(spark, tmp_path):
     assert any("broken" in r for r in bad_rows)
     # conservation: every input line lands in exactly one lane
     assert good.count() + bad.count() == 4
+
+
+def test_sweep_head_selection_logic(tmp_path):
+    """The data-driven driver-sweep head: never-hash-green
+    oracle-backed queries first (declaration order), then the
+    longest-unconfirmed green ones; malformed artifacts are skipped,
+    never an import failure."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from data_lake_project_spark.queries import ORACLE, QUERIES
+
+    names = [k for k in QUERIES if k in ORACLE]
+    g1, g2, never = names[0], names[1], names[2]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({g1: {"hash_match": True}, g2: {"hash_match": False}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({g2: {"hash_match": True}})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{{not json")
+
+    head = e._sweep_head(window=len(names), artifact_dir=str(tmp_path))
+    # every oracle-backed query present exactly once
+    assert sorted(head) == sorted(names)
+    # never-green block leads, in declaration order
+    assert head[0] == never or head[0] == names[2] or g1 not in head[:2]
+    assert head.index(never) < head.index(g1)
+    assert head.index(never) < head.index(g2)
+    # g1 (green in r1) is staler than g2 (green in r2) -> earlier slot
+    assert head.index(g1) < head.index(g2)
+    # a tiny window truncates but never errors
+    assert len(e._sweep_head(window=5, artifact_dir=str(tmp_path))) == 5

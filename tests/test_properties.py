@@ -1137,3 +1137,50 @@ def test_theta_overlap_exact_below_sampling_threshold(spark, rows):
             len(sets[a] | sets[b]),
             len(sets[a] - sets[b]),
         )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_connected_components_match_union_find(spark, raw_pairs):
+    """Min-label propagation == a pure-python union-find relabeled to
+    min-member ids, on random pair graphs (self-loops dropped)."""
+    from data_lake_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = [(a, b) for a, b in raw_pairs if a != b]
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r.id: r.cluster_id for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, list] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    expected = {}
+    for members in comps.values():
+        lo = min(members)
+        for m in members:
+            expected[m] = lo
+    assert got == expected
