@@ -561,3 +561,61 @@ def test_write_zordered_narrows_footer_envelopes(spark, tmp_path):
     # files must be materially narrower on BOTH
     assert bx > 0.9 and by > 0.9, (bx, by)
     assert zx < 0.6 * bx and zy < 0.6 * by, (zx, zy, bx, by)
+
+
+def test_runtime_bloom_filter_injects_in_shuffle_join_regime(spark):
+    """The 100 TB fact⋈fact regime, pinned: when the join is a real
+    shuffle join (broadcast off — at fixture scale Catalyst correctly
+    prefers broadcast instead) and the 10 GB application-side gate is
+    lifted (it exists precisely because this pays off at large scans),
+    the session config lets Catalyst inject a runtime BLOOM FILTER
+    from the selective dimension side into the fact scan — the fact
+    rows are semi-join-reduced BEFORE the shuffle. This is free plan
+    hygiene at cluster scale; the pin guards the conf/session wiring
+    that enables it."""
+    from pyspark.sql import functions as F
+
+    from data_lake_project_spark.tables import load_table
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    olds = {}
+    for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ):
+        try:
+            olds[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf, restore via unset
+            olds[k] = None
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, "/root/testdata/sf0.001", "orders")
+        l = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        sel = o.filter(F.col("o_totalprice") > 500000)
+        j = (
+            l.join(sel, l.l_orderkey == sel.o_orderkey)
+            .groupBy()
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in olds.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
