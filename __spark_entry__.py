@@ -57,7 +57,6 @@ def _sweep_head(window: int = 50, artifact_dir: str | None = None) -> list[str]:
 
     here = artifact_dir or os.path.dirname(os.path.abspath(__file__))
     last_green: dict[str, int] = {}  # name -> latest round hash-green
-    rounds = []
     for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(p) as fh:
@@ -65,7 +64,6 @@ def _sweep_head(window: int = 50, artifact_dir: str | None = None) -> list[str]:
             rnd = int(p.rsplit("_r", 1)[1].split(".")[0])
         except Exception:  # noqa: BLE001 — a malformed artifact never breaks import
             continue
-        rounds.append(rnd)
         if not isinstance(d, dict):
             continue
         for name, row in d.items():

@@ -50,9 +50,24 @@ def _erase_rows(
     With ``partition_col``, only partitions containing erased ids are
     rewritten (dynamic overwrite); the ids frame is broadcast (an
     erasure batch is by-contract small — a deletion request list).
+
+    The ids frame must carry the id as a column NAMED ``id_col``, or
+    be a single-column frame (then that column is the id whatever its
+    name). A multi-column frame without ``id_col`` is REJECTED —
+    guessing a column for a deletion request risks a silent no-op
+    erase, the worst failure mode this module can have.
     """
     t = spark.read.parquet(table_path)
-    ids = F.broadcast(ids.select(F.col(ids.columns[0]).alias(id_col)).distinct())
+    if id_col in ids.columns:
+        ids = ids.select(id_col)
+    elif len(ids.columns) == 1:
+        ids = ids.select(F.col(ids.columns[0]).alias(id_col))
+    else:
+        raise ValueError(
+            f"_erase_rows: ids frame has columns {ids.columns} — pass "
+            f"either a single-column frame or one containing {id_col!r}"
+        )
+    ids = F.broadcast(ids.distinct())
     doomed = t.join(ids, id_col, "left_semi")
     n = doomed.count()
     if n == 0:
@@ -64,9 +79,23 @@ def _erase_rows(
             r[0]
             for r in doomed.select(partition_col).distinct().collect()
         ]
+        if any(p is None for p in parts):
+            # isin() can't match NULL and the dir delete below would
+            # miss __HIVE_DEFAULT_PARTITION__ — fail loud rather than
+            # return a positive count while rows survive (no current
+            # lane produces NULL partition values)
+            raise ValueError(
+                "_erase_rows: NULL partition values in the erase set "
+                f"of {table_path} — unsupported for partitioned erase"
+            )
         survivors = (
             t.filter(F.col(partition_col).isin(parts))
             .join(ids, id_col, "left_anti")
+            # restore the one-file-per-partition layout the save paths
+            # enforce (retrieval.py measured the pruned scan SLOWER
+            # than unpartitioned when bucket dirs shatter into
+            # task-count files)
+            .repartition(F.col(partition_col))
             .localCheckpoint(eager=True)
         )
         (
@@ -135,20 +164,33 @@ def erase_bm25_index(spark: SparkSession, path: str, ids: DataFrame) -> int:
     postings rewrite only the token buckets containing the docs'
     terms; dl rewrites whole (doc-count-sized). df and (N, avgdl) are
     DERIVED from these tables at serve time, so post-erasure scoring
-    equals an index that never ingested the docs."""
+    equals an index that never ingested the docs. The id column comes
+    from the persisted params.json (never assumed), like the
+    ann/sq lanes."""
+    import json
+
+    from data_lake_project_spark import fs
+
     p = path.rstrip("/")
-    n = _erase_rows(spark, f"{p}/tfs", "doc_id", ids, "__tb")
-    _erase_rows(spark, f"{p}/dl", "doc_id", ids, None)
+    id_col = json.loads(fs.read_text(spark, f"{p}/params.json"))["id_col"]
+    n = _erase_rows(spark, f"{p}/tfs", id_col, ids, "__tb")
+    _erase_rows(spark, f"{p}/dl", id_col, ids, None)
     return n
 
 
 def erase_dedup_index(
     spark: SparkSession, path: str, ids: DataFrame
 ) -> int:
-    """Erase documents from a persisted dedup index (bands + sets)."""
+    """Erase documents from a persisted dedup index (bands + sets);
+    id column resolved from the persisted params.json."""
+    import json
+
+    from data_lake_project_spark import fs
+
     p = path.rstrip("/")
-    n = _erase_rows(spark, f"{p}/bands", "doc_id", ids, None)
-    _erase_rows(spark, f"{p}/sets", "doc_id", ids, None)
+    id_col = json.loads(fs.read_text(spark, f"{p}/params.json"))["id_col"]
+    n = _erase_rows(spark, f"{p}/bands", id_col, ids, None)
+    _erase_rows(spark, f"{p}/sets", id_col, ids, None)
     return n
 
 
@@ -165,12 +207,20 @@ def rebuild_hll_keys(
     the keys the erased records touched are RECOMPUTED from
     ``remaining`` (the source minus erased rows, pre-filtered by the
     caller) and every other key's rows pass through untouched. Cost
-    is O(remaining rows in touched keys) + a rollup-sized rewrite."""
+    is O(remaining rows in touched keys) + a rollup-sized rewrite.
+    ``lg_k`` is a fallback: a precision recorded at save time wins
+    (a mismatched rebuild would poison every later union)."""
+    import json
+
+    from data_lake_project_spark import fs
     from data_lake_project_spark.operators.sketches import (
         build_hll_rollup,
         load_hll_rollup,
+        stored_hll_lg_k,
     )
 
+    stored = stored_hll_lg_k(spark, path)
+    lg_k = stored or lg_k
     tk = F.broadcast(touched_keys.select(*keys).distinct())
     fresh = build_hll_rollup(
         remaining.join(tk, keys, "left_semi"), keys, value_col, lg_k
@@ -178,3 +228,9 @@ def rebuild_hll_keys(
     untouched = load_hll_rollup(spark, path).join(tk, keys, "left_anti")
     merged = untouched.unionByName(fresh).localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(path)
+    if stored is not None:  # the overwrite deleted the params file
+        fs.write_text(
+            spark,
+            f"{path.rstrip('/')}/_hll_params.json",
+            json.dumps({"lg_k": stored}),
+        )

@@ -336,12 +336,43 @@ def build_hll_rollup(
     )
 
 
-def save_hll_rollup(rollup: DataFrame, path: str) -> None:
+def save_hll_rollup(
+    rollup: DataFrame, path: str, lg_k: int | None = None
+) -> None:
+    """Persist the sketch table; when ``lg_k`` is given it is recorded
+    in an underscore-prefixed params file inside the directory (Spark's
+    parquet reader skips ``_*`` files), so later folds/rebuilds use
+    the BUILD-TIME precision instead of trusting a caller default —
+    hll_union_agg throws on mixed-lgConfigK sketches, so a mismatched
+    fold would leave the whole rollup unreadable."""
     rollup.write.mode("error").parquet(path)
+    if lg_k is not None:
+        import json
+
+        from data_lake_project_spark import fs
+
+        fs.write_text(
+            rollup.sparkSession,
+            f"{path.rstrip('/')}/_hll_params.json",
+            json.dumps({"lg_k": lg_k}),
+        )
 
 
 def load_hll_rollup(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def stored_hll_lg_k(spark, path: str) -> int | None:
+    """The build-time lg_k recorded by :func:`save_hll_rollup`, or
+    None for rollups saved without one."""
+    import json
+
+    from data_lake_project_spark import fs
+
+    p = f"{path.rstrip('/')}/_hll_params.json"
+    if not fs.exists(spark, p):
+        return None
+    return int(json.loads(fs.read_text(spark, p))["lg_k"])
 
 
 def fold_hll_rollup(
@@ -506,9 +537,11 @@ def hll_rollup_apply(
     results). Run :func:`compact_hll_rollup` occasionally to fold
     accumulated rows back to one per key.
 
-    ``spark`` is unused here (the fold is a pure write) but kept for
-    signature symmetry with the other ``*_apply`` lifecycle folds
-    (ann/dedup/bm25 all load through it)."""
+    ``lg_k`` is a FALLBACK only: when the rollup was saved with its
+    build-time precision (:func:`save_hll_rollup`), the stored value
+    wins — a mismatched fold would make every later
+    ``hll_union_agg`` throw on mixed-lgConfigK sketches."""
+    lg_k = stored_hll_lg_k(spark, path) or lg_k
     build_hll_rollup(delta, keys, value_col, lg_k).write.mode(
         "append"
     ).parquet(path)
@@ -521,6 +554,7 @@ def compact_hll_rollup(spark, path: str) -> None:
     (``localCheckpoint``) before the overwrite so the write never
     scans the files it is replacing; a cluster deployment would write
     a new versioned directory and swap instead."""
+    lg_k = stored_hll_lg_k(spark, path)  # overwrite deletes the dir
     r = load_hll_rollup(spark, path)
     keys = [c for c in r.columns if c != "hll_sketch"]
     merged = (
@@ -529,3 +563,13 @@ def compact_hll_rollup(spark, path: str) -> None:
         .localCheckpoint(eager=True)
     )
     merged.write.mode("overwrite").parquet(path)
+    if lg_k is not None:
+        import json
+
+        from data_lake_project_spark import fs
+
+        fs.write_text(
+            spark,
+            f"{path.rstrip('/')}/_hll_params.json",
+            json.dumps({"lg_k": lg_k}),
+        )

@@ -3852,7 +3852,9 @@ def _published_hll_rollup(spark, sf):
         spark,
         path,
         lambda tmp: save_hll_rollup(
-            build_hll_rollup(e, ["event_type", "day"], "user_id", 14), tmp
+            build_hll_rollup(e, ["event_type", "day"], "user_id", 14),
+            tmp,
+            lg_k=14,
         ),
     )
     return load_hll_rollup(spark, path)

@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter join pruning: in the shuffle-join
+        # regime Catalyst semi-join-reduces the fact side before the
+        # shuffle (gated upstream by a 10 GB application-side scan
+        # threshold, so it only fires at cluster scale). Spark's
+        # current default is true — pinned explicitly so a deployment
+        # or future version that defaults it off keeps the behavior
+        # (plan-pinned in test_plans).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")

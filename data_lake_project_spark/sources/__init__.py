@@ -9,7 +9,9 @@ The reference's ingest surface re-expressed:
   URIs natively — no WebHDFS client needed (``GetData.py:106-126``).
 - S9's UUID-keyed JSON record stream (``GetData.py:113-126``).
 - S10 Kafka produce (``GetData.py:101-104``) — format("kafka") write.
-- S11 binary landing-zone ingest (see ``multimodal``).\n- XML landing-zone read/write (Spark 4 built-in source; Avro stays\n  env-blocked — external jar, see SCALE.md blockers).
+- S11 binary landing-zone ingest (see ``multimodal``).
+- XML landing-zone read/write (Spark 4 built-in source; Avro stays
+  env-blocked — external jar, see SCALE.md blockers).
 - Keyed lakehouse table with idempotent MERGE-on-key upsert (S4/S5
   analog — fixes the reference's at-least-once Cassandra sink).
 """
