@@ -3634,3 +3634,47 @@ def test_erasure_dedup_index_equals_never_ingested(spark, tmp_path):
     assert sorted(map(tuple, kept.collect())) == sorted(
         map(tuple, kept2.collect())
     )
+
+
+def test_erasure_respects_persisted_id_column_and_rejects_ambiguity(
+    spark, tmp_path
+):
+    """The delete path resolves the id column from params.json (a
+    non-default-keyed index erases correctly) and refuses a
+    multi-column ids frame that lacks it — guessing a deletion
+    request's column risks a silent no-op erase."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.erasure import (
+        erase_bm25_index,
+    )
+    from data_lake_project_spark.operators.retrieval import (
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    path = str(tmp_path / "bm")
+    save_bm25_index(build_bm25_index(docs, id_col="id"), path)
+
+    # ids frame carries the id under the params name plus extra cols
+    req = spark.createDataFrame(
+        [("gdpr", i) for i in range(0, 20, 2)], "reason string, id long"
+    )
+    n = erase_bm25_index(spark, path, req)
+    assert n > 0
+    left = {
+        r.id for r in load_bm25_index(spark, path).dl.select("id").collect()
+    }
+    assert left.isdisjoint(set(range(0, 20, 2)))
+
+    # multi-column frame WITHOUT the id column: loud rejection
+    bad = spark.createDataFrame(
+        [("x", 1)], "reason string, someid long"
+    )
+    with _pytest.raises(Exception, match="ids frame has columns"):
+        erase_bm25_index(spark, path, bad)
