@@ -1184,3 +1184,53 @@ def test_connected_components_match_union_find(spark, raw_pairs):
         for m in members:
             expected[m] = lo
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 8), st.sampled_from("abcdef")),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cooccurrence_lift_matches_reference_on_random_baskets(
+    spark, rows
+):
+    from itertools import combinations
+    import math
+
+    from data_lake_project_spark.operators.market import (
+        cooccurrence_lift,
+    )
+
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = {
+        (r.item_a, r.item_b): (r.n_ab, r.n_a, r.n_b, r.lift)
+        for r in cooccurrence_lift(df, "bk", "it", min_support=1).collect()
+    }
+    baskets: dict[int, set] = {}
+    for bk, it in rows:
+        baskets.setdefault(bk, set()).add(it)
+    n_baskets = len(baskets)
+    item_n: dict[str, int] = {}
+    pair_n: dict[tuple, int] = {}
+    for items in baskets.values():
+        for it in items:
+            item_n[it] = item_n.get(it, 0) + 1
+        for a, b in combinations(sorted(items), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    expected = {
+        p: (
+            n,
+            item_n[p[0]],
+            item_n[p[1]],
+            math.floor(
+                n * n_baskets / (item_n[p[0]] * item_n[p[1]]) * 10000.0
+                + 0.5
+            )
+            / 10000.0,
+        )
+        for p, n in pair_n.items()
+    }
+    assert got == expected
