@@ -4048,6 +4048,124 @@ def q160_golden_record(spark, sf):
     )
 
 
+def q161_ab_test(spark, sf):
+    """A/B experiment readout: users hash-split into two arms (the
+    q41 deterministic assignment), conversion = did the user ever
+    purchase; per-arm rates plus the pooled two-proportion z-score —
+    the decision statistic an experimentation platform serves. All
+    counts integer; the rate/z arithmetic is +-*/ and sqrt on
+    identical operands (every op correctly rounded — the q22 cosine
+    precedent), pround(4)."""
+    e = load_table(spark, sf, "events")
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            # 'ever purchased' saturates at 1.0 on the fixture (every
+            # user buys); the non-degenerate conversion is a
+            # high-value purchase
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 150.0),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn(
+            # the q41 portable assignment: md5-prefix threshold gives
+            # the identical arm on any engine (xxhash64 has no DuckDB
+            # twin)
+            "arm",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8)
+                < "80000000",
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    per_arm = users.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    a = per_arm.filter(F.col("arm") == "A").select(
+        F.col("n_users").alias("na"), F.col("n_conv").alias("ca")
+    )
+    b = per_arm.filter(F.col("arm") == "B").select(
+        F.col("n_users").alias("nb"), F.col("n_conv").alias("cb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    ra = F.col("ca").cast("double") / F.col("na").cast("double")
+    rb = F.col("cb").cast("double") / F.col("nb").cast("double")
+    pool = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("na").cast("double")
+            + F.lit(1.0) / F.col("nb").cast("double")
+        )
+    )
+    return j.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        pround(ra, 4).alias("rate_a"),
+        pround(rb, 4).alias("rate_b"),
+        # degenerate pools (0% or 100% everywhere) have no z — NULL,
+        # never a divide-by-zero under ANSI
+        F.when(se > 0, pround((ra - rb) / se, 4)).alias("z_score"),
+    )
+
+
+def q162_cohort_ltv(spark, sf):
+    """Cohort lifetime-value matrix: users cohorted by first-seen
+    day, cumulative purchase value per cohort at each age (days since
+    first seen) — the (cohort x age) triangle every growth dashboard
+    plots, and the retention (q70) companion with VALUE instead of
+    presence. Decimal-summed values make the cumulative exact."""
+    e = load_table(spark, sf, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort")
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort",
+            F.datediff(F.to_date("ts"), F.col("cohort")).alias("age"),
+            "value",
+        )
+        .groupBy("cohort", "age")
+        .agg(
+            # stay DECIMAL through the window: a double cumsum's
+            # addition order differs between engines (DuckDB windows
+            # aggregate via segment trees); exact decimal is
+            # order-free
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("__v"),
+            F.count("*").cast("long").alias("n_purchases"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        purch.select(
+            _ts(F.col("cohort")).alias("cohort_day"),
+            F.col("age").cast("long").alias("age"),
+            "n_purchases",
+            pround(F.sum("__v").over(w).cast("double"), 2).alias(
+                "cum_value"
+            ),
+        )
+        .orderBy("cohort_day", "age")
+    )
+
+
 def q157_sq_index_search(spark, sf):
     """q155 served from a PERSISTED int8 index — the fifth
     train-once/serve-many lifecycle: stats + tinyint codes are built
@@ -4297,6 +4415,8 @@ QUERIES: dict[str, QueryFn] = {
     "q158_sketch_cube": q158_sketch_cube,
     "q159_basket_lift": q159_basket_lift,
     "q160_golden_record": q160_golden_record,
+    "q161_ab_test": q161_ab_test,
+    "q162_cohort_ltv": q162_cohort_ltv,
     "q131_cluster_safe_split": q131_cluster_safe_split,
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
@@ -8110,4 +8230,72 @@ ORACLE["q160_golden_record"] = """
            max(n_chars)::BIGINT AS best_n_chars,
            min(source) AS rep_source
     FROM lab GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+ORACLE["q161_ab_test"] = """
+    WITH u AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase'
+                         AND value >= CAST(150 AS DOUBLE)
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    armed AS (
+        SELECT converted,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                         < '80000000'
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM u
+    ),
+    pa AS (
+        SELECT count(*)::BIGINT AS na, sum(converted)::BIGINT AS ca
+        FROM armed WHERE arm = 'A'
+    ),
+    pb AS (
+        SELECT count(*)::BIGINT AS nb, sum(converted)::BIGINT AS cb
+        FROM armed WHERE arm = 'B'
+    )
+    SELECT na, ca, nb, cb,
+           floor(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS rate_a,
+           floor(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS rate_b,
+           CASE WHEN sqrt(CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+                        * (1.0 - CAST(ca + cb AS DOUBLE)
+                                 / CAST(na + nb AS DOUBLE))
+                        * (1.0 / CAST(na AS DOUBLE)
+                           + 1.0 / CAST(nb AS DOUBLE))) > 0
+           THEN floor((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / sqrt(CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+                        * (1.0 - CAST(ca + cb AS DOUBLE)
+                                 / CAST(na + nb AS DOUBLE))
+                        * (1.0 / CAST(na AS DOUBLE)
+                           + 1.0 / CAST(nb AS DOUBLE)))
+                 * 10000.0 + 0.5) / 10000.0
+           END AS z_score
+    FROM pa, pb
+"""
+
+ORACLE["q162_cohort_ltv"] = """
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    purch AS (
+        SELECT f.cohort,
+               datediff('day', f.cohort, CAST(e.ts AS DATE)) AS age,
+               sum(CAST(e.value AS DECIMAL(27,6))) AS v,
+               count(*)::BIGINT AS n_purchases
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT strftime(cohort, '%Y-%m-%d %H:%M:%S') AS cohort_day,
+           age::BIGINT AS age, n_purchases,
+           floor(CAST(SUM(v) OVER (PARTITION BY cohort ORDER BY age
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) * 100.0 + 0.5) / 100.0 AS cum_value
+    FROM purch ORDER BY cohort_day, age
 """
