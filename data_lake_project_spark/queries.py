@@ -4083,17 +4083,20 @@ def q161_ab_test(spark, sf):
             ).otherwise("B"),
         )
     )
-    per_arm = users.groupBy("arm").agg(
-        F.count("*").cast("long").alias("n_users"),
-        F.sum("converted").cast("long").alias("n_conv"),
+    # ONE conditional aggregation pass instead of two filtered 1-row
+    # frames cross-joined: the user-agg subtree evaluates once and the
+    # report needs no join at all
+    is_a = F.col("arm") == "A"
+    j = users.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(is_a, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(~is_a, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("cb"),
     )
-    a = per_arm.filter(F.col("arm") == "A").select(
-        F.col("n_users").alias("na"), F.col("n_conv").alias("ca")
-    )
-    b = per_arm.filter(F.col("arm") == "B").select(
-        F.col("n_users").alias("nb"), F.col("n_conv").alias("cb")
-    )
-    j = a.crossJoin(F.broadcast(b))
     ra = F.col("ca").cast("double") / F.col("na").cast("double")
     rb = F.col("cb").cast("double") / F.col("nb").cast("double")
     pool = (F.col("ca") + F.col("cb")).cast("double") / (

@@ -87,8 +87,6 @@ BNLJ_ALLOWED: set[str] = {
     "q156_vocab_growth",
     # 1-row basket-count scalar broadcast onto the pair-count table.
     "q159_basket_lift",
-    # two 1-row per-arm stat frames cross-joined into the report row.
-    "q161_ab_test",
 }
 
 

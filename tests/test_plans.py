@@ -619,3 +619,13 @@ def test_runtime_bloom_filter_injects_in_shuffle_join_regime(spark):
             "spark.sql.optimizer.runtime.bloomFilter."
             "applicationSideScanSizeThreshold"
         )
+
+
+def test_ab_test_is_one_aggregation_pass(spark):
+    """q161's report comes from ONE conditional aggregation over the
+    per-user frame — no per-arm filtered frames, no cross join (the
+    two-frame shape evaluated the user agg twice and planned a BNLJ)."""
+    df = QUERIES["q161_ab_test"](spark, SF_DIR)
+    assert P.exchange_count(df) <= 1
+    P.assert_no_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in P.explain_str(df)
