@@ -1234,3 +1234,55 @@ def test_cooccurrence_lift_matches_reference_on_random_baskets(
         for p, n in pair_n.items()
     }
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 6),   # cohort day
+            st.integers(0, 9),   # age
+            st.integers(1, 99999),  # value in cents
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_decimal_window_cumsum_matches_exact_reference(spark, rows):
+    """The q162 pattern pinned on random value streams: a cumulative
+    sum kept DECIMAL through the window equals an exact integer-cents
+    reference regardless of row order or partitioning — the property
+    a double cumsum cannot guarantee across engines."""
+    from pyspark.sql import Window
+
+    from data_lake_project_spark.functions import pround
+
+    df = spark.createDataFrame(
+        [(c, a, v / 100.0) for c, a, v in rows],
+        "cohort long, age long, value double",
+    ).repartition(4)
+    g = df.groupBy("cohort", "age").agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("__v")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        (r.cohort, r.age): r.cum
+        for r in g.select(
+            "cohort",
+            "age",
+            pround(F.sum("__v").over(w).cast("double"), 2).alias("cum"),
+        ).collect()
+    }
+    cents: dict[tuple, int] = {}
+    for c, a, v in rows:
+        cents[(c, a)] = cents.get((c, a), 0) + v
+    import math
+
+    for (c, a) in got:
+        exact = sum(v for (cc, aa), v in cents.items() if cc == c and aa <= a)
+        expected = math.floor(exact / 100.0 * 100.0 + 0.5) / 100.0
+        assert got[(c, a)] == expected, ((c, a), got[(c, a)], expected)
