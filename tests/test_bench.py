@@ -1,0 +1,59 @@
+"""bench.py harness unit tests (no Spark session needed).
+
+The driver captures only the tail of bench.py's stdout; rounds 3/6/7
+landed BENCH_r*.json as ``parsed: null`` because the single 165-entry
+JSON line got front-truncated. ``compact_payload`` is the fix: the
+full map goes to bench_out.json, stdout gets a bounded line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
+
+from bench import compact_payload  # noqa: E402
+
+
+def _payload(n: int) -> dict:
+    return {
+        "metric": "suite_seconds",
+        "value": float(n),
+        "unit": "sec",
+        "queries": {f"q{i:03d}": float(i % 7) + 0.1 for i in range(n)},
+        "sf": 0.1,
+    }
+
+
+def test_small_suite_passes_through_unchanged():
+    p = _payload(10)
+    assert compact_payload(p) is p
+
+
+def test_large_suite_truncates_to_slowest_20():
+    p = _payload(165)
+    out = compact_payload(p)
+    assert out["n_queries"] == 165
+    assert len(out["queries"]) == 20
+    # Every kept entry is at least as slow as every dropped one.
+    kept_min = min(out["queries"].values())
+    dropped = [
+        v for k, v in p["queries"].items() if k not in out["queries"]
+    ]
+    assert all(v <= kept_min for v in dropped)
+    # Schema keys the driver relies on survive.
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in out
+    assert out["value"] == p["value"]
+    assert out["full_per_query"] == "bench_out.json"
+
+
+def test_compact_line_is_bounded_json():
+    out = compact_payload(_payload(1000))
+    line = json.dumps(out)
+    assert len(line) < 2000
+    assert json.loads(line)["n_queries"] == 1000
