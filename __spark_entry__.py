@@ -89,13 +89,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     head = list(dict.fromkeys(k for k in _SWEEP_HEAD if k in QUERIES))
     if len(head) != 50:
-        import warnings
-
-        warnings.warn(
+        # stderr, not warnings.warn: headless driver runs swallow the
+        # warning stream, and a silently shifted window is exactly the
+        # failure this check exists to surface (round-7 ADVICE item).
+        print(
             f"sweep-head rotation selects {len(head)} queries, not 50 "
             "— the oracle membership drifted; the driver window will "
             "cover a shifted set (harmless, but re-pick the head).",
-            stacklevel=2,
+            file=sys.stderr,
+            flush=True,
         )
     return {**{k: QUERIES[k] for k in head}, **QUERIES}
 

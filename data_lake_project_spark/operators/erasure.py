@@ -37,6 +37,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Characters Hive escapes in partition directory names (Spark's
+# ExternalCatalogUtils.charToEscape): control chars plus these. A raw
+# f"{col}={value}" path misses the escaped directory for any such
+# value, and the fully-erased-partition delete below would silently
+# leave the rows on disk — the worst failure mode this module can
+# have. Current lanes partition on integer buckets, but the primitive
+# must not depend on that staying true.
+_HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _hive_escape_part(value) -> str:
+    """Replicate Hive/Spark ``escapePathName`` for a partition VALUE
+    (``None`` is the Hive default-partition directory name)."""
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = str(value)
+    out = []
+    for ch in s:
+        if ch in _HIVE_ESCAPE or ord(ch) < 0x20:
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
 
 def _erase_rows(
     spark: SparkSession,
@@ -44,12 +68,20 @@ def _erase_rows(
     id_col: str,
     ids: DataFrame,
     partition_col: str | None = None,
+    prune_values: list | None = None,
 ) -> int:
     """Anti-join rewrite of one parquet table; returns rows erased.
 
     With ``partition_col``, only partitions containing erased ids are
     rewritten (dynamic overwrite); the ids frame is broadcast (an
     erasure batch is by-contract small — a deletion request list).
+
+    ``prune_values`` (requires ``partition_col``): the partitions the
+    erased ids CAN live in, known a priori (an id-bucket layout derives
+    them from the ids themselves) — the scan is pre-filtered with a
+    static In, so even FINDING the doomed rows is compile-time
+    partition pruning instead of a full-table scan. Without it the
+    semi-join below reads every partition once to locate the ids.
 
     The ids frame must carry the id as a column NAMED ``id_col``, or
     be a single-column frame (then that column is the id whatever its
@@ -58,6 +90,12 @@ def _erase_rows(
     erase, the worst failure mode this module can have.
     """
     t = spark.read.parquet(table_path)
+    if prune_values is not None:
+        if partition_col is None:
+            raise ValueError(
+                "_erase_rows: prune_values requires partition_col"
+            )
+        t = t.filter(F.col(partition_col).isin(list(prune_values)))
     if id_col in ids.columns:
         ids = ids.select(id_col)
     elif len(ids.columns) == 1:
@@ -113,7 +151,9 @@ def _erase_rows(
         for p in parts:
             if p not in alive:
                 fs.delete(
-                    spark, f"{table_path.rstrip('/')}/{partition_col}={p}"
+                    spark,
+                    f"{table_path.rstrip('/')}/{partition_col}="
+                    f"{_hive_escape_part(p)}",
                 )
     else:
         survivors = t.join(ids, id_col, "left_anti").localCheckpoint(
@@ -125,7 +165,9 @@ def _erase_rows(
 
 def erase_ann_index(spark: SparkSession, path: str, ids: DataFrame) -> int:
     """Erase vectors from a persisted ann_index; bucket-partitioned
-    kinds rewrite only the buckets the ids live in."""
+    kinds rewrite only the buckets the ids live in. Returns the number
+    of distinct vectors erased (codes is one row per id — the uniform
+    ``erase_*`` unit)."""
     import json
 
     from data_lake_project_spark import fs
@@ -142,17 +184,25 @@ def erase_ann_index(spark: SparkSession, path: str, ids: DataFrame) -> int:
 
 
 def erase_sq_index(spark: SparkSession, path: str, ids: DataFrame) -> int:
-    """Erase vectors from a persisted sq_index (unpartitioned codes).
-    The frozen stats model is untouched: it is an aggregate envelope,
-    not per-record data."""
+    """Erase vectors from a persisted sq_index. The frozen stats model
+    is untouched: it is an aggregate envelope, not per-record data.
+    Returns the number of distinct vectors erased (codes is one row
+    per id — the uniform ``erase_*`` unit).
+
+    An index saved with ``save_sq_index(..., id_buckets=N)`` erases
+    through the bucket-pruned path: only the touched bucket dirs are
+    scanned or rewritten; everything else stays byte-identical."""
     import json
 
     from data_lake_project_spark import fs
 
+    codes = f"{path.rstrip('/')}/codes"
+    if id_bucket_params(spark, codes) is not None:
+        return erase_id_bucketed(spark, codes, ids)
     model = json.loads(fs.read_text(spark, f"{path.rstrip('/')}/model.json"))
     return _erase_rows(
         spark,
-        f"{path.rstrip('/')}/codes",
+        codes,
         model["params"]["id_col"],
         ids,
         None,
@@ -166,32 +216,40 @@ def erase_bm25_index(spark: SparkSession, path: str, ids: DataFrame) -> int:
     DERIVED from these tables at serve time, so post-erasure scoring
     equals an index that never ingested the docs. The id column comes
     from the persisted params.json (never assumed), like the
-    ann/sq lanes."""
+    ann/sq lanes.
+
+    Returns the number of DISTINCT DOCUMENTS erased (the dl table is
+    one row per doc) — every ``erase_*`` lane reports the same unit,
+    ids, never an internal row count like postings or bands
+    (round-7 ADVICE: callers reconciling a deletion request against
+    per-lane receipts need one unit across lanes)."""
     import json
 
     from data_lake_project_spark import fs
 
     p = path.rstrip("/")
     id_col = json.loads(fs.read_text(spark, f"{p}/params.json"))["id_col"]
-    n = _erase_rows(spark, f"{p}/tfs", id_col, ids, "__tb")
-    _erase_rows(spark, f"{p}/dl", id_col, ids, None)
-    return n
+    _erase_rows(spark, f"{p}/tfs", id_col, ids, "__tb")
+    return _erase_rows(spark, f"{p}/dl", id_col, ids, None)
 
 
 def erase_dedup_index(
     spark: SparkSession, path: str, ids: DataFrame
 ) -> int:
     """Erase documents from a persisted dedup index (bands + sets);
-    id column resolved from the persisted params.json."""
+    id column resolved from the persisted params.json.
+
+    Returns the number of DISTINCT DOCUMENTS erased (the sets table is
+    one row per doc) — the uniform ``erase_*`` unit, not the band-row
+    count (num_hashes/band rows per doc)."""
     import json
 
     from data_lake_project_spark import fs
 
     p = path.rstrip("/")
     id_col = json.loads(fs.read_text(spark, f"{p}/params.json"))["id_col"]
-    n = _erase_rows(spark, f"{p}/bands", id_col, ids, None)
-    _erase_rows(spark, f"{p}/sets", id_col, ids, None)
-    return n
+    _erase_rows(spark, f"{p}/bands", id_col, ids, None)
+    return _erase_rows(spark, f"{p}/sets", id_col, ids, None)
 
 
 def rebuild_hll_keys(
@@ -234,3 +292,143 @@ def rebuild_hll_keys(
             f"{path.rstrip('/')}/_hll_params.json",
             json.dumps({"lg_k": stored}),
         )
+
+
+# ---------------------------------------------------------------------------
+# Opt-in id-bucket layout for erase-heavy unpartitioned lanes (SQ
+# codes, dedup bands/sets, BM25 dl): partition the table by a
+# deterministic hash bucket of the ID, and erasure — including the
+# find-the-doomed-rows scan — prunes to the buckets the erased ids can
+# live in, derived from the ids THEMSELVES (no table scan). This is
+# the module-docstring advice ("a deployment that expects frequent
+# erasure partitions them by an id bucket first") shipped as a
+# function. Bucket params persist in a sidecar: a caller-supplied
+# bucket count that drifted from the written layout would prune the
+# WRONG directories — a silent no-op erase.
+# ---------------------------------------------------------------------------
+
+_IDBUCKET_SIDECAR = "_idbucket.json"
+
+
+def id_bucket_expr(id_col: str, n_buckets: int):
+    """Deterministic id -> bucket. The id is CAST TO STRING first:
+    xxhash64 is type-sensitive (hash(7 INT) != hash(7 BIGINT)), so
+    hashing the rendering makes the bucket stable across integer
+    widths between the write side and a deletion-request frame."""
+    return F.pmod(
+        F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def write_id_bucketed(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_buckets: int = 32,
+    bucket_col: str = "__idb",
+) -> None:
+    """Write ``df`` partitioned by the id bucket (one file per bucket
+    dir — the retrieval.py lesson: shattered bucket dirs scan slower
+    than unpartitioned), plus the sidecar the erase/append paths
+    derive the layout from. Sidecar is written LAST: a reader that
+    sees it sees the data."""
+    import json
+
+    from data_lake_project_spark import fs
+
+    p = path.rstrip("/")
+    (
+        df.withColumn(bucket_col, id_bucket_expr(id_col, n_buckets))
+        .repartition(F.col(bucket_col))
+        .write.mode("overwrite")
+        .partitionBy(bucket_col)
+        .parquet(p)
+    )
+    fs.write_text(
+        df.sparkSession,
+        f"{p}/{_IDBUCKET_SIDECAR}",
+        json.dumps(
+            {
+                "id_col": id_col,
+                "n_buckets": n_buckets,
+                "bucket_col": bucket_col,
+            }
+        ),
+    )
+
+
+def id_bucket_params(spark: SparkSession, path: str) -> dict | None:
+    """The persisted bucket layout of ``path``, or None when the table
+    was written unbucketed (callers branch on this to keep plain-layout
+    lanes working unchanged)."""
+    import json
+
+    from data_lake_project_spark import fs
+
+    p = f"{path.rstrip('/')}/{_IDBUCKET_SIDECAR}"
+    if not fs.exists(spark, p):
+        return None
+    return json.loads(fs.read_text(spark, p))
+
+
+def append_id_bucketed(df: DataFrame, path: str) -> None:
+    """Append a delta under the persisted layout (the O(delta) fold
+    shape): bucket column derived with the SAME persisted params, one
+    file per touched bucket dir."""
+    meta = id_bucket_params(df.sparkSession, path)
+    if meta is None:
+        raise ValueError(
+            f"append_id_bucketed: {path} has no id-bucket sidecar — "
+            "write it with write_id_bucketed first"
+        )
+    (
+        df.withColumn(
+            meta["bucket_col"],
+            id_bucket_expr(meta["id_col"], meta["n_buckets"]),
+        )
+        .repartition(F.col(meta["bucket_col"]))
+        .write.mode("append")
+        .partitionBy(meta["bucket_col"])
+        .parquet(path.rstrip("/"))
+    )
+
+
+def erase_id_bucketed(
+    spark: SparkSession, path: str, ids: DataFrame
+) -> int:
+    """Erase ids from an id-bucketed table: the touched buckets are
+    computed from the ids frame (deletion-request-sized collect), the
+    scan prunes to those directories at compile time, and every other
+    bucket dir stays byte-identical (mtime-pinned in CI). Returns
+    distinct rows erased — on the 1-row-per-id lanes this layout
+    targets, that IS the id count (the uniform ``erase_*`` unit)."""
+    meta = id_bucket_params(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"erase_id_bucketed: {path} has no id-bucket sidecar — "
+            "for plain layouts use _erase_rows directly"
+        )
+    id_col, bcol = meta["id_col"], meta["bucket_col"]
+    if id_col in ids.columns:
+        ids = ids.select(id_col)
+    elif len(ids.columns) == 1:
+        ids = ids.select(F.col(ids.columns[0]).alias(id_col))
+    else:
+        raise ValueError(
+            f"erase_id_bucketed: ids frame has columns {ids.columns} — "
+            f"pass either a single-column frame or one containing "
+            f"{id_col!r}"
+        )
+    touched = sorted(
+        r[0]
+        for r in ids.select(
+            id_bucket_expr(id_col, meta["n_buckets"]).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return 0
+    return _erase_rows(
+        spark, path, id_col, ids, bcol, prune_values=touched
+    )

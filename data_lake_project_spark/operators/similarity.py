@@ -565,6 +565,8 @@ def ivfpq_topk(
     probe_id_col: str = "probe_id",
     dim: int | None = None,
     lloyd_iters: int = 8,
+    centroids: list | None = None,
+    codebooks=None,
 ) -> DataFrame:
     """IVF + PQ composed — the production FAISS index shape: a coarse
     quantizer prunes the scan to ``nprobe``/``n_centroids`` of the
@@ -585,8 +587,64 @@ def ivfpq_topk(
     Rows-only correctness; recall floor CI-pinned. Output:
     (probe_id, vec_id, score) — ADC approximate cosine, ranked
     (round(score, 4) DESC, id).
+
+    ``centroids`` (n_centroids x dim) and ``codebooks``
+    (m_subspaces x n_codes x dim/m) skip training entirely — the
+    train-once / encode-per-batch production shape ``ivf_topk`` and
+    ``pq_topk`` already expose (zero pre-index Spark jobs). Supply
+    BOTH or NEITHER: a half-injected index (fresh centroids against a
+    stale codebook or vice versa) silently mixes two quantizers.
     """
     import numpy as np
+
+    if (centroids is None) != (codebooks is None):
+        raise ValueError(
+            "ivfpq_topk: supply both centroids and codebooks, or "
+            "neither — a half-injected index mixes two quantizers"
+        )
+    if centroids is not None:
+        if len(centroids) != n_centroids:
+            raise ValueError(
+                f"ivfpq_topk: {len(centroids)} centroids supplied but "
+                f"n_centroids={n_centroids}"
+            )
+        seeds = np.array([[float(x) for x in v] for v in centroids])
+        cb = np.asarray(codebooks, dtype=float)
+        if cb.shape[0] != m_subspaces or cb.shape[1] != n_codes:
+            raise ValueError(
+                f"ivfpq_topk: codebooks shape {cb.shape} != "
+                f"({m_subspaces}, {n_codes}, d/m)"
+            )
+        d = seeds.shape[1]
+        if dim is not None and d != dim:
+            raise ValueError(
+                f"ivfpq_topk: centroid width {d} != dim={dim}"
+            )
+        if cb.shape[2] * m_subspaces != d:
+            raise ValueError(
+                f"ivfpq_topk: codebook width {cb.shape[2] * m_subspaces}"
+                f" != centroid width {d}"
+            )
+        dsub = d // m_subspaces
+        cn = np.linalg.norm(seeds, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        cent_unit = seeds / cn
+        encoded = _pq_encode(corpus, cb, cent_unit, id_col, vec_col)
+        return _adc_search(
+            encoded,
+            probes,
+            cb,
+            k,
+            m_subspaces,
+            n_codes,
+            dsub,
+            id_col,
+            probe_id_col,
+            vec_col,
+            ctx="ivfpq_topk",
+            cent_unit=cent_unit,
+            nprobe=nprobe,
+        )
 
     sample_size = max(n_codes * 32, n_centroids * 32, 256)
     sample = np.array(
@@ -1247,4 +1305,57 @@ def _sq_search(
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .select(probe_id_col, id_col, "qcosine")
+    )
+
+
+def recall_report(
+    exact: DataFrame,
+    approx: DataFrame,
+    probe_id_col: str = "probe_id",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-probe recall of an ANN lane measured against its exact
+    baseline — the observability query an ANN deployment runs when
+    tuning nprobe/bits/codebooks (the q148 recipe applied to the
+    similarity family). Both inputs are (probe_id, id, score) top-k
+    frames; the report is per-probe counts plus
+    ``recall = n_hit / n_exact`` — deterministic integers and one
+    exact-rational division, so a SQL oracle can re-derive it.
+
+    Both inputs are consumed twice (own count + the intersection), so
+    each is eagerly cut first — they are (probes x k)-sized, and
+    without the cut the expensive search subtrees re-evaluate per
+    consumer (the q141/q148 multi-consumer rule).
+    """
+    e = exact.select(probe_id_col, id_col).localCheckpoint(eager=True)
+    a = approx.select(probe_id_col, id_col).localCheckpoint(eager=True)
+    ne = e.groupBy(probe_id_col).agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    na = a.groupBy(probe_id_col).agg(
+        F.count("*").cast("long").alias("n_approx")
+    )
+    nh = (
+        e.join(a, [probe_id_col, id_col], "left_semi")
+        .groupBy(probe_id_col)
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    return (
+        ne.join(na, probe_id_col, "left")
+        .join(nh, probe_id_col, "left")
+        .select(
+            probe_id_col,
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.when(
+                F.col("n_exact") > 0,
+                pround(
+                    F.coalesce("n_hit", F.lit(0)).cast("double")
+                    / F.col("n_exact").cast("double"),
+                    round_digits,
+                ),
+            ).alias("recall"),
+        )
     )

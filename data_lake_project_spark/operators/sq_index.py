@@ -59,11 +59,32 @@ def build_sq_index(
     )
 
 
-def save_sq_index(index: SqIndex, path: str) -> None:
+def save_sq_index(
+    index: SqIndex, path: str, id_buckets: int | None = None
+) -> None:
     """Codes as parquet, stats model as one small JSON (written last —
-    a reader that sees the model sees the codes)."""
+    a reader that sees the model sees the codes).
+
+    ``id_buckets``: opt-in id-bucket layout (``erasure.
+    write_id_bucketed``) for erase-heavy deployments — codes partition
+    by a deterministic hash bucket of the id, so GDPR erasure (and its
+    doomed-row scan) prunes to the touched bucket dirs instead of
+    rewriting the whole table. Serving is unchanged: the bucket column
+    is dropped on load."""
     path = path.rstrip("/")
-    index.codes.write.mode("overwrite").parquet(f"{path}/codes")
+    if id_buckets is not None:
+        from data_lake_project_spark.operators.erasure import (
+            write_id_bucketed,
+        )
+
+        write_id_bucketed(
+            index.codes,
+            f"{path}/codes",
+            index.params["id_col"],
+            n_buckets=id_buckets,
+        )
+    else:
+        index.codes.write.mode("overwrite").parquet(f"{path}/codes")
     spark = index.codes.sparkSession
     model = {
         "mins": index.mins,
@@ -76,8 +97,18 @@ def save_sq_index(index: SqIndex, path: str) -> None:
 def load_sq_index(spark: SparkSession, path: str) -> SqIndex:
     path = path.rstrip("/")
     model = json.loads(fs.read_text(spark, f"{path}/model.json"))
+    codes = spark.read.parquet(f"{path}/codes")
+    # id-bucketed layout: the bucket column is erase-path plumbing,
+    # not index data — serving sees the identical schema either way
+    from data_lake_project_spark.operators.erasure import (
+        id_bucket_params,
+    )
+
+    meta = id_bucket_params(spark, f"{path}/codes")
+    if meta is not None and meta["bucket_col"] in codes.columns:
+        codes = codes.drop(meta["bucket_col"])
     return SqIndex(
-        spark.read.parquet(f"{path}/codes"),
+        codes,
         [float(x) for x in model["mins"]],
         [float(x) for x in model["maxs"]],
         model["params"],
@@ -104,7 +135,16 @@ def sq_index_apply(
     delta = sq_encode(
         new_corpus, idx.mins, idx.maxs, p["id_col"], p["vec_col"]
     )
-    delta.write.mode("append").parquet(f"{path.rstrip('/')}/codes")
+    codes_path = f"{path.rstrip('/')}/codes"
+    from data_lake_project_spark.operators.erasure import (
+        append_id_bucketed,
+        id_bucket_params,
+    )
+
+    if id_bucket_params(spark, codes_path) is not None:
+        append_id_bucketed(delta, codes_path)
+    else:
+        delta.write.mode("append").parquet(codes_path)
     return load_sq_index(spark, path)
 
 

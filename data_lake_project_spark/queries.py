@@ -4255,6 +4255,350 @@ def q156_vocab_growth(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Q163-Q167: oracle-checked quality reports for the approximate lanes.
+#
+# The ANN one-shots (q33 LSH / q37 IVF / q129 PQ / q133 IVF+PQ) and the
+# HLL count (q32) are rows-only by design — their VALUES depend on
+# trained codebooks or sketch registers no SQL engine re-derives. These
+# report twins give each family a hard DuckDB differential anyway, the
+# q148 recipe: parameterize the lane with DETERMINISTIC, SQL-derivable
+# index artifacts (lowest-id centroids/codebooks, md5-derived LSH
+# planes), run the REAL search machinery, and report integer
+# hit-counts + exact-rational recalls the oracle recomputes end to end.
+# Training itself stays covered by the CI recall floors (numpy k-means
+# isn't SQL-expressible); everything downstream of training — encode,
+# bucket resolution, candidate joins, ADC/exact scoring, ranking — is
+# the production code path under oracle check.
+# ---------------------------------------------------------------------------
+
+
+def _lowid_vectors(e, n, unit=False):
+    """The ``n`` lowest-id embedding vectors as plain float lists — a
+    bounded, codebook-sized collect (the ivf_topk training class).
+    ``unit=True`` normalizes each with SEQUENTIAL Python float ops
+    (sum left-to-right, ``math.sqrt``, one divide per component) —
+    every step correctly-rounded IEEE on the same operands DuckDB's
+    ``x / sqrt(list_sum(...))`` sees, so the oracle re-derives the
+    exact same doubles."""
+    import math
+
+    vecs = [
+        [float(x) for x in r[0]]
+        for r in e.select("embedding", "vec_id")
+        .orderBy("vec_id")
+        .limit(n)
+        .collect()
+    ]
+    if not unit:
+        return vecs
+    out = []
+    for v in vecs:
+        nrm = math.sqrt(sum(x * x for x in v))
+        out.append([x / nrm for x in v] if nrm > 0 else v)
+    return out
+
+
+def _ann_probes(e):
+    return e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+
+
+def q163_ivf_recall_report(spark, sf):
+    """IVF recall vs the exact baseline (q37's family, driver-checkable):
+    centroids are the 16 lowest-id corpus vectors (no Lloyd step — the
+    ``centroids=`` production path), so the oracle re-derives the
+    whole search: assignment, nprobe bucket resolution, candidate
+    equi-join, rounded-cosine ranking, per-probe recall."""
+    e = load_table(spark, sf, "embeddings")
+    probes = _ann_probes(e)
+    cents = _lowid_vectors(e, 16)
+    exact = SIM.brute_force_topk(e, probes, k=10)
+    appr = SIM.ivf_topk(
+        e, probes, k=10, n_centroids=16, nprobe=3, centroids=cents, dim=64
+    )
+    return SIM.recall_report(exact, appr).orderBy("probe_id")
+
+
+def q164_pq_recall_report(spark, sf):
+    """PQ recall vs the exact baseline (q129's family): codebooks are
+    the per-subspace slices of the 64 lowest-id UNIT vectors (the
+    ``codebooks=`` production path — training stays CI-covered), so
+    encode (argmin per subspace), ADC scoring and ranking all run
+    under a hard oracle. PQ keeps self-matches (no namespace filter in
+    the lane); the report drops them so recall is measured against the
+    self-excluded exact top-k."""
+    e = load_table(spark, sf, "embeddings")
+    probes = _ann_probes(e)
+    cb = _pq_codebook_lowid(e)
+    exact = SIM.brute_force_topk(e, probes, k=10)
+    appr = SIM.pq_topk(
+        e, probes, k=10, m_subspaces=16, n_codes=64, codebooks=cb, dim=64
+    ).filter(F.col("probe_id") != F.col("vec_id"))
+    return SIM.recall_report(exact, appr).orderBy("probe_id")
+
+
+def _pq_codebook_lowid(e, m=16, n_codes=64, dsub=4):
+    """m x n_codes x dsub codebook: subspace slices of the lowest-id
+    unit vectors (deterministic + SQL-derivable)."""
+    unit = _lowid_vectors(e, n_codes, unit=True)
+    return [
+        [v[s * dsub : (s + 1) * dsub] for v in unit] for s in range(m)
+    ]
+
+
+def q165_ivfpq_recall_report(spark, sf):
+    """IVF+PQ recall vs the exact baseline (q133's family): injected
+    lowest-id centroids + unit-slice codebooks (the new
+    ``centroids=``/``codebooks=`` train-once path), so the composed
+    coarse-prune + ADC pipeline runs under a hard oracle."""
+    e = load_table(spark, sf, "embeddings")
+    probes = _ann_probes(e)
+    cents = _lowid_vectors(e, 16)
+    cb = _pq_codebook_lowid(e)
+    exact = SIM.brute_force_topk(e, probes, k=10)
+    appr = SIM.ivfpq_topk(
+        e,
+        probes,
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+        m_subspaces=16,
+        n_codes=64,
+        centroids=cents,
+        codebooks=cb,
+        dim=64,
+    ).filter(F.col("probe_id") != F.col("vec_id"))
+    return SIM.recall_report(exact, appr).orderBy("probe_id")
+
+
+def q166_lsh_recall_report(spark, sf):
+    """LSH recall vs the exact baseline (q33's family) at q33's exact
+    config (bits=6, n_tables=4, multiprobe Hamming-1). The hyperplanes
+    are md5-derived ±1 constants, so the oracle embeds the SAME
+    constants and re-derives signatures, probed buckets, candidate
+    union and ranking — the one ANN lane whose whole index is
+    SQL-expressible."""
+    e = load_table(spark, sf, "embeddings")
+    probes = _ann_probes(e)
+    exact = SIM.brute_force_topk(e, probes, k=10)
+    appr = SIM.lsh_bucketed_topk(
+        e, probes, k=10, bits=6, n_tables=4, dim=64
+    )
+    return SIM.recall_report(exact, appr).orderBy("probe_id")
+
+
+def q167_hll_tolerance_report(spark, sf):
+    """HLL estimate-vs-exact tolerance (q32's family, driver-checkable):
+    exact distincts are hard oracle values; the within-10pct flags pin
+    Spark's HLL++ (default rsd=0.05) against them — measured rel-err
+    is <=6.7% across sf0.001-0.1, so the 10% bound has 1.5x margin
+    while a broken sketch (or a silently changed rsd) flips a flag and
+    hash-mismatches. The estimate itself is deliberately NOT an output
+    column: its value is implementation-defined, the contract is the
+    bound."""
+    o = load_table(spark, sf, "orders")
+    ev = load_table(spark, sf, "events")
+    li = load_table(spark, sf, "lineitem")
+
+    def one(t, col, prefix):
+        return t.agg(
+            F.countDistinct(col).cast("long").alias(f"n_{prefix}"),
+            (
+                F.abs(
+                    F.approx_count_distinct(col).cast("double")
+                    - F.countDistinct(col).cast("double")
+                )
+                / F.countDistinct(col).cast("double")
+                <= 0.10
+            ).alias(f"{prefix}_within_10pct"),
+        )
+
+    return (
+        one(o, "o_custkey", "custkeys")
+        .crossJoin(F.broadcast(one(ev, "user_id", "users")))
+        .crossJoin(F.broadcast(one(li, "l_partkey", "partkeys")))
+    )
+
+
+# Deterministic, SQL-expressible erased-id predicates for the GDPR
+# capstone — modular on the id so BOTH engines derive the same sets
+# without a side channel.
+_GDPR_DOC_PRED = "doc_id % 7 = 3"
+_GDPR_VEC_PRED = "vec_id % 9 = 4"
+_GDPR_USER_PRED = "user_id % 10 = 3"
+
+
+def _published_gdpr_lanes(spark, sf) -> str:
+    """The q168 artifact: ALL FIVE persisted lanes (dedup, BM25, SQ
+    with the id-bucket erase layout, IVF ANN, HLL rollup) built from
+    the lake, then a fixed deletion request erased through every one —
+    inside ONE publish-if-absent step, so the published directory IS
+    the post-erasure state (replays never re-build or re-erase; the
+    q141 composition pattern applied to deletion). Keyed by the
+    fingerprints of all three source tables."""
+    from data_lake_project_spark.operators.ann_index import (
+        build_ann_index,
+        save_ann_index,
+    )
+    from data_lake_project_spark.operators.dedup_index import (
+        build_dedup_index,
+        save_dedup_index,
+    )
+    from data_lake_project_spark.operators.erasure import (
+        erase_ann_index,
+        erase_bm25_index,
+        erase_dedup_index,
+        erase_sq_index,
+        rebuild_hll_keys,
+    )
+    from data_lake_project_spark.operators.retrieval import (
+        build_bm25_index,
+        save_bm25_index,
+    )
+    from data_lake_project_spark.operators.sketches import (
+        build_hll_rollup,
+        save_hll_rollup,
+    )
+    from data_lake_project_spark.operators.sq_index import (
+        build_sq_index,
+        save_sq_index,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf, "embeddings")
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    erased_docs = docs.filter(_GDPR_DOC_PRED).select("doc_id")
+    erased_vecs = emb.filter(_GDPR_VEC_PRED).select("vec_id")
+
+    tag = sf.rstrip("/").replace("/", "_").replace(".", "_")
+    fp = "_".join(
+        _dataset_fingerprint(sf, t)
+        for t in ("documents", "embeddings", "events")
+    )
+    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_gdpr8"
+
+    def build(tmp):
+        import os as _os
+
+        _os.makedirs(tmp, exist_ok=True)
+        save_dedup_index(build_dedup_index(docs), f"{tmp}/dedup")
+        save_bm25_index(build_bm25_index(docs), f"{tmp}/bm25")
+        save_sq_index(build_sq_index(emb, dim=64), f"{tmp}/sq", id_buckets=8)
+        save_ann_index(build_ann_index(emb, kind="ivf", dim=64), f"{tmp}/ann")
+        save_hll_rollup(
+            build_hll_rollup(ev, ["event_type", "day"], "user_id", 14),
+            f"{tmp}/hll",
+            lg_k=14,
+        )
+        # the deletion request, propagated through every lane
+        erase_dedup_index(spark, f"{tmp}/dedup", erased_docs)
+        erase_bm25_index(spark, f"{tmp}/bm25", erased_docs)
+        erase_sq_index(spark, f"{tmp}/sq", erased_vecs)
+        erase_ann_index(spark, f"{tmp}/ann", erased_vecs)
+        remaining = ev.filter(f"NOT ({_GDPR_USER_PRED})")
+        touched = ev.filter(_GDPR_USER_PRED).select("event_type", "day")
+        rebuild_hll_keys(
+            spark, f"{tmp}/hll", remaining, touched,
+            ["event_type", "day"], "user_id",
+        )
+
+    _publish_if_absent(spark, path, build)
+    return path
+
+
+def q168_gdpr_erasure_report(spark, sf):
+    """GDPR capstone (the q141 composition pattern for DELETION):
+    every persisted lane is built from the lake and a fixed deletion
+    request erased through all five — dedup bands/sets, BM25
+    postings/dl, id-bucketed SQ codes, bucket-partitioned IVF codes,
+    HLL rollup (non-invertible → touched-key rebuild) — then this
+    report audits the post-erasure state per lane: rows remaining and
+    erased ids still visible (must be 0). The oracle re-derives
+    n_remaining from the source tables under the same modular erased
+    predicates and asserts the zero — a lane that leaked an erased id
+    (or dropped a survivor) hash-mismatches. Serve-equals-never-
+    ingested is CI-pinned per lane; this query is the driver-visible
+    audit of the composed pipeline."""
+    from data_lake_project_spark.operators.dedup_index import (
+        load_dedup_index,
+    )
+    from data_lake_project_spark.operators.retrieval import (
+        load_bm25_index,
+    )
+    from data_lake_project_spark.operators.sketches import (
+        load_hll_rollup,
+    )
+    from data_lake_project_spark.operators.sq_index import load_sq_index
+
+    root = _published_gdpr_lanes(spark, sf)
+
+    def lane(name, t, visible_pred):
+        return t.agg(
+            F.lit(name).alias("lane"),
+            F.count("*").cast("long").alias("n_remaining"),
+            F.coalesce(
+                F.sum(F.when(F.expr(visible_pred), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_erased_visible"),
+        )
+
+    dd = lane(
+        "dedup", load_dedup_index(spark, f"{root}/dedup").sets,
+        _GDPR_DOC_PRED,
+    )
+    bm = lane(
+        "bm25", load_bm25_index(spark, f"{root}/bm25").dl, _GDPR_DOC_PRED
+    )
+    sq = lane("sq", load_sq_index(spark, f"{root}/sq").codes, _GDPR_VEC_PRED)
+    ann = lane(
+        "ann",
+        spark.read.parquet(f"{root}/ann/codes"),
+        _GDPR_VEC_PRED,
+    )
+    # HLL rows are keyed by (event_type, day), not user — "visible"
+    # here means a key that would not exist had the erased users never
+    # ingested (i.e. a key with no remaining-user events survived the
+    # touched-key rebuild)
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    rem_keys = (
+        ev.filter(f"NOT ({_GDPR_USER_PRED})")
+        .select("event_type", "day")
+        .distinct()
+    )
+    r = load_hll_rollup(spark, f"{root}/hll")
+    hll = (
+        r.join(
+            F.broadcast(rem_keys.withColumn("__ok", F.lit(True))),
+            ["event_type", "day"],
+            "left_outer",
+        )
+        .agg(
+            F.lit("hll").alias("lane"),
+            F.count("*").cast("long").alias("n_remaining"),
+            F.coalesce(
+                F.sum(F.when(F.col("__ok").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_erased_visible"),
+        )
+    )
+    return (
+        dd.unionByName(bm)
+        .unionByName(sq)
+        .unionByName(ann)
+        .unionByName(hll)
+        .orderBy("lane")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -4424,6 +4768,12 @@ QUERIES: dict[str, QueryFn] = {
     "q76_column_profile": q76_column_profile,
     "q77_label_centroids": q77_label_centroids,
     "q78_resample_zero_fill": q78_resample_zero_fill,
+    "q163_ivf_recall_report": q163_ivf_recall_report,
+    "q164_pq_recall_report": q164_pq_recall_report,
+    "q165_ivfpq_recall_report": q165_ivfpq_recall_report,
+    "q166_lsh_recall_report": q166_lsh_recall_report,
+    "q167_hll_tolerance_report": q167_hll_tolerance_report,
+    "q168_gdpr_erasure_report": q168_gdpr_erasure_report,
 }
 
 _SHINGLE_CTE = """
@@ -8048,8 +8398,22 @@ ORACLE["q154_compaction_plan"] = """
                CAST(1 AS BIGINT) AS n_files, sz AS group_bytes,
                id::BIGINT AS first_file, id::BIGINT AS last_file
         FROM f WHERE sz >= 1600
+    ),
+    missing AS (
+        -- group_id = -2: stats-not-collected lane (NULL size) — the
+        -- Spark side surfaces these explicitly; the fixture has no
+        -- NULL n_chars today, but the oracle must carry the same
+        -- semantics or a fixture regeneration silently diverges
+        -- (round-7 ADVICE item). Exercised by
+        -- test_q154_oracle_null_size_lane on synthetic NULLs.
+        SELECT part, CAST(-2 AS BIGINT) AS group_id,
+               CAST(1 AS BIGINT) AS n_files,
+               CAST(NULL AS BIGINT) AS group_bytes,
+               id::BIGINT AS first_file, id::BIGINT AS last_file
+        FROM f WHERE sz IS NULL
     )
     SELECT * FROM groups UNION ALL SELECT * FROM kept
+    UNION ALL SELECT * FROM missing
     ORDER BY part, group_id, first_file
 """
 
@@ -8301,4 +8665,486 @@ ORACLE["q162_cohort_ltv"] = """
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS DOUBLE) * 100.0 + 0.5) / 100.0 AS cum_value
     FROM purch ORDER BY cohort_day, age
+"""
+
+# q163: the oracle re-derives the ENTIRE injected-centroid IVF search —
+# assignment (argmax cosine, ties to the higher centroid index, the
+# reverse(array_sort) contract), nprobe=3 probe buckets, candidate
+# equi-join with self-exclusion, rounded-cosine ranking — then the
+# exact baseline (q22 logic) and the per-probe recall arithmetic.
+ORACLE["q163_ivf_recall_report"] = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM v
+    ),
+    c AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cv,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+        FROM v ORDER BY vec_id LIMIT 16
+    ),
+    asg AS (
+        SELECT vec_id, ci AS bucket FROM (
+            SELECT n.vec_id, c.ci,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY list_sum(list_transform(range(len(n.v)),
+                                i -> n.v[i+1] * c.cv[i+1])) / (n.nrm * c.cn)
+                                DESC, c.ci DESC) AS rk
+            FROM n, c
+        ) WHERE rk = 1
+    ),
+    p AS (
+        SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM n
+        WHERE vec_id < 5
+    ),
+    pb AS (
+        SELECT probe_id, ci AS bucket FROM (
+            SELECT p.probe_id, c.ci,
+                   row_number() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY list_sum(list_transform(range(len(p.pv)),
+                                i -> p.pv[i+1] * c.cv[i+1])) / (p.pn * c.cn)
+                                DESC, c.ci DESC) AS rk
+            FROM p, c
+        ) WHERE rk <= 3
+    ),
+    cand AS (
+        SELECT pb.probe_id, a.vec_id
+        FROM pb JOIN asg a ON a.bucket = pb.bucket
+        WHERE a.vec_id <> pb.probe_id
+    ),
+    appr AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT cd.probe_id, cd.vec_id,
+                   row_number() OVER (PARTITION BY cd.probe_id
+                       ORDER BY floor(list_sum(list_transform(
+                           range(len(cc.v)),
+                           i -> pp.pv[i+1] * cc.v[i+1])) / (pp.pn * cc.nrm)
+                           * 10000.0 + 0.5) / 10000.0 DESC,
+                           cd.vec_id) AS rk
+            FROM cand cd
+            JOIN n cc ON cc.vec_id = cd.vec_id
+            JOIN p pp ON pp.probe_id = cd.probe_id
+        ) WHERE rk <= 10
+    ),
+    ex AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT p.probe_id, c2.vec_id,
+                   row_number() OVER (PARTITION BY p.probe_id
+                       ORDER BY floor(list_sum(list_transform(
+                           range(len(c2.v)),
+                           i -> p.pv[i+1] * c2.v[i+1])) / (p.pn * c2.nrm)
+                           * 10000.0 + 0.5) / 10000.0 DESC,
+                           c2.vec_id) AS rk
+            FROM p, n c2 WHERE c2.vec_id <> p.probe_id
+        ) WHERE rk <= 10
+    ),
+    ne AS (SELECT probe_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1),
+    na AS (SELECT probe_id, count(*)::BIGINT AS n_approx FROM appr GROUP BY 1),
+    nh AS (
+        SELECT e.probe_id, count(*)::BIGINT AS n_hit
+        FROM ex e JOIN appr a USING (probe_id, vec_id) GROUP BY 1
+    )
+    SELECT ne.probe_id, n_exact,
+           coalesce(n_approx, 0)::BIGINT AS n_approx,
+           coalesce(n_hit, 0)::BIGINT AS n_hit,
+           CASE WHEN n_exact > 0 THEN
+               floor(coalesce(n_hit, 0)::DOUBLE / n_exact::DOUBLE
+                     * 10000.0 + 0.5) / 10000.0
+           END AS recall
+    FROM ne LEFT JOIN na USING (probe_id) LEFT JOIN nh USING (probe_id)
+    ORDER BY probe_id
+"""
+
+# q167: exact distincts are hard oracle values; the within-10pct flags
+# are the HLL contract (measured rel-err <= 6.7% at default rsd=0.05
+# across sf0.001-0.1 — a broken sketch flips a flag and mismatches).
+ORACLE["q167_hll_tolerance_report"] = """
+    SELECT
+        (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT
+            AS n_custkeys,
+        TRUE AS custkeys_within_10pct,
+        (SELECT count(DISTINCT user_id) FROM events)::BIGINT AS n_users,
+        TRUE AS users_within_10pct,
+        (SELECT count(DISTINCT l_partkey) FROM lineitem)::BIGINT
+            AS n_partkeys,
+        TRUE AS partkeys_within_10pct
+"""
+
+
+def _lsh_planes_literal(bits=6, n_tables=4, dim=64):
+    """The EXACT ±1 hyperplane constants lsh_bucketed_topk embeds
+    (md5-of-(table:bit:dim-index) parity — similarity.py plane_val),
+    rendered as a DuckDB list literal so the q166 oracle hashes with
+    the same planes. No data dependence: pure seed-derived constants."""
+    import hashlib
+
+    vals = [
+        (
+            "1.0"
+            if int(
+                hashlib.md5(f"{t}:{b}:{d}".encode()).hexdigest()[:4], 16
+            )
+            % 2
+            == 0
+            else "-1.0"
+        )
+        for t in range(n_tables)
+        for b in range(bits)
+        for d in range(dim)
+    ]
+    return "[" + ", ".join(vals) + "]"
+
+
+# q166: the one ANN lane whose whole index is SQL-expressible — the
+# oracle embeds the same ±1 planes and re-derives signatures (MSB-first
+# sign fold), composite bucket ids, Hamming-1 multiprobe, the distinct
+# candidate union, rounded-cosine ranking, and the recall arithmetic.
+ORACLE["q166_lsh_recall_report"] = f"""
+    WITH pl AS (SELECT {_lsh_planes_literal()}::DOUBLE[] AS flat),
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM v
+    ),
+    sigs AS (
+        SELECT n.vec_id, t.t,
+               (t.t * 64 + list_sum(list_transform(range(6), b ->
+                   CASE WHEN list_sum(list_transform(range(64),
+                        i -> n.v[i+1] * pl.flat[(t.t*6 + b)*64 + i + 1]))
+                        >= 0
+                   THEN (1 << (5 - b)) ELSE 0 END)))::INT AS bucket
+        FROM n, range(4) t(t), pl
+    ),
+    p AS (
+        SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM n
+        WHERE vec_id < 5
+    ),
+    pbuckets AS (
+        SELECT DISTINCT probe_id, bucket FROM (
+            SELECT s.vec_id AS probe_id, s.bucket FROM sigs s
+            WHERE s.vec_id < 5
+            UNION ALL
+            SELECT s.vec_id AS probe_id, xor(s.bucket, (1 << f.i)::INT)
+            FROM sigs s, range(6) f(i) WHERE s.vec_id < 5
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT pb.probe_id, s.vec_id
+        FROM pbuckets pb JOIN sigs s ON s.bucket = pb.bucket
+        WHERE s.vec_id <> pb.probe_id
+    ),
+    appr AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT cd.probe_id, cd.vec_id,
+                   row_number() OVER (PARTITION BY cd.probe_id
+                       ORDER BY floor(list_sum(list_transform(
+                           range(len(cc.v)),
+                           i -> pp.pv[i+1] * cc.v[i+1])) / (pp.pn * cc.nrm)
+                           * 10000.0 + 0.5) / 10000.0 DESC,
+                           cd.vec_id) AS rk
+            FROM cand cd
+            JOIN n cc ON cc.vec_id = cd.vec_id
+            JOIN p pp ON pp.probe_id = cd.probe_id
+        ) WHERE rk <= 10
+    ),
+    ex AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT p.probe_id, c2.vec_id,
+                   row_number() OVER (PARTITION BY p.probe_id
+                       ORDER BY floor(list_sum(list_transform(
+                           range(len(c2.v)),
+                           i -> p.pv[i+1] * c2.v[i+1])) / (p.pn * c2.nrm)
+                           * 10000.0 + 0.5) / 10000.0 DESC,
+                           c2.vec_id) AS rk
+            FROM p, n c2 WHERE c2.vec_id <> p.probe_id
+        ) WHERE rk <= 10
+    ),
+    ne AS (SELECT probe_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1),
+    na AS (SELECT probe_id, count(*)::BIGINT AS n_approx FROM appr GROUP BY 1),
+    nh AS (
+        SELECT e.probe_id, count(*)::BIGINT AS n_hit
+        FROM ex e JOIN appr a USING (probe_id, vec_id) GROUP BY 1
+    )
+    SELECT ne.probe_id, n_exact,
+           coalesce(n_approx, 0)::BIGINT AS n_approx,
+           coalesce(n_hit, 0)::BIGINT AS n_hit,
+           CASE WHEN n_exact > 0 THEN
+               floor(coalesce(n_hit, 0)::DOUBLE / n_exact::DOUBLE
+                     * 10000.0 + 0.5) / 10000.0
+           END AS recall
+    FROM ne LEFT JOIN na USING (probe_id) LEFT JOIN nh USING (probe_id)
+    ORDER BY probe_id
+"""
+
+# q164: the oracle re-derives the injected-codebook PQ search — unit
+# codebook (subspace slices of the 64 lowest-id unit vectors), encode
+# (per-subspace squared-L2 argmin, ties to the lowest code — the
+# numpy argmin contract), ADC scoring as an ORDERED 16-term fold
+# (matching the JVM aggregate's s=0..15 order), (round(score,4) DESC,
+# id) ranking WITH self-matches (the lane keeps them), then the
+# report's self-filter and recall arithmetic.
+ORACLE["q164_pq_recall_report"] = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM v
+    ),
+    u AS (
+        SELECT vec_id, v,
+               CASE WHEN nrm = 0 THEN v
+                    ELSE list_transform(v, x -> x / nrm) END AS uv,
+               nrm
+        FROM n
+    ),
+    cw AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+               CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                    ELSE v END AS cu
+        FROM n ORDER BY vec_id LIMIT 64
+    ),
+    cbs AS (SELECT list(cu ORDER BY ci) AS all_cu FROM cw),
+    enc0 AS (
+        SELECT vec_id, s, ci AS code FROM (
+            SELECT u.vec_id, s.s, cw.ci,
+                   row_number() OVER (
+                       PARTITION BY u.vec_id, s.s
+                       ORDER BY list_sum(list_transform(range(4), j ->
+                           (u.uv[s.s*4 + j + 1] - cw.cu[s.s*4 + j + 1])
+                         * (u.uv[s.s*4 + j + 1] - cw.cu[s.s*4 + j + 1])))
+                           ASC, cw.ci ASC) AS rk
+            FROM u, range(16) s(s), cw
+        ) WHERE rk = 1
+    ),
+    enc AS (
+        SELECT vec_id, list(code ORDER BY s) AS codes FROM enc0
+        GROUP BY vec_id
+    ),
+    p AS (
+        SELECT vec_id AS probe_id,
+               CASE WHEN nrm = 0 THEN v
+                    ELSE list_transform(v, x -> x / nrm) END AS pu
+        FROM n WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT p.probe_id, e.vec_id,
+               floor(list_sum(list_transform(range(16), s ->
+                   list_sum(list_transform(range(4), j ->
+                       p.pu[s*4 + j + 1]
+                     * cbs.all_cu[e.codes[s+1] + 1][s*4 + j + 1]))))
+                   * 10000.0 + 0.5) / 10000.0 AS score
+        FROM p, enc e, cbs
+    ),
+    appr AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY score DESC, vec_id) AS rk
+            FROM scored
+        ) WHERE rk <= 10 AND probe_id <> vec_id
+    ),
+    ex AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT pp.vec_id AS probe_id, c2.vec_id,
+                   row_number() OVER (PARTITION BY pp.vec_id
+                       ORDER BY floor(list_sum(list_transform(
+                           range(len(c2.v)),
+                           i -> pp.v[i+1] * c2.v[i+1]))
+                           / (pp.nrm * c2.nrm)
+                           * 10000.0 + 0.5) / 10000.0 DESC,
+                           c2.vec_id) AS rk
+            FROM n pp, n c2
+            WHERE pp.vec_id < 5 AND c2.vec_id <> pp.vec_id
+        ) WHERE rk <= 10
+    ),
+    ne AS (SELECT probe_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1),
+    na AS (SELECT probe_id, count(*)::BIGINT AS n_approx FROM appr GROUP BY 1),
+    nh AS (
+        SELECT e.probe_id, count(*)::BIGINT AS n_hit
+        FROM ex e JOIN appr a USING (probe_id, vec_id) GROUP BY 1
+    )
+    SELECT ne.probe_id, n_exact,
+           coalesce(n_approx, 0)::BIGINT AS n_approx,
+           coalesce(n_hit, 0)::BIGINT AS n_hit,
+           CASE WHEN n_exact > 0 THEN
+               floor(coalesce(n_hit, 0)::DOUBLE / n_exact::DOUBLE
+                     * 10000.0 + 0.5) / 10000.0
+           END AS recall
+    FROM ne LEFT JOIN na USING (probe_id) LEFT JOIN nh USING (probe_id)
+    ORDER BY probe_id
+"""
+
+# q165: q164's ADC oracle composed with the coarse quantizer — corpus
+# bucket = argmax cosine against the 16 unit centroids (ties to the
+# lowest index, the numpy argmax contract), probe buckets = top-nprobe=4
+# by centroid dot, candidates pruned to probed buckets before ADC.
+ORACLE["q165_ivfpq_recall_report"] = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM v
+    ),
+    u AS (
+        SELECT vec_id, v,
+               CASE WHEN nrm = 0 THEN v
+                    ELSE list_transform(v, x -> x / nrm) END AS uv,
+               nrm
+        FROM n
+    ),
+    cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+               CASE WHEN nrm = 0 THEN v
+                    ELSE list_transform(v, x -> x / nrm) END AS cu
+        FROM n ORDER BY vec_id LIMIT 16
+    ),
+    cw AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+               CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                    ELSE v END AS cu
+        FROM n ORDER BY vec_id LIMIT 64
+    ),
+    cbs AS (SELECT list(cu ORDER BY ci) AS all_cu FROM cw),
+    vbucket AS (
+        SELECT vec_id, ci AS bucket FROM (
+            SELECT u.vec_id, cent.ci,
+                   row_number() OVER (PARTITION BY u.vec_id
+                       ORDER BY list_sum(list_transform(range(64),
+                           i -> u.uv[i+1] * cent.cu[i+1])) DESC,
+                           cent.ci ASC) AS rk
+            FROM u, cent
+        ) WHERE rk = 1
+    ),
+    enc0 AS (
+        SELECT vec_id, s, ci AS code FROM (
+            SELECT u.vec_id, s.s, cw.ci,
+                   row_number() OVER (
+                       PARTITION BY u.vec_id, s.s
+                       ORDER BY list_sum(list_transform(range(4), j ->
+                           (u.uv[s.s*4 + j + 1] - cw.cu[s.s*4 + j + 1])
+                         * (u.uv[s.s*4 + j + 1] - cw.cu[s.s*4 + j + 1])))
+                           ASC, cw.ci ASC) AS rk
+            FROM u, range(16) s(s), cw
+        ) WHERE rk = 1
+    ),
+    enc AS (
+        SELECT e0.vec_id, vb.bucket, list(e0.code ORDER BY e0.s) AS codes
+        FROM enc0 e0 JOIN vbucket vb ON vb.vec_id = e0.vec_id
+        GROUP BY e0.vec_id, vb.bucket
+    ),
+    p AS (
+        SELECT vec_id AS probe_id,
+               CASE WHEN nrm = 0 THEN v
+                    ELSE list_transform(v, x -> x / nrm) END AS pu
+        FROM n WHERE vec_id < 5
+    ),
+    pb AS (
+        SELECT probe_id, ci AS bucket FROM (
+            SELECT p.probe_id, cent.ci,
+                   row_number() OVER (PARTITION BY p.probe_id
+                       ORDER BY list_sum(list_transform(range(64),
+                           i -> p.pu[i+1] * cent.cu[i+1])) DESC,
+                           cent.ci ASC) AS rk
+            FROM p, cent
+        ) WHERE rk <= 4
+    ),
+    scored AS (
+        SELECT p.probe_id, e.vec_id,
+               floor(list_sum(list_transform(range(16), s ->
+                   list_sum(list_transform(range(4), j ->
+                       p.pu[s*4 + j + 1]
+                     * cbs.all_cu[e.codes[s+1] + 1][s*4 + j + 1]))))
+                   * 10000.0 + 0.5) / 10000.0 AS score
+        FROM p
+        JOIN pb ON pb.probe_id = p.probe_id
+        JOIN enc e ON e.bucket = pb.bucket
+        CROSS JOIN cbs
+    ),
+    appr AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY score DESC, vec_id) AS rk
+            FROM scored
+        ) WHERE rk <= 10 AND probe_id <> vec_id
+    ),
+    ex AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT pp.vec_id AS probe_id, c2.vec_id,
+                   row_number() OVER (PARTITION BY pp.vec_id
+                       ORDER BY floor(list_sum(list_transform(
+                           range(len(c2.v)),
+                           i -> pp.v[i+1] * c2.v[i+1]))
+                           / (pp.nrm * c2.nrm)
+                           * 10000.0 + 0.5) / 10000.0 DESC,
+                           c2.vec_id) AS rk
+            FROM n pp, n c2
+            WHERE pp.vec_id < 5 AND c2.vec_id <> pp.vec_id
+        ) WHERE rk <= 10
+    ),
+    ne AS (SELECT probe_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1),
+    na AS (SELECT probe_id, count(*)::BIGINT AS n_approx FROM appr GROUP BY 1),
+    nh AS (
+        SELECT e.probe_id, count(*)::BIGINT AS n_hit
+        FROM ex e JOIN appr a USING (probe_id, vec_id) GROUP BY 1
+    )
+    SELECT ne.probe_id, n_exact,
+           coalesce(n_approx, 0)::BIGINT AS n_approx,
+           coalesce(n_hit, 0)::BIGINT AS n_hit,
+           CASE WHEN n_exact > 0 THEN
+               floor(coalesce(n_hit, 0)::DOUBLE / n_exact::DOUBLE
+                     * 10000.0 + 0.5) / 10000.0
+           END AS recall
+    FROM ne LEFT JOIN na USING (probe_id) LEFT JOIN nh USING (probe_id)
+    ORDER BY probe_id
+"""
+
+# q168: the oracle re-derives each lane's post-erasure row count from
+# the SOURCE tables under the same modular erased-id predicates, and
+# asserts zero erased-id visibility — a lane that leaked an erased id
+# (or dropped a survivor during the rewrite) hash-mismatches. The HLL
+# lane's n_remaining is the distinct (event_type, day) keys of the
+# remaining users' events: a key whose rows were ALL erased must
+# vanish in the touched-key rebuild, every other key survives.
+ORACLE["q168_gdpr_erasure_report"] = """
+    SELECT * FROM (
+        SELECT 'ann' AS lane,
+               (SELECT count(*) FROM embeddings
+                WHERE NOT (vec_id % 9 = 4))::BIGINT AS n_remaining,
+               0::BIGINT AS n_erased_visible
+        UNION ALL
+        SELECT 'bm25',
+               (SELECT count(*) FROM documents
+                WHERE NOT (doc_id % 7 = 3))::BIGINT, 0::BIGINT
+        UNION ALL
+        SELECT 'dedup',
+               (SELECT count(*) FROM documents
+                WHERE NOT (doc_id % 7 = 3))::BIGINT, 0::BIGINT
+        UNION ALL
+        SELECT 'hll',
+               (SELECT count(*) FROM (
+                    SELECT DISTINCT event_type, CAST(ts AS DATE)
+                    FROM events WHERE NOT (user_id % 10 = 3)
+               ))::BIGINT, 0::BIGINT
+        UNION ALL
+        SELECT 'sq',
+               (SELECT count(*) FROM embeddings
+                WHERE NOT (vec_id % 9 = 4))::BIGINT, 0::BIGINT
+    ) ORDER BY lane
 """

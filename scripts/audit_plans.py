@@ -71,6 +71,9 @@ BNLJ_ALLOWED: set[str] = {
     "q147_importance_weights",
     # three 1-row count scalars cross-joined into the one-row report.
     "q148_lsh_quality_report",
+    # three 1-row (exact-distinct, tolerance-flag) scalars cross-joined
+    # into the one-row HLL tolerance report — the q148 shape.
+    "q167_hll_tolerance_report",
     # the q144 scoring shape served from the persisted index — same
     # 1-row (N, avgdl) stats broadcast.
     "q150_bm25_index_search",

@@ -3304,6 +3304,50 @@ def test_compaction_plan_surfaces_null_sizes(spark):
     assert got[-2] == (1, None, 1)  # null-size surfaced, not dropped
 
 
+def test_q154_oracle_null_size_lane(spark):
+    """The q154 oracle's group_id=-2 lane (round-7 ADVICE): the lake
+    fixture has no NULL n_chars, so exercise the NULL semantics on a
+    synthetic inventory — Spark operator vs the SAME oracle SQL over a
+    DuckDB view with NULL sizes. A fixture regeneration that introduces
+    NULLs must not silently diverge."""
+    import duckdb
+
+    from data_lake_project_spark.operators.layout import compaction_plan
+    from data_lake_project_spark.queries import ORACLE
+
+    rows = [
+        ("a", 0, 100),
+        ("a", 1, None),
+        ("a", 2, 2000),
+        ("b", 3, None),
+        ("b", 4, 900),
+        ("b", 5, 950),
+    ]
+    files = spark.createDataFrame(
+        rows, "source string, doc_id long, n_chars long"
+    )
+    got = sorted(
+        tuple(r)
+        for r in compaction_plan(
+            files, "source", "doc_id", "n_chars", 1600
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{p}', {i}, {s if s is not None else 'NULL'})"
+            for p, i, s in rows
+        )
+        + ") t(source, doc_id, n_chars)"
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        ORACLE["q154_compaction_plan"]
+    ).fetchall())
+    assert got == want
+    assert any(r[1] == -2 for r in got)  # the NULL lane is present
+
+
 def test_kll_quantile_rollup_empty_input(spark):
     from data_lake_project_spark.operators.sketches import (
         kll_quantile_rollup,
@@ -3557,6 +3601,38 @@ def test_erasure_drops_fully_erased_partitions(spark, tmp_path):
     )
 
 
+def test_erasure_deletes_hive_escaped_partition_dirs(spark, tmp_path):
+    """Partition VALUES containing Hive-escaped characters (':' here)
+    write to %3A-escaped directory names; a fully-erased partition must
+    still vanish — a raw f-string path would miss the dir and leave
+    the erased rows on disk (round-7 ADVICE item)."""
+    from data_lake_project_spark.operators.erasure import (
+        _erase_rows,
+        _hive_escape_part,
+    )
+
+    assert _hive_escape_part("x:1") == "x%3A1"
+    assert _hive_escape_part(None) == "__HIVE_DEFAULT_PARTITION__"
+
+    df = spark.createDataFrame(
+        [(i, f"x:{i % 2}") for i in range(10)], "id long, b string"
+    )
+    path = str(tmp_path / "t")
+    df.write.partitionBy("b").parquet(path)
+    import glob
+
+    assert glob.glob(f"{path}/b=x%3A1")  # written escaped
+    # erase ALL of partition x:1
+    ids = spark.createDataFrame(
+        [(i,) for i in range(10) if i % 2 == 1], "id long"
+    )
+    n = _erase_rows(spark, path, "id", ids, "b")
+    assert n == 5
+    assert not glob.glob(f"{path}/b=x%3A1"), "escaped dir must be deleted"
+    left = spark.read.parquet(path)
+    assert left.count() == 5 and left.filter("b = 'x:1'").count() == 0
+
+
 def test_erasure_hll_rebuild_touched_keys(spark, tmp_path):
     from data_lake_project_spark.operators.erasure import (
         rebuild_hll_keys,
@@ -3610,7 +3686,8 @@ def test_erasure_dedup_index_equals_never_ingested(spark, tmp_path):
     )
     path = str(tmp_path / "dd")
     save_dedup_index(build_dedup_index(docs), path)
-    assert erase_dedup_index(spark, path, erased) > 0
+    # uniform erase_* unit: DISTINCT DOCUMENTS, not band rows
+    assert erase_dedup_index(spark, path, erased) == 25
 
     # replay copies of a mix of erased and retained docs through the
     # gate: copies of RETAINED docs must still be caught, and the
@@ -3666,7 +3743,8 @@ def test_erasure_respects_persisted_id_column_and_rejects_ambiguity(
         [("gdpr", i) for i in range(0, 20, 2)], "reason string, id long"
     )
     n = erase_bm25_index(spark, path, req)
-    assert n > 0
+    # uniform erase_* unit: DISTINCT DOCUMENTS, not posting rows
+    assert n == 10
     left = {
         r.id for r in load_bm25_index(spark, path).dl.select("id").collect()
     }
@@ -3678,3 +3756,311 @@ def test_erasure_respects_persisted_id_column_and_rejects_ambiguity(
     )
     with _pytest.raises(Exception, match="ids frame has columns"):
         erase_bm25_index(spark, path, bad)
+
+
+# ---------------------------------------------------------------------------
+# Round-8: recall reports (q163-q167) — the oracle-checked quality
+# twins for the rows-only ANN lanes
+# ---------------------------------------------------------------------------
+
+
+def test_recall_report_counts_and_ratio(spark):
+    """recall_report arithmetic on hand-built top-k frames: per-probe
+    intersection counts, zero-fill for probes the approx lane missed
+    entirely, exact-rational recall."""
+    from data_lake_project_spark.operators.similarity import recall_report
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "probe_id int, vec_id int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99)], "probe_id int, vec_id int"
+    )
+    rows = {r.probe_id: r for r in recall_report(exact, approx).collect()}
+    assert rows[1].n_exact == 3 and rows[1].n_approx == 3
+    assert rows[1].n_hit == 2 and abs(rows[1].recall - 2 / 3) < 1e-4
+    # probe 2: approx found nothing — counts zero-filled, recall 0.0
+    assert rows[2].n_exact == 2 and rows[2].n_approx == 0
+    assert rows[2].n_hit == 0 and rows[2].recall == 0.0
+
+
+def test_ivfpq_injected_index_matches_fresh_encode(spark):
+    """ivfpq_topk(centroids=, codebooks=): the train-once path must
+    validate its inputs and produce a deterministic search."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.similarity import ivfpq_topk
+    from data_lake_project_spark.queries import (
+        _lowid_vectors,
+        _pq_codebook_lowid,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = e.filter("vec_id < 3").selectExpr(
+        "vec_id as probe_id", "embedding"
+    )
+    cents = _lowid_vectors(e, 16)
+    cb = _pq_codebook_lowid(e)
+    first = {
+        (r.probe_id, r.vec_id)
+        for r in ivfpq_topk(
+            e, probes, k=5, centroids=cents, codebooks=cb, dim=64
+        ).collect()
+    }
+    again = {
+        (r.probe_id, r.vec_id)
+        for r in ivfpq_topk(
+            e, probes, k=5, centroids=cents, codebooks=cb, dim=64
+        ).collect()
+    }
+    assert first == again and len(first) == 15
+    # half-injected index (stale codebook against fresh centroids) is
+    # the silent-corruption case — must refuse loudly
+    with _pytest.raises(ValueError, match="both centroids and codebooks"):
+        ivfpq_topk(e, probes, k=5, centroids=cents, dim=64)
+    with _pytest.raises(ValueError, match="centroids supplied"):
+        ivfpq_topk(
+            e, probes, k=5, centroids=cents[:4], codebooks=cb, dim=64
+        )
+
+
+def test_lowid_unit_vectors_are_sequential_ieee(spark):
+    """_lowid_vectors(unit=True) must normalize with the exact
+    sequential-IEEE recipe the DuckDB oracle uses (left-to-right
+    sum of squares, correctly-rounded sqrt, one divide) — bit-for-bit,
+    not approximately."""
+    import math
+
+    from data_lake_project_spark.queries import _lowid_vectors
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    raw = _lowid_vectors(e, 8)
+    unit = _lowid_vectors(e, 8, unit=True)
+    for rv, uv in zip(raw, unit):
+        acc = 0.0
+        for x in rv:  # sequential, matching list_sum
+            acc += x * x
+        nrm = math.sqrt(acc)
+        expect = [x / nrm for x in rv]
+        assert uv == expect  # exact equality, not approx
+
+
+def test_sq_index_id_bucketed_erase_prunes_to_touched_dirs(
+    spark, tmp_path
+):
+    """The opt-in id-bucket layout (round-7 ADVICE -> function): an SQ
+    index saved with id_buckets=N serves identically, folds deltas into
+    the layout, and erases by rewriting ONLY the bucket dirs the
+    erased ids hash to — every other dir byte-identical (mtime-pinned,
+    the ANN-lane standard) — while erase == never-ingested still holds."""
+    import os
+
+    from data_lake_project_spark.operators.erasure import (
+        erase_sq_index,
+        id_bucket_expr,
+        id_bucket_params,
+    )
+    from data_lake_project_spark.operators.similarity import sq_encode
+    from data_lake_project_spark.operators.sq_index import (
+        SqIndex,
+        build_sq_index,
+        load_sq_index,
+        save_sq_index,
+        search_sq_index,
+        sq_index_apply,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    head = e.filter(F.col("vec_id") < 400)
+    delta = e.filter(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 450)
+    )
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+
+    path = str(tmp_path / "sqb")
+    idx = build_sq_index(head, dim=64)
+    save_sq_index(idx, path, id_buckets=8)
+    codes_dir = f"{path}/codes"
+    assert id_bucket_params(spark, codes_dir)["n_buckets"] == 8
+
+    # serving: identical to the unbucketed twin (bucket col dropped)
+    plain_path = str(tmp_path / "sqp")
+    save_sq_index(idx, plain_path)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(
+        search_sq_index(load_sq_index(spark, path), probes, k=10)
+    ) == rows(
+        search_sq_index(load_sq_index(spark, plain_path), probes, k=10)
+    )
+
+    # fold: the delta lands inside the bucketed layout
+    sq_index_apply(spark, path, delta)
+    assert load_sq_index(spark, path).codes.count() == 450
+
+    # erase: only the dirs the erased ids hash to are touched (a
+    # request of 4 ids cannot touch more than 4 of the 8 buckets)
+    erased = spark.createDataFrame(
+        [(i,) for i in (0, 2, 4, 6)], "vec_id long"
+    )
+    touched = {
+        r[0]
+        for r in erased.select(id_bucket_expr("vec_id", 8).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert 0 < len(touched) < 8  # the pin is vacuous if all touched
+    untouched_files = {}
+    for d in os.listdir(codes_dir):
+        if d.startswith("__idb=") and int(d.split("=")[1]) not in touched:
+            full = os.path.join(codes_dir, d)
+            untouched_files[d] = {
+                f: os.stat(os.path.join(full, f)).st_mtime_ns
+                for f in os.listdir(full)
+            }
+    assert untouched_files, "need at least one untouched bucket dir"
+    assert erase_sq_index(spark, path, erased) == 4
+    for d, files in untouched_files.items():
+        full = os.path.join(codes_dir, d)
+        assert {
+            f: os.stat(os.path.join(full, f)).st_mtime_ns
+            for f in os.listdir(full)
+        } == files, f"untouched bucket {d} was rewritten"
+
+    # erase == never-ingested (the lane contract, unchanged by layout)
+    got = search_sq_index(load_sq_index(spark, path), probes, k=10)
+    remaining = head.unionByName(delta).join(
+        erased, "vec_id", "left_anti"
+    )
+    twin = SqIndex(
+        sq_encode(remaining, idx.mins, idx.maxs),
+        idx.mins,
+        idx.maxs,
+        idx.params,
+    )
+    assert rows(got) == rows(search_sq_index(twin, probes, k=10))
+
+
+def test_gdpr_capstone_composed_pipeline(spark, tmp_path):
+    """The q168 capstone pinned end to end: ONE composed build:
+    ingest -> all five persisted lanes -> fixed deletion request
+    erased through every lane (the _published_gdpr_lanes artifact),
+    then per lane: serving the erased index == serving an index whose
+    fold never saw the erased ids — and the SOURCE table itself is
+    clean after the same request."""
+    from data_lake_project_spark.operators.dedup_index import (
+        build_dedup_index,
+        dedup_against_index,
+        load_dedup_index,
+    )
+    from data_lake_project_spark.operators.erasure import _erase_rows
+    from data_lake_project_spark.operators.retrieval import (
+        build_bm25_index,
+        load_bm25_index,
+        search_bm25_index,
+    )
+    from data_lake_project_spark.operators.similarity import sq_encode
+    from data_lake_project_spark.operators.sketches import (
+        build_hll_rollup,
+        load_hll_rollup,
+        query_hll_rollup,
+    )
+    from data_lake_project_spark.operators.sq_index import (
+        SqIndex,
+        load_sq_index,
+        search_sq_index,
+    )
+    from data_lake_project_spark.queries import (
+        _GDPR_DOC_PRED,
+        _GDPR_USER_PRED,
+        _GDPR_VEC_PRED,
+        _published_gdpr_lanes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    root = _published_gdpr_lanes(spark, sf)
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf, "embeddings")
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    rem_docs = docs.filter(f"NOT ({_GDPR_DOC_PRED})")
+    rem_emb = emb.filter(f"NOT ({_GDPR_VEC_PRED})")
+    rem_ev = ev.filter(f"NOT ({_GDPR_USER_PRED})")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # dedup: the erased index gates a replay batch exactly like an
+    # index built on the remaining corpus
+    batch = docs.limit(20).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    assert rows(
+        dedup_against_index(load_dedup_index(spark, f"{root}/dedup"), batch)
+    ) == rows(dedup_against_index(build_dedup_index(rem_docs), batch))
+
+    # bm25: scoring (df, N, avgdl all derived) equals the twin
+    q = spark.createDataFrame(
+        [(1, "data lake spark")], "query_id long, qtext string"
+    )
+    assert rows(
+        search_bm25_index(load_bm25_index(spark, f"{root}/bm25"), q, k=5)
+    ) == rows(search_bm25_index(build_bm25_index(rem_docs), q, k=5))
+
+    # sq (id-bucketed layout): serve == encode-remaining twin under
+    # the SAME frozen stats
+    probes = emb.filter("vec_id < 3").selectExpr(
+        "vec_id as probe_id", "embedding"
+    )
+    idx = load_sq_index(spark, f"{root}/sq")
+    twin = SqIndex(
+        sq_encode(rem_emb, idx.mins, idx.maxs), idx.mins, idx.maxs,
+        idx.params,
+    )
+    assert rows(search_sq_index(idx, probes, k=10)) == rows(
+        search_sq_index(twin, probes, k=10)
+    )
+
+    # ann (bucket-partitioned IVF): no erased id is ever served
+    from data_lake_project_spark.operators.ann_index import (
+        load_ann_index,
+        search_ann_index,
+    )
+
+    erased_vec_ids = {
+        r.vec_id for r in emb.filter(_GDPR_VEC_PRED).select("vec_id").collect()
+    }
+    served = {
+        r.vec_id
+        for r in search_ann_index(
+            load_ann_index(spark, f"{root}/ann"), probes, k=10
+        ).collect()
+    }
+    assert served and not served & erased_vec_ids
+
+    # hll: touched-key rebuild == build-on-remaining (estimates equal)
+    def est(r):
+        return sorted(
+            tuple(x)
+            for x in query_hll_rollup(r, ["event_type"]).collect()
+        )
+
+    assert est(load_hll_rollup(spark, f"{root}/hll")) == est(
+        build_hll_rollup(rem_ev, ["event_type", "day"], "user_id", 14)
+    )
+
+    # and the SOURCE table: the same request leaves only survivors
+    src = str(tmp_path / "documents_src")
+    docs.write.parquet(src)
+    erased_docs = docs.filter(_GDPR_DOC_PRED).select("doc_id")
+    n = _erase_rows(spark, src, "doc_id", erased_docs)
+    assert n == erased_docs.count()
+    left = {r.doc_id for r in spark.read.parquet(src).collect()}
+    assert left == {r.doc_id for r in rem_docs.select("doc_id").collect()}

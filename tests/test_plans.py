@@ -517,6 +517,39 @@ def test_round6_operators_pin_their_shuffle_budget(
     )
 
 
+@pytest.mark.parametrize(
+    ("qname", "max_exchanges"),
+    [
+        # recall reports (q163-q166): both search subtrees are eagerly
+        # checkpointed (probes x k)-sized frames; the residual plan is
+        # three tiny aggregate+join legs over the cut RDDs — 2
+        # exchanges per counted leg + the sort. A lost checkpoint
+        # re-inlines a brute-force cross product here and blows this.
+        ("q163_ivf_recall_report", 6),
+        ("q164_pq_recall_report", 6),
+        ("q165_ivfpq_recall_report", 6),
+        ("q166_lsh_recall_report", 6),
+        # three 1-row scalar aggs cross-joined (q148 shape)
+        ("q167_hll_tolerance_report", 3),
+        # five 1-row lane audits unioned over the published artifact;
+        # the build+erase cost lives in the publish step, not the plan
+        ("q168_gdpr_erasure_report", 3),
+    ],
+)
+def test_round8_operators_pin_their_shuffle_budget(
+    spark, qname, max_exchanges
+):
+    """Round-8 plan-shape pins — same contract as the round-4/6 sets."""
+    from data_lake_project_spark.queries import QUERIES
+
+    df = QUERIES[qname](spark, "/root/testdata/sf0.001")
+    n = P.exchange_count(df)
+    assert n <= max_exchanges, (
+        f"{qname}: {n} exchanges > {max_exchanges}\n"
+        + P.explain_str(df)[:3000]
+    )
+
+
 def test_write_zordered_narrows_footer_envelopes(spark, tmp_path):
     """The layout claim made REAL: after write_zordered, the parquet
     row-group stats (the pruning surface) carry envelopes on BOTH
