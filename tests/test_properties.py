@@ -1286,3 +1286,79 @@ def test_decimal_window_cumsum_matches_exact_reference(spark, rows):
         exact = sum(v for (cc, aa), v in cents.items() if cc == c and aa <= a)
         expected = math.floor(exact / 100.0 * 100.0 + 0.5) / 100.0
         assert got[(c, a)] == expected, ((c, a), got[(c, a)], expected)
+
+
+@given(
+    exact=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    approx=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 30)),
+        max_size=40,
+        unique=True,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_recall_report_invariants_on_random_topk_sets(
+    spark, exact, approx
+):
+    """q163-q166's report arithmetic on arbitrary top-k sets: counts
+    equal the set-theoretic truth, n_hit <= min(n_exact, n_approx),
+    recall in [0, 1], and probes missing from the approx side
+    zero-fill instead of dropping out."""
+    from data_lake_project_spark.operators.similarity import recall_report
+
+    e = spark.createDataFrame(exact, "probe_id int, vec_id int")
+    a_rows = approx or [(99, 99)]  # createDataFrame rejects empty lists
+    a = spark.createDataFrame(a_rows, "probe_id int, vec_id int")
+    if not approx:
+        a = a.filter("probe_id < 0")
+    got = {r.probe_id: r for r in recall_report(e, a).collect()}
+    eset, aset = set(exact), set(approx)
+    probes = {p for p, _ in eset}
+    assert set(got) == probes  # one row per probe with exact results
+    for p in probes:
+        ne = sum(1 for q, _ in eset if q == p)
+        na = sum(1 for q, _ in aset if q == p)
+        nh = len({v for q, v in eset if q == p}
+                 & {v for q, v in aset if q == p})
+        r = got[p]
+        assert (r.n_exact, r.n_approx, r.n_hit) == (ne, na, nh)
+        assert r.n_hit <= min(r.n_exact, r.n_approx)
+        assert 0.0 <= r.recall <= 1.0
+        assert abs(r.recall - nh / ne) < 1e-4
+
+
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=30))
+@settings(max_examples=8, deadline=None)
+def test_id_bucket_expr_stable_across_integer_widths(spark, ids):
+    """The erase layout's bucket derivation must agree between the
+    write side and a deletion-request frame regardless of integer
+    width (xxhash64 is type-sensitive; the string cast is the
+    stability contract) — a width-dependent bucket would prune the
+    wrong dirs: a silent no-op erase."""
+    from data_lake_project_spark.operators.erasure import id_bucket_expr
+
+    rows = [(i,) for i in set(ids)]
+    as_long = spark.createDataFrame(rows, "id long")
+    as_int = spark.createDataFrame(
+        [(i,) for i in set(ids) if i < 2**31], "id int"
+    )
+    bl = {
+        r.id: r.b
+        for r in as_long.select(
+            "id", id_bucket_expr("id", 8).alias("b")
+        ).collect()
+    }
+    bi = {
+        r.id: r.b
+        for r in as_int.select(
+            "id", id_bucket_expr("id", 8).alias("b")
+        ).collect()
+    }
+    for i, b in bi.items():
+        assert bl[i] == b
+    assert all(0 <= b < 8 for b in bl.values())
