@@ -89,6 +89,8 @@ def build_ann_index(
     lloyd_iters: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list | None = None,
+    codebooks=None,
 ) -> AnnIndex:
     """Train the model on a bounded lowest-id sample (deterministic —
     no RNG, same corpus → same index) and encode the corpus in ONE
@@ -98,12 +100,45 @@ def build_ann_index(
     ``lloyd_iters`` defaults per kind to the one-shot operators'
     defaults (ivf: 1, pq/ivfpq: 8) so a round-trip reproduces their
     exact output.
+
+    ``centroids`` / ``codebooks`` inject a pre-trained model and skip
+    the sample collect + training entirely (zero pre-encode Spark
+    jobs) — the same train-once production path the one-shot
+    operators expose (``ivf_topk(centroids=)``,
+    ``pq_topk(codebooks=)``, ``ivfpq_topk(centroids=, codebooks=)``).
+    Kinds validate what they need: ivf takes centroids only, pq takes
+    codebooks only, ivfpq requires BOTH or NEITHER (a half-injected
+    index silently mixes two quantizers).
     """
     import numpy as np
 
     if kind not in _KINDS:
         raise ValueError(f"build_ann_index: unknown kind {kind!r}")
     ctx = f"build_ann_index[{kind}]"
+    if kind == "ivf" and codebooks is not None:
+        raise ValueError(f"{ctx}: an ivf index takes no codebooks")
+    if kind == "pq" and centroids is not None:
+        raise ValueError(f"{ctx}: a plain pq index takes no centroids")
+    if kind == "ivfpq" and (centroids is None) != (codebooks is None):
+        raise ValueError(
+            f"{ctx}: supply both centroids and codebooks, or neither"
+        )
+    injected = centroids is not None or codebooks is not None
+    if injected:
+        return _build_ann_index_injected(
+            corpus,
+            kind,
+            n_centroids,
+            m_subspaces,
+            n_codes,
+            dim,
+            lloyd_iters,
+            id_col,
+            vec_col,
+            centroids,
+            codebooks,
+            ctx,
+        )
     if kind == "ivf":
         iters = 1 if lloyd_iters is None else lloyd_iters
         sample_size = max(n_centroids * 32, 256)
@@ -177,6 +212,78 @@ def build_ann_index(
         return AnnIndex(kind, params, None, cb_out, codes)
 
     seeds = _train_cosine_centroids(sample, n_centroids, max(1, iters))
+    cn = np.linalg.norm(seeds, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    cent_unit = seeds / cn
+    cents_vals = [[float(x) for x in v] for v in cent_unit]
+    codes = _pq_encode(corpus, cb, cent_unit, id_col, vec_col)
+    return AnnIndex(kind, params, cents_vals, cb_out, codes)
+
+
+def _build_ann_index_injected(
+    corpus,
+    kind,
+    n_centroids,
+    m_subspaces,
+    n_codes,
+    dim,
+    lloyd_iters,
+    id_col,
+    vec_col,
+    centroids,
+    codebooks,
+    ctx,
+):
+    """The zero-training encode path for :func:`build_ann_index` —
+    validates the injected model's shape and runs ONLY the corpus
+    encode pass. The stored model matches the trained path's layout
+    (ivf keeps raw centroids; ivfpq stores unit centroids — the form
+    ``search_ann_index`` expects per kind)."""
+    import numpy as np
+
+    if kind in ("ivf", "ivfpq"):
+        if len(centroids) != n_centroids:
+            raise ValueError(
+                f"{ctx}: {len(centroids)} centroids supplied but "
+                f"n_centroids={n_centroids}"
+            )
+        seeds = np.array([[float(x) for x in v] for v in centroids])
+        d = seeds.shape[1]
+    if kind in ("pq", "ivfpq"):
+        cb = np.asarray(codebooks, dtype=float)
+        if cb.shape[0] != m_subspaces or cb.shape[1] != n_codes:
+            raise ValueError(
+                f"{ctx}: codebooks shape {cb.shape} != "
+                f"({m_subspaces}, {n_codes}, d/m)"
+            )
+        d = cb.shape[2] * m_subspaces
+    if dim is not None and d != dim:
+        raise ValueError(f"{ctx}: injected model width {d} != dim={dim}")
+    if kind == "ivfpq" and seeds.shape[1] != d:
+        raise ValueError(
+            f"{ctx}: centroid width {seeds.shape[1]} != codebook "
+            f"width {d}"
+        )
+
+    params = {
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "dim": d,
+        "n_centroids": n_centroids,
+        "m_subspaces": m_subspaces,
+        "n_codes": n_codes,
+        "lloyd_iters": 0,
+    }
+    if kind == "ivf":
+        cents_vals = [[float(x) for x in v] for v in seeds]
+        codes = _ivf_assign(corpus, cents_vals, id_col, vec_col).select(
+            id_col, "__bucket", "__v", "__nrm"
+        )
+        return AnnIndex(kind, params, cents_vals, None, codes)
+    cb_out = [[[float(x) for x in code] for code in sub] for sub in cb]
+    if kind == "pq":
+        codes = _pq_encode(corpus, cb, None, id_col, vec_col)
+        return AnnIndex(kind, params, None, cb_out, codes)
     cn = np.linalg.norm(seeds, axis=1, keepdims=True)
     cn[cn == 0] = 1.0
     cent_unit = seeds / cn

@@ -4064,3 +4064,71 @@ def test_gdpr_capstone_composed_pipeline(spark, tmp_path):
     assert n == erased_docs.count()
     left = {r.doc_id for r in spark.read.parquet(src).collect()}
     assert left == {r.doc_id for r in rem_docs.select("doc_id").collect()}
+
+
+def test_ann_index_injected_model_roundtrip(spark, tmp_path):
+    """build_ann_index(centroids=/codebooks=): the zero-training
+    persisted-index path must search identically to the injected
+    one-shot operators, survive a save/load round-trip, and refuse
+    shape mismatches and half-injected ivfpq models."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        save_ann_index,
+        search_ann_index,
+    )
+    from data_lake_project_spark.operators.similarity import (
+        ivf_topk,
+        ivfpq_topk,
+    )
+    from data_lake_project_spark.queries import (
+        _lowid_vectors,
+        _pq_codebook_lowid,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = e.filter("vec_id < 3").selectExpr(
+        "vec_id as probe_id", "embedding"
+    )
+    cents = _lowid_vectors(e, 16)
+    cb = _pq_codebook_lowid(e)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # ivf: injected persisted index == injected one-shot operator
+    idx = build_ann_index(e, kind="ivf", centroids=cents, dim=64)
+    path = str(tmp_path / "ivf_inj")
+    save_ann_index(idx, path)
+    got = search_ann_index(
+        load_ann_index(spark, path), probes, k=5, nprobe=3,
+        exclude_self=True,
+    )
+    want = ivf_topk(
+        e, probes, k=5, n_centroids=16, nprobe=3, centroids=cents, dim=64
+    )
+    assert rows(got) == rows(want)
+
+    # ivfpq: same equality through the composed path
+    idx2 = build_ann_index(
+        e, kind="ivfpq", centroids=cents, codebooks=cb, dim=64
+    )
+    path2 = str(tmp_path / "ivfpq_inj")
+    save_ann_index(idx2, path2)
+    got2 = search_ann_index(load_ann_index(spark, path2), probes, k=5)
+    want2 = ivfpq_topk(
+        e, probes, k=5, centroids=cents, codebooks=cb, dim=64
+    )
+    assert rows(got2) == rows(want2)
+
+    # validation: half-injected ivfpq / wrong shapes / wrong kind
+    with _pytest.raises(ValueError, match="both centroids and codebooks"):
+        build_ann_index(e, kind="ivfpq", centroids=cents, dim=64)
+    with _pytest.raises(ValueError, match="takes no codebooks"):
+        build_ann_index(e, kind="ivf", codebooks=cb, dim=64)
+    with _pytest.raises(ValueError, match="takes no centroids"):
+        build_ann_index(e, kind="pq", centroids=cents, dim=64)
+    with _pytest.raises(ValueError, match="centroids supplied"):
+        build_ann_index(e, kind="ivf", centroids=cents[:4], dim=64)
