@@ -40,7 +40,9 @@ def compact_payload(payload: dict, max_queries: int = 24) -> dict:
     if len(timings) <= max_queries:
         return payload
     top = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[
+            :max_queries
+        ]
     )
     return {
         "metric": payload["metric"],

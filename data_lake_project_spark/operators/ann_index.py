@@ -247,6 +247,13 @@ def _build_ann_index_injected(
                 f"{ctx}: {len(centroids)} centroids supplied but "
                 f"n_centroids={n_centroids}"
             )
+        widths = {len(v) for v in centroids}
+        if len(widths) != 1:
+            # mirror ivf_topk's fail-fast: np.array on ragged input
+            # dies with an opaque numpy error instead
+            raise ValueError(
+                f"{ctx}: ragged centroid widths {sorted(widths)}"
+            )
         seeds = np.array([[float(x) for x in v] for v in centroids])
         d = seeds.shape[1]
     if kind in ("pq", "ivfpq"):

@@ -62,6 +62,24 @@ def _hive_escape_part(value) -> str:
     return "".join(out)
 
 
+def _resolve_ids(ids: DataFrame, id_col: str, ctx: str) -> DataFrame:
+    """Normalize a deletion-request frame to one column named
+    ``id_col``: accept a frame carrying that column, or a
+    single-column frame under any name; REJECT a multi-column frame
+    without it — guessing a column for a deletion request risks a
+    silent no-op erase, the worst failure mode this module can have.
+    The ONE resolution path for the plain and bucketed lanes (a
+    contract change here changes both)."""
+    if id_col in ids.columns:
+        return ids.select(id_col)
+    if len(ids.columns) == 1:
+        return ids.select(F.col(ids.columns[0]).alias(id_col))
+    raise ValueError(
+        f"{ctx}: ids frame has columns {ids.columns} — pass either a "
+        f"single-column frame or one containing {id_col!r}"
+    )
+
+
 def _erase_rows(
     spark: SparkSession,
     table_path: str,
@@ -96,16 +114,7 @@ def _erase_rows(
                 "_erase_rows: prune_values requires partition_col"
             )
         t = t.filter(F.col(partition_col).isin(list(prune_values)))
-    if id_col in ids.columns:
-        ids = ids.select(id_col)
-    elif len(ids.columns) == 1:
-        ids = ids.select(F.col(ids.columns[0]).alias(id_col))
-    else:
-        raise ValueError(
-            f"_erase_rows: ids frame has columns {ids.columns} — pass "
-            f"either a single-column frame or one containing {id_col!r}"
-        )
-    ids = F.broadcast(ids.distinct())
+    ids = F.broadcast(_resolve_ids(ids, id_col, "_erase_rows").distinct())
     doomed = t.join(ids, id_col, "left_semi")
     n = doomed.count()
     if n == 0:
@@ -197,8 +206,9 @@ def erase_sq_index(spark: SparkSession, path: str, ids: DataFrame) -> int:
     from data_lake_project_spark import fs
 
     codes = f"{path.rstrip('/')}/codes"
-    if id_bucket_params(spark, codes) is not None:
-        return erase_id_bucketed(spark, codes, ids)
+    meta = id_bucket_params(spark, codes)
+    if meta is not None:
+        return erase_id_bucketed(spark, codes, ids, meta=meta)
     model = json.loads(fs.read_text(spark, f"{path.rstrip('/')}/model.json"))
     return _erase_rows(
         spark,
@@ -371,11 +381,14 @@ def id_bucket_params(spark: SparkSession, path: str) -> dict | None:
     return json.loads(fs.read_text(spark, p))
 
 
-def append_id_bucketed(df: DataFrame, path: str) -> None:
+def append_id_bucketed(
+    df: DataFrame, path: str, meta: dict | None = None
+) -> None:
     """Append a delta under the persisted layout (the O(delta) fold
     shape): bucket column derived with the SAME persisted params, one
-    file per touched bucket dir."""
-    meta = id_bucket_params(df.sparkSession, path)
+    file per touched bucket dir. ``meta``: pass an already-loaded
+    sidecar to skip the FS re-read."""
+    meta = meta or id_bucket_params(df.sparkSession, path)
     if meta is None:
         raise ValueError(
             f"append_id_bucketed: {path} has no id-bucket sidecar — "
@@ -394,31 +407,23 @@ def append_id_bucketed(df: DataFrame, path: str) -> None:
 
 
 def erase_id_bucketed(
-    spark: SparkSession, path: str, ids: DataFrame
+    spark: SparkSession, path: str, ids: DataFrame, meta: dict | None = None
 ) -> int:
     """Erase ids from an id-bucketed table: the touched buckets are
     computed from the ids frame (deletion-request-sized collect), the
     scan prunes to those directories at compile time, and every other
     bucket dir stays byte-identical (mtime-pinned in CI). Returns
     distinct rows erased — on the 1-row-per-id lanes this layout
-    targets, that IS the id count (the uniform ``erase_*`` unit)."""
-    meta = id_bucket_params(spark, path)
+    targets, that IS the id count (the uniform ``erase_*`` unit).
+    ``meta``: pass an already-loaded sidecar to skip the FS re-read."""
+    meta = meta or id_bucket_params(spark, path)
     if meta is None:
         raise ValueError(
             f"erase_id_bucketed: {path} has no id-bucket sidecar — "
             "for plain layouts use _erase_rows directly"
         )
     id_col, bcol = meta["id_col"], meta["bucket_col"]
-    if id_col in ids.columns:
-        ids = ids.select(id_col)
-    elif len(ids.columns) == 1:
-        ids = ids.select(F.col(ids.columns[0]).alias(id_col))
-    else:
-        raise ValueError(
-            f"erase_id_bucketed: ids frame has columns {ids.columns} — "
-            f"pass either a single-column frame or one containing "
-            f"{id_col!r}"
-        )
+    ids = _resolve_ids(ids, id_col, "erase_id_bucketed")
     touched = sorted(
         r[0]
         for r in ids.select(

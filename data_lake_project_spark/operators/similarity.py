@@ -608,6 +608,11 @@ def ivfpq_topk(
                 f"ivfpq_topk: {len(centroids)} centroids supplied but "
                 f"n_centroids={n_centroids}"
             )
+        widths = {len(v) for v in centroids}
+        if len(widths) != 1:
+            raise ValueError(
+                f"ivfpq_topk: ragged centroid widths {sorted(widths)}"
+            )
         seeds = np.array([[float(x) for x in v] for v in centroids])
         cb = np.asarray(codebooks, dtype=float)
         if cb.shape[0] != m_subspaces or cb.shape[1] != n_codes:
@@ -795,6 +800,15 @@ def _pq_encode(corpus, cb, cent_unit, id_col, vec_col):
             V = _np.array(
                 [_np.asarray(v, dtype=float) for v in pdf[vec_name]]
             )
+            # An injected codebook narrower than the corpus would
+            # otherwise slice the first m*dsub dims and SILENTLY drop
+            # the rest — wrong top-k with no error (the trained paths
+            # can't hit this: the sample width IS the corpus width).
+            if V.shape[1] != m_ * dsub_:
+                raise ValueError(
+                    f"_pq_encode: corpus vectors are {V.shape[1]}-wide "
+                    f"but the codebook covers {m_ * dsub_} dims"
+                )
             nrm = _np.linalg.norm(V, axis=1, keepdims=True)
             nrm[nrm == 0] = 1.0
             U = V / nrm
@@ -859,6 +873,14 @@ def _adc_search(
     rows = []
     for r in probe_rows:
         p = np.array([float(x) for x in r[1]])
+        if p.shape[0] != m_subspaces * dsub:
+            # same silent-truncation class as the corpus check in
+            # _pq_encode: the LUT slices below would ignore trailing
+            # dims of a wider probe
+            raise ValueError(
+                f"{ctx}: probe {r[0]!r} is {p.shape[0]}-wide but the "
+                f"codebook covers {m_subspaces * dsub} dims"
+            )
         n_ = np.linalg.norm(p)
         p = p / (n_ if n_ > 0 else 1.0)
         lut = [

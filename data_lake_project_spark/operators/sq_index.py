@@ -141,8 +141,9 @@ def sq_index_apply(
         id_bucket_params,
     )
 
-    if id_bucket_params(spark, codes_path) is not None:
-        append_id_bucketed(delta, codes_path)
+    meta = id_bucket_params(spark, codes_path)
+    if meta is not None:
+        append_id_bucketed(delta, codes_path, meta=meta)
     else:
         delta.write.mode("append").parquet(codes_path)
     return load_sq_index(spark, path)

@@ -34,13 +34,17 @@ def test_small_suite_passes_through_unchanged():
     assert compact_payload(p) is p
 
 
-def test_large_suite_truncates_to_slowest_20():
+def test_large_suite_truncates_to_slowest_max_queries():
     p = _payload(165)
     out = compact_payload(p)
     assert out["n_queries"] == 165
-    assert len(out["queries"]) == 20
-    # Every kept entry is at least as slow as every dropped one.
+    assert len(out["queries"]) == 24
+    # the parameter is honored, not a dead knob
+    assert len(compact_payload(_payload(165), max_queries=10)["queries"]) == 10
+    small = _payload(9)
+    assert compact_payload(small, max_queries=10) is small
     kept_min = min(out["queries"].values())
+    # Every kept entry is at least as slow as every dropped one.
     dropped = [
         v for k, v in p["queries"].items() if k not in out["queries"]
     ]

@@ -4132,3 +4132,51 @@ def test_ann_index_injected_model_roundtrip(spark, tmp_path):
         build_ann_index(e, kind="pq", centroids=cents, dim=64)
     with _pytest.raises(ValueError, match="centroids supplied"):
         build_ann_index(e, kind="ivf", centroids=cents[:4], dim=64)
+
+
+def test_injected_pq_model_rejects_width_mismatch(spark):
+    """An injected codebook narrower than the corpus must fail loudly,
+    not silently slice the first m*dsub dims (review finding: the
+    trained paths can't hit this because the sample width IS the
+    corpus width; the injected paths could return wrong top-k with no
+    error)."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.similarity import pq_topk
+
+    wide = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    # 4-dim codebook (m=2, dsub=2) against an 8-dim corpus: dim=4
+    # validates the MODEL consistently, so only the corpus check at
+    # encode time can catch the truncation
+    cb = [[[float(c), float(c + 1)] for c in range(64)] for _ in range(2)]
+    probes = wide.filter("vec_id < 2").selectExpr(
+        "vec_id as probe_id", "embedding"
+    )
+    with _pytest.raises(Exception, match="wide|covers"):
+        pq_topk(
+            wide, probes, k=3, m_subspaces=2, n_codes=64,
+            codebooks=cb, dim=4,
+        ).collect()
+
+
+def test_injected_ragged_centroids_fail_fast(spark):
+    """Ragged injected centroids raise the documented ValueError
+    driver-side, not an opaque numpy error (review finding)."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.ann_index import build_ann_index
+    from data_lake_project_spark.operators.similarity import ivfpq_topk
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = e.filter("vec_id < 2").selectExpr(
+        "vec_id as probe_id", "embedding"
+    )
+    ragged = [[1.0, 2.0], [1.0]] + [[0.0, 0.0]] * 14
+    cb = [[[0.0] * 4] * 64] * 16
+    with _pytest.raises(ValueError, match="ragged centroid widths"):
+        build_ann_index(e, kind="ivf", centroids=ragged)
+    with _pytest.raises(ValueError, match="ragged centroid widths"):
+        ivfpq_topk(e, probes, centroids=ragged, codebooks=cb)
