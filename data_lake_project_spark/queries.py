@@ -4598,6 +4598,102 @@ def q168_gdpr_erasure_report(spark, sf):
     )
 
 
+def q169_kll_tolerance_report(spark, sf):
+    """KLL estimate-vs-exact tolerance (q153's family made
+    driver-checkable, the q167 recipe): per source AND the sketch-fold
+    '__all__' row, the EXACT discrete quantiles (value at rank
+    ceil(p*n) — identical IEEE rank arithmetic on both engines) are
+    hard oracle values, and the within-flags pin the q153 sketch lane:
+    each KLL estimate must land inside the exact value envelope of the
+    ±5%-normalized-rank window. KLL is a randomized sampling sketch
+    (estimates vary run to run within its ~1.65% rank-error contract
+    at the default k=200), so the 5% window has ~3x margin — a broken
+    merge fold or a silently retuned k flips a flag and
+    hash-mismatches, while legitimate sketch noise never does."""
+    from data_lake_project_spark.operators.sketches import (
+        kll_quantile_rollup,
+    )
+
+    d = load_table(spark, sf, "documents")
+    sk = kll_quantile_rollup(d, "source", "n_chars", [0.5, 0.9, 0.99])
+
+    vals = d.select(
+        F.col("source").cast("string").alias("key"),
+        F.col("n_chars").cast("long").alias("v"),
+    )
+    vals = vals.unionByName(vals.withColumn("key", F.lit("__all__")))
+    ranked = vals.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("key").orderBy("v")),
+    ).localCheckpoint(eager=True)
+    counts = ranked.groupBy("key").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+    # 9 target ranks per key: (quantile, bound) -> clamp(ceil((p+d)*n))
+    specs = [
+        (q, bound, delta)
+        for q in (50, 90, 99)
+        for bound, delta in (("lo", -0.05), ("exact", 0.0), ("hi", 0.05))
+    ]
+    targets = counts.select(
+        "key",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{q}_{bound}").alias("slot"),
+                        F.greatest(
+                            F.lit(1).cast("long"),
+                            F.least(
+                                F.col("n"),
+                                F.ceil(
+                                    F.lit(q / 100.0 + delta) * F.col("n")
+                                ).cast("long"),
+                            ),
+                        ).alias("rn"),
+                    )
+                    for q, bound, delta in specs
+                ]
+            )
+        ).alias("t"),
+    ).select("key", "n", F.col("t.slot").alias("slot"), F.col("t.rn").alias("rn"))
+
+    picked = (
+        targets.join(ranked, ["key", "rn"])
+        .groupBy("key", "n")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("slot") == f"{q}_{bound}", F.col("v"))
+                ).alias(f"q{q}_{bound}")
+                for q, bound, _ in specs
+            ]
+        )
+    )
+    return (
+        picked.join(sk.select("key", "q_50", "q_90", "q_99"), "key")
+        .select(
+            "key",
+            "n",
+            F.col("q50_exact").alias("q50_exact"),
+            F.col("q90_exact").alias("q90_exact"),
+            F.col("q99_exact").alias("q99_exact"),
+            F.col("q_50").between(F.col("q50_lo"), F.col("q50_hi")).alias(
+                "q50_ok"
+            ),
+            F.col("q_90").between(F.col("q90_lo"), F.col("q90_hi")).alias(
+                "q90_ok"
+            ),
+            F.col("q_99").between(F.col("q99_lo"), F.col("q99_hi")).alias(
+                "q99_ok"
+            ),
+        )
+        .orderBy("key")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4774,6 +4870,7 @@ QUERIES: dict[str, QueryFn] = {
     "q166_lsh_recall_report": q166_lsh_recall_report,
     "q167_hll_tolerance_report": q167_hll_tolerance_report,
     "q168_gdpr_erasure_report": q168_gdpr_erasure_report,
+    "q169_kll_tolerance_report": q169_kll_tolerance_report,
 }
 
 _SHINGLE_CTE = """
@@ -9147,4 +9244,37 @@ ORACLE["q168_gdpr_erasure_report"] = """
                (SELECT count(*) FROM embeddings
                 WHERE NOT (vec_id % 9 = 4))::BIGINT, 0::BIGINT
     ) ORDER BY lane
+"""
+
+# q169: exact discrete quantiles via identical rank arithmetic (value
+# at rank clamp(ceil((p+delta)*n)) — the same IEEE double products and
+# ceil on both engines), sketch flags as literal TRUE (the contract:
+# every KLL estimate lands inside the ±5%-normalized-rank exact value
+# envelope; sketch noise at the default k stays ~3x inside it).
+ORACLE["q169_kll_tolerance_report"] = """
+    WITH vals AS (
+        SELECT source::VARCHAR AS key, n_chars::BIGINT AS v FROM documents
+        UNION ALL
+        SELECT '__all__' AS key, n_chars::BIGINT AS v FROM documents
+    ),
+    ranked AS (
+        SELECT key, v,
+               row_number() OVER (PARTITION BY key ORDER BY v) AS rn
+        FROM vals
+    ),
+    counts AS (SELECT key, count(*)::BIGINT AS n FROM vals GROUP BY key),
+    picked AS (
+        SELECT c.key, c.n,
+               max(CASE WHEN r.rn = greatest(1, least(c.n,
+                   ceil(0.5 * c.n)::BIGINT)) THEN r.v END) AS q50_exact,
+               max(CASE WHEN r.rn = greatest(1, least(c.n,
+                   ceil(0.9 * c.n)::BIGINT)) THEN r.v END) AS q90_exact,
+               max(CASE WHEN r.rn = greatest(1, least(c.n,
+                   ceil(0.99 * c.n)::BIGINT)) THEN r.v END) AS q99_exact
+        FROM counts c JOIN ranked r ON r.key = c.key
+        GROUP BY c.key, c.n
+    )
+    SELECT key, n, q50_exact, q90_exact, q99_exact,
+           TRUE AS q50_ok, TRUE AS q90_ok, TRUE AS q99_ok
+    FROM picked ORDER BY key
 """

@@ -534,6 +534,9 @@ def test_round6_operators_pin_their_shuffle_budget(
         # five 1-row lane audits unioned over the published artifact;
         # the build+erase cost lives in the publish step, not the plan
         ("q168_gdpr_erasure_report", 3),
+        # ranked values cut once (checkpoint); sketch agg + rank-window
+        # + target explode-join + final report join + sort
+        ("q169_kll_tolerance_report", 6),
     ],
 )
 def test_round8_operators_pin_their_shuffle_budget(
