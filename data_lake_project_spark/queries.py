@@ -4694,6 +4694,47 @@ def q169_kll_tolerance_report(spark, sf):
     )
 
 
+def q170_ann_index_injected_search(spark, sf):
+    """Persisted-ANN serving under a HARD oracle (q137's lifecycle,
+    q165's arithmetic): an IVF+PQ index with the INJECTED
+    deterministic model (lowest-id centroids + unit-slice codebooks —
+    the ``build_ann_index(centroids=, codebooks=)`` train-once path)
+    is published once per (sf, fingerprint), and every run serves
+    from the loaded index. Because the model is SQL-derivable, the
+    DuckDB oracle re-derives the entire save→load→search result —
+    the first persisted-lifecycle lane with a value oracle rather
+    than an equivalence pin (q137 keeps covering the trained
+    variant). Search semantics: nprobe=4, self-matches kept (the
+    serving default), (round(score,4) DESC, id) ranking."""
+    from data_lake_project_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        save_ann_index,
+        search_ann_index,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    probes = _ann_probes(e)
+    tag = sf.rstrip("/").replace("/", "_").replace(".", "_")
+    fp = _dataset_fingerprint(sf, "embeddings")
+    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_ivfpq_inj16x16x64"
+
+    def build(tmp):
+        cents = _lowid_vectors(e, 16)
+        cb = _pq_codebook_lowid(e)
+        save_ann_index(
+            build_ann_index(
+                e, kind="ivfpq", centroids=cents, codebooks=cb, dim=64
+            ),
+            tmp,
+        )
+
+    _publish_if_absent(spark, path, build)
+    return search_ann_index(
+        load_ann_index(spark, path), probes, k=10, nprobe=4
+    ).orderBy("probe_id", "vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4871,6 +4912,7 @@ QUERIES: dict[str, QueryFn] = {
     "q167_hll_tolerance_report": q167_hll_tolerance_report,
     "q168_gdpr_erasure_report": q168_gdpr_erasure_report,
     "q169_kll_tolerance_report": q169_kll_tolerance_report,
+    "q170_ann_index_injected_search": q170_ann_index_injected_search,
 }
 
 _SHINGLE_CTE = """
@@ -9277,4 +9319,101 @@ ORACLE["q169_kll_tolerance_report"] = """
     SELECT key, n, q50_exact, q90_exact, q99_exact,
            TRUE AS q50_ok, TRUE AS q90_ok, TRUE AS q99_ok
     FROM picked ORDER BY key
+"""
+
+# q170: q165's ADC oracle minus the recall report — the raw persisted
+# search result (coarse bucket pruning at nprobe=4, ordered ADC fold,
+# rounded-score ranking WITH self-matches, the serving default).
+ORACLE["q170_ann_index_injected_search"] = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM v
+    ),
+    u AS (
+        SELECT vec_id, v,
+               CASE WHEN nrm = 0 THEN v
+                    ELSE list_transform(v, x -> x / nrm) END AS uv,
+               nrm
+        FROM n
+    ),
+    cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+               CASE WHEN nrm = 0 THEN v
+                    ELSE list_transform(v, x -> x / nrm) END AS cu
+        FROM n ORDER BY vec_id LIMIT 16
+    ),
+    cw AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+               CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                    ELSE v END AS cu
+        FROM n ORDER BY vec_id LIMIT 64
+    ),
+    cbs AS (SELECT list(cu ORDER BY ci) AS all_cu FROM cw),
+    vbucket AS (
+        SELECT vec_id, ci AS bucket FROM (
+            SELECT u.vec_id, cent.ci,
+                   row_number() OVER (PARTITION BY u.vec_id
+                       ORDER BY list_sum(list_transform(range(64),
+                           i -> u.uv[i+1] * cent.cu[i+1])) DESC,
+                           cent.ci ASC) AS rk
+            FROM u, cent
+        ) WHERE rk = 1
+    ),
+    enc0 AS (
+        SELECT vec_id, s, ci AS code FROM (
+            SELECT u.vec_id, s.s, cw.ci,
+                   row_number() OVER (
+                       PARTITION BY u.vec_id, s.s
+                       ORDER BY list_sum(list_transform(range(4), j ->
+                           (u.uv[s.s*4 + j + 1] - cw.cu[s.s*4 + j + 1])
+                         * (u.uv[s.s*4 + j + 1] - cw.cu[s.s*4 + j + 1])))
+                           ASC, cw.ci ASC) AS rk
+            FROM u, range(16) s(s), cw
+        ) WHERE rk = 1
+    ),
+    enc AS (
+        SELECT e0.vec_id, vb.bucket, list(e0.code ORDER BY e0.s) AS codes
+        FROM enc0 e0 JOIN vbucket vb ON vb.vec_id = e0.vec_id
+        GROUP BY e0.vec_id, vb.bucket
+    ),
+    p AS (
+        SELECT vec_id AS probe_id,
+               CASE WHEN nrm = 0 THEN v
+                    ELSE list_transform(v, x -> x / nrm) END AS pu
+        FROM n WHERE vec_id < 5
+    ),
+    pb AS (
+        SELECT probe_id, ci AS bucket FROM (
+            SELECT p.probe_id, cent.ci,
+                   row_number() OVER (PARTITION BY p.probe_id
+                       ORDER BY list_sum(list_transform(range(64),
+                           i -> p.pu[i+1] * cent.cu[i+1])) DESC,
+                           cent.ci ASC) AS rk
+            FROM p, cent
+        ) WHERE rk <= 4
+    ),
+    scored AS (
+        SELECT p.probe_id, e.vec_id,
+               floor(list_sum(list_transform(range(16), s ->
+                   list_sum(list_transform(range(4), j ->
+                       p.pu[s*4 + j + 1]
+                     * cbs.all_cu[e.codes[s+1] + 1][s*4 + j + 1]))))
+                   * 10000.0 + 0.5) / 10000.0 AS score
+        FROM p
+        JOIN pb ON pb.probe_id = p.probe_id
+        JOIN enc e ON e.bucket = pb.bucket
+        CROSS JOIN cbs
+    )
+    SELECT probe_id, vec_id, score FROM (
+        SELECT probe_id, vec_id, score,
+               row_number() OVER (PARTITION BY probe_id
+                   ORDER BY score DESC, vec_id) AS rk
+        FROM scored
+    ) WHERE rk <= 10
+    ORDER BY probe_id, vec_id
 """

@@ -537,6 +537,8 @@ def test_round6_operators_pin_their_shuffle_budget(
         # ranked values cut once (checkpoint); sketch agg + rank-window
         # + target explode-join + final report join + sort
         ("q169_kll_tolerance_report", 6),
+        # persisted bucket-pruned ADC serve: top-k window + sort only
+        ("q170_ann_index_injected_search", 2),
     ],
 )
 def test_round8_operators_pin_their_shuffle_budget(
