@@ -4735,6 +4735,31 @@ def q170_ann_index_injected_search(spark, sf):
     ).orderBy("probe_id", "vec_id")
 
 
+def q171_kmeans_assign_report(spark, sf):
+    """Distributed k-means ASSIGNMENT under a hard oracle (q88's
+    family): the distributed half of k-means — one Arrow-matmul
+    assignment pass against a broadcast centroid matrix — runs with
+    INJECTED deterministic centroids (the 8 lowest-id vectors), so the
+    DuckDB oracle re-derives every assignment (argmax cosine of unit
+    vectors, ties to the LOWEST cluster — the numpy argmax contract,
+    zero vectors to cluster 0) and the per-cluster histogram. Training
+    (driver-side numpy Lloyd, q88) stays covered by the determinism +
+    inertia-monotonicity CI pins; this certifies the part that touches
+    100 TB."""
+    import numpy as np
+
+    from data_lake_project_spark.operators.clustering import kmeans_assign
+
+    e = load_table(spark, sf, "embeddings")
+    cents = np.array(_lowid_vectors(e, 8))
+    return (
+        kmeans_assign(e, cents)
+        .groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .orderBy("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4913,6 +4938,7 @@ QUERIES: dict[str, QueryFn] = {
     "q168_gdpr_erasure_report": q168_gdpr_erasure_report,
     "q169_kll_tolerance_report": q169_kll_tolerance_report,
     "q170_ann_index_injected_search": q170_ann_index_injected_search,
+    "q171_kmeans_assign_report": q171_kmeans_assign_report,
 }
 
 _SHINGLE_CTE = """
@@ -9416,4 +9442,44 @@ ORACLE["q170_ann_index_injected_search"] = """
         FROM scored
     ) WHERE rk <= 10
     ORDER BY probe_id, vec_id
+"""
+
+# q171: assignment re-derived end to end — unit corpus vectors vs unit
+# injected centroids, argmax cosine with ties to the LOWEST cluster
+# (numpy argmax), zero vectors to cluster 0 (their dots are all zero,
+# so the tie-break lands there on both engines), then the histogram.
+ORACLE["q171_kmeans_assign_report"] = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM v
+    ),
+    u AS (
+        SELECT vec_id,
+               CASE WHEN nrm = 0 THEN v
+                    ELSE list_transform(v, x -> x / nrm) END AS uv
+        FROM n
+    ),
+    cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+               CASE WHEN nrm = 0 THEN v
+                    ELSE list_transform(v, x -> x / nrm) END AS cu
+        FROM n ORDER BY vec_id LIMIT 8
+    ),
+    asg AS (
+        SELECT vec_id, ci AS cluster FROM (
+            SELECT u.vec_id, cent.ci,
+                   row_number() OVER (PARTITION BY u.vec_id
+                       ORDER BY list_sum(list_transform(range(64),
+                           i -> u.uv[i+1] * cent.cu[i+1])) DESC,
+                           cent.ci ASC) AS rk
+            FROM u, cent
+        ) WHERE rk = 1
+    )
+    SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n_members
+    FROM asg GROUP BY cluster ORDER BY cluster
 """

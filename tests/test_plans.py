@@ -539,6 +539,8 @@ def test_round6_operators_pin_their_shuffle_budget(
         ("q169_kll_tolerance_report", 6),
         # persisted bucket-pruned ADC serve: top-k window + sort only
         ("q170_ann_index_injected_search", 2),
+        # map-only Arrow assignment + one histogram agg + sort
+        ("q171_kmeans_assign_report", 2),
     ],
 )
 def test_round8_operators_pin_their_shuffle_budget(
