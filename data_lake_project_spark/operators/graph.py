@@ -82,12 +82,31 @@ def pagerank(
         stats["n_nodes"] = nodes.count()
         stats["n_edges"] = e.count()
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    base = 1.0 - damping
+    # decimal-exact base: Python's ``1.0 - 0.85`` is
+    # 0.15000000000000002 (0.85 isn't binary-exact), a 2e-17 skew vs
+    # the 0.15 every SQL oracle writes as a literal — invisible until a
+    # rank lands EXACTLY on a pround half-boundary, where it flips the
+    # last digit (4 of 16k nodes at sf0.1). Subtract in decimal, as a
+    # human (and DuckDB's decimal literal arithmetic) would.
+    from decimal import Decimal
+
+    base = float(Decimal("1") - Decimal(repr(damping)))
     for _ in range(iters):
+        # pround BEFORE the decimal cast: the cast itself quantizes to
+        # ``digits`` anyway, but engines disagree on double->decimal
+        # BOUNDARY rounding (Spark HALF_UP on the decimal rendering,
+        # DuckDB on the binary value) — at sf0.1's edge fan-in, 16 of
+        # 16k nodes crossed a boundary differently. The explicit
+        # floor(x*10^d + 0.5) lands every term ~1e-17 from an exact
+        # decimal, where no rounding rule can disagree.
         contribs = (
             e.join(ranks, e["__src"] == ranks["node"])
             .groupBy("__dst")
-            .agg(dec_sum(F.col("rank") / F.col("__deg"), digits).alias("__s"))
+            .agg(
+                dec_sum(
+                    pround(F.col("rank") / F.col("__deg"), digits), digits
+                ).alias("__s")
+            )
         )
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["__dst"], "left")

@@ -307,8 +307,15 @@ def search_bm25_index(
         .distinct()
     )
     # constants folded in Python so the Spark literals and the oracle
-    # SQL literals parse to the identical doubles
-    k1_lit, kplus_lit, b_lit, omb_lit = k1, k1 + 1.0, b, 1.0 - b
+    # SQL literals parse to the identical doubles. The complement is
+    # subtracted in DECIMAL: Python's float ``1.0 - b`` skews by ~2e-17
+    # for non-binary-exact b (0.8 -> 0.19999999999999996) while an
+    # oracle writes the literal 0.2 — the q99 pagerank base bug class.
+    # Exact for the default b=0.75 either way.
+    from decimal import Decimal
+
+    k1_lit, kplus_lit, b_lit = k1, k1 + 1.0, b
+    omb_lit = float(Decimal("1") - Decimal(repr(b)))
     idf = (F.col("__n") - F.col("__df") + F.lit(0.5)) / (
         F.col("__df") + F.lit(0.5)
     )

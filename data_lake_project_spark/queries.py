@@ -6906,7 +6906,8 @@ ORACLE: dict[str, str] = {
             SELECT node, 1.0 AS rank FROM n
         ), c1 AS (
             SELECT e.dst AS node,
-                   sum(CAST(r.rank / od.deg AS DECIMAL(27,6))) AS s
+                   sum(CAST(floor(r.rank / od.deg * 1000000.0 + 0.5)
+                            / 1000000.0 AS DECIMAL(27,6))) AS s
             FROM e JOIN r0 r ON r.node = e.src
                    JOIN od ON od.src = e.src
             GROUP BY e.dst
@@ -6917,7 +6918,8 @@ ORACLE: dict[str, str] = {
             FROM n LEFT JOIN c1 ON c1.node = n.node
         ), c2 AS (
             SELECT e.dst AS node,
-                   sum(CAST(r.rank / od.deg AS DECIMAL(27,6))) AS s
+                   sum(CAST(floor(r.rank / od.deg * 1000000.0 + 0.5)
+                            / 1000000.0 AS DECIMAL(27,6))) AS s
             FROM e JOIN r1 r ON r.node = e.src
                    JOIN od ON od.src = e.src
             GROUP BY e.dst
@@ -6928,7 +6930,8 @@ ORACLE: dict[str, str] = {
             FROM n LEFT JOIN c2 ON c2.node = n.node
         ), c3 AS (
             SELECT e.dst AS node,
-                   sum(CAST(r.rank / od.deg AS DECIMAL(27,6))) AS s
+                   sum(CAST(floor(r.rank / od.deg * 1000000.0 + 0.5)
+                            / 1000000.0 AS DECIMAL(27,6))) AS s
             FROM e JOIN r2 r ON r.node = e.src
                    JOIN od ON od.src = e.src
             GROUP BY e.dst
