@@ -113,6 +113,11 @@ def oracle_sql() -> dict[str, str]:
     the driver records a rows-only check; their quality contracts are
     CI-pinned instead (recall floors, inertia monotonicity,
     determinism, persisted-index ≡ inline equality, exact golden vs
-    reference BPE, ANN-retrieval recall vs the exact q142).
+    reference BPE, ANN-retrieval recall vs the exact q142). As of
+    round 9 EVERY such family also has an oracle-checked twin under a
+    deterministic injected model: q163-q166 recall reports, q167/q169
+    sketch tolerance, q170 persisted-ANN serving, q171 k-means
+    assignment, q172 semantic dedup, q173 chunk-index retrieval,
+    q174 BPE merge trace.
     """
     return dict(ORACLE)

@@ -28,13 +28,18 @@ from data_lake_project_spark.queries import QUERIES
 from data_lake_project_spark.session import get_spark
 
 
-def compact_payload(payload: dict, max_queries: int = 24) -> dict:
+def compact_payload(
+    payload: dict, max_queries: int = 24, full_path: str | None = None
+) -> dict:
     """Shrink the stdout payload when the per-query map would blow the
     driver's tail-capture window (rounds 3/6/7 landed BENCH_r*.json as
     ``parsed: null`` from front-truncation of the 165-entry line).
 
     Keeps the schema (metric/value/unit/queries/sf) but limits
-    ``queries`` to the slowest entries and points at the full file.
+    ``queries`` to the slowest entries and points at the full file —
+    ``full_path`` must be the SAME resolved path main() writes (a bare
+    relative name would resolve against the consumer's cwd and miss
+    the artifact).
     """
     timings = payload["queries"]
     if len(timings) <= max_queries:
@@ -44,7 +49,7 @@ def compact_payload(payload: dict, max_queries: int = 24) -> dict:
             :max_queries
         ]
     )
-    return {
+    out = {
         "metric": payload["metric"],
         "value": payload["value"],
         "unit": payload["unit"],
@@ -52,8 +57,15 @@ def compact_payload(payload: dict, max_queries: int = 24) -> dict:
         "sf": payload["sf"],
         "n_queries": len(timings),
         "queries_truncated_to_slowest": len(top),
-        "full_per_query": "bench_out.json",
+        "full_per_query": full_path
+        or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+        ),
     }
+    for k in ("loadavg_start", "loadavg_end"):
+        if k in payload:
+            out[k] = payload[k]
+    return out
 
 
 def main() -> None:
@@ -67,6 +79,12 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # 1-minute load average at start/end, stamped into the payload: a
+    # sweep contaminated by ambient machine load should be VISIBLY
+    # contaminated from the artifact alone (rounds 7/8 both needed
+    # manual idle re-measures to adjudicate uniform 1.3-1.7x drift).
+    load_start = round(os.getloadavg()[0], 2)
 
     spark = get_spark("bench")
     # Warm the JVM + EVERY fixture table's parquet footer once so
@@ -159,6 +177,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "loadavg_start": load_start,
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }
     # The full per-query payload goes to the file next to the script —
     # the untruncatable record (the driver's stdout tail capture
@@ -172,7 +192,7 @@ def main() -> None:
     # Stdout gets ONE compact, always-parseable JSON line: same schema,
     # but "queries" holds only the slowest entries when the suite is
     # large enough to blow the driver's capture window.
-    print(json.dumps(compact_payload(payload)))
+    print(json.dumps(compact_payload(payload, full_path=out_path)))
     spark.stop()
 
 

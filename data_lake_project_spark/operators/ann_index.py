@@ -257,8 +257,16 @@ def _build_ann_index_injected(
         seeds = np.array([[float(x) for x in v] for v in centroids])
         d = seeds.shape[1]
     if kind in ("pq", "ivfpq"):
-        cb = np.asarray(codebooks, dtype=float)
-        if cb.shape[0] != m_subspaces or cb.shape[1] != n_codes:
+        try:
+            cb = np.asarray(codebooks, dtype=float)
+        except (ValueError, TypeError) as e:
+            # ragged nesting / non-numeric: same contextual fail-fast
+            # as the ragged-centroid path, not an opaque numpy error
+            raise ValueError(
+                f"{ctx}: codebooks is not a rectangular numeric "
+                f"array: {e}"
+            ) from e
+        if cb.ndim != 3 or cb.shape[0] != m_subspaces or cb.shape[1] != n_codes:
             raise ValueError(
                 f"{ctx}: codebooks shape {cb.shape} != "
                 f"({m_subspaces}, {n_codes}, d/m)"

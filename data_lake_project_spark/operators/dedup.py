@@ -1344,6 +1344,7 @@ def semantic_dedup(
     iters: int = 3,
     impl: str = "auto",
     n_salts: int | None = None,
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding
     space (deterministic cosine k-means — lowest-id seeds, fused
@@ -1368,18 +1369,42 @@ def semantic_dedup(
     size ``n_clusters`` ~ N/target_cluster_size (SemDeDup's own
     deployment rule); a dominant cluster has the same two escape
     hatches as q28: ``n_salts`` (expr lane) or a finer clustering.
+
+    ``centroids`` injects a pre-trained (k x dim) matrix and skips
+    the Lloyd fit entirely — the train-once production path the ANN
+    family exposes (``ivf_topk(centroids=)``), and the lever that
+    makes the whole lane SQL-derivable for the oracle (deterministic
+    centroids → q171's assignment arithmetic → q28's pairwise
+    cosine).
     """
+    return _semantic_dedup_assigned(
+        emb, n_clusters, threshold, id_col, vec_col, iters, impl,
+        n_salts, centroids,
+    )[1]
+
+
+def _semantic_dedup_assigned(
+    emb, n_clusters, threshold, id_col, vec_col, iters, impl,
+    n_salts, centroids,
+):
+    """Shared core: returns (assigned, kept) so the report variant can
+    reuse ONE assignment pass for both the totals and the keep rule.
+    ``assigned`` is eagerly cut — it feeds 2+ consumers and is
+    (id, cluster)-narrow, so the checkpoint is cheap at any scale."""
     from data_lake_project_spark.operators.clustering import (
         kmeans_assign,
         kmeans_fit,
     )
 
-    cents = kmeans_fit(
-        emb, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
-    )
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = kmeans_fit(
+            emb, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
+        )
     assigned = kmeans_assign(
         emb, cents, id_col=id_col, vec_col=vec_col
-    )
+    ).localCheckpoint(eager=True)
     blocked = emb.select(id_col, vec_col).join(assigned, id_col)
     pairs = embedding_neardup(
         blocked,
@@ -1391,4 +1416,51 @@ def semantic_dedup(
         n_salts=n_salts,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return assigned.join(dropped, id_col, "left_anti")
+    return assigned, assigned.join(dropped, id_col, "left_anti")
+
+
+def semantic_dedup_report(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    impl: str = "auto",
+    n_salts: int | None = None,
+    centroids=None,
+) -> DataFrame:
+    """Per-cluster audit of a ``semantic_dedup`` run — the
+    observability twin (``recall_report``'s role for the ANN family):
+    (cluster, n_total, n_kept, n_dropped) with n_kept + n_dropped =
+    n_total by construction. With injected deterministic centroids
+    the whole report is SQL-derivable, giving the semantic-dedup lane
+    a hard value oracle (training stays covered by the q88 CI pins).
+
+    One assignment pass serves both the totals and the keep rule (the
+    shared core checkpoints it); the pairwise stage is cluster-blocked
+    exactly as in ``semantic_dedup`` — the report adds only two
+    cluster-sized aggregations on top.
+    """
+    assigned, kept = _semantic_dedup_assigned(
+        emb, n_clusters, threshold, id_col, vec_col, iters, impl,
+        n_salts, centroids,
+    )
+    nt = assigned.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    nk = kept.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_kept")
+    )
+    return (
+        nt.join(nk, "cluster", "left")
+        .select(
+            "cluster",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (
+                F.col("n_total") - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster")
+    )

@@ -107,13 +107,39 @@ def _erase_rows(
     guessing a column for a deletion request risks a silent no-op
     erase, the worst failure mode this module can have.
     """
-    t = spark.read.parquet(table_path)
+    if partition_col is not None:
+        # Read with partition-type inference OFF: the partition column
+        # comes back as the VERBATIM (unescaped) on-disk string, so
+        # the fully-erased-dir delete below always reconstructs the
+        # directory Spark actually wrote. With inference on, a dir
+        # "=01" reads back as int 1 and str() renders "1" — the delete
+        # targets a non-existent dir and the erased rows silently
+        # survive, this module's worst failure mode. (_hive_escape_part
+        # fixes the escaping half; this fixes the inference half.
+        # Inference happens at resolveRelation time, i.e. inside the
+        # read call, so restoring the conf right after is safe.)
+        infer_key = (
+            "spark.sql.sources.partitionColumnTypeInference.enabled"
+        )
+        old_infer = spark.conf.get(infer_key, "true")
+        spark.conf.set(infer_key, "false")
+        try:
+            t = spark.read.parquet(table_path)
+        finally:
+            spark.conf.set(infer_key, old_infer)
+    else:
+        t = spark.read.parquet(table_path)
     if prune_values is not None:
         if partition_col is None:
             raise ValueError(
                 "_erase_rows: prune_values requires partition_col"
             )
-        t = t.filter(F.col(partition_col).isin(list(prune_values)))
+        # the partition column is a string now (inference off): match
+        # each prune value by its on-disk rendering — the id-bucket
+        # layouts write int buckets, whose dirs are exactly str(int)
+        t = t.filter(
+            F.col(partition_col).isin([str(v) for v in prune_values])
+        )
     ids = F.broadcast(_resolve_ids(ids, id_col, "_erase_rows").distinct())
     doomed = t.join(ids, id_col, "left_semi")
     n = doomed.count()

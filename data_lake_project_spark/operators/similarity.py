@@ -488,8 +488,14 @@ def pq_topk(
     import numpy as np
 
     if codebooks is not None:
-        cb = np.asarray(codebooks, dtype=float)
-        if cb.shape[0] != m_subspaces or cb.shape[1] != n_codes:
+        try:
+            cb = np.asarray(codebooks, dtype=float)
+        except (ValueError, TypeError) as e:
+            raise ValueError(
+                f"pq_topk: codebooks is not a rectangular numeric "
+                f"array: {e}"
+            ) from e
+        if cb.ndim != 3 or cb.shape[0] != m_subspaces or cb.shape[1] != n_codes:
             raise ValueError(
                 f"pq_topk: codebooks shape {cb.shape} != "
                 f"({m_subspaces}, {n_codes}, d/m)"
@@ -614,8 +620,14 @@ def ivfpq_topk(
                 f"ivfpq_topk: ragged centroid widths {sorted(widths)}"
             )
         seeds = np.array([[float(x) for x in v] for v in centroids])
-        cb = np.asarray(codebooks, dtype=float)
-        if cb.shape[0] != m_subspaces or cb.shape[1] != n_codes:
+        try:
+            cb = np.asarray(codebooks, dtype=float)
+        except (ValueError, TypeError) as e:
+            raise ValueError(
+                f"ivfpq_topk: codebooks is not a rectangular numeric "
+                f"array: {e}"
+            ) from e
+        if cb.ndim != 3 or cb.shape[0] != m_subspaces or cb.shape[1] != n_codes:
             raise ValueError(
                 f"ivfpq_topk: codebooks shape {cb.shape} != "
                 f"({m_subspaces}, {n_codes}, d/m)"
@@ -1363,12 +1375,16 @@ def recall_report(
         .groupBy(probe_id_col)
         .agg(F.count("*").cast("long").alias("n_hit"))
     )
+    # full_outer, not left: a probe that appears ONLY in the approx
+    # frame (a buggy ANN lane emitting hits for unknown probes) must
+    # surface as an n_exact=0 / null-recall anomaly row, not be
+    # silently dropped from the audit
     return (
-        ne.join(na, probe_id_col, "left")
+        ne.join(na, probe_id_col, "full_outer")
         .join(nh, probe_id_col, "left")
         .select(
             probe_id_col,
-            "n_exact",
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
             F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
             F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
             F.when(

@@ -4429,14 +4429,13 @@ _GDPR_VEC_PRED = "vec_id % 9 = 4"
 _GDPR_USER_PRED = "user_id % 10 = 3"
 
 
-def _published_gdpr_lanes(spark, sf) -> str:
-    """The q168 artifact: ALL FIVE persisted lanes (dedup, BM25, SQ
-    with the id-bucket erase layout, IVF ANN, HLL rollup) built from
-    the lake, then a fixed deletion request erased through every one —
-    inside ONE publish-if-absent step, so the published directory IS
-    the post-erasure state (replays never re-build or re-erase; the
-    q141 composition pattern applied to deletion). Keyed by the
-    fingerprints of all three source tables."""
+def _gdpr_build_fn(spark, sf):
+    """The q168 build closure: all five lanes built + the fixed
+    deletion request erased through every one, into the directory the
+    closure receives. Exposed separately from the publish step so the
+    partial-replay crash test can drive ``_publish_if_absent`` with
+    the REAL build against a scratch path (kill between lane erases →
+    nothing published, temp cleaned; re-run → identical artifact)."""
     from data_lake_project_spark.operators.ann_index import (
         build_ann_index,
         save_ann_index,
@@ -4445,13 +4444,7 @@ def _published_gdpr_lanes(spark, sf) -> str:
         build_dedup_index,
         save_dedup_index,
     )
-    from data_lake_project_spark.operators.erasure import (
-        erase_ann_index,
-        erase_bm25_index,
-        erase_dedup_index,
-        erase_sq_index,
-        rebuild_hll_keys,
-    )
+    from data_lake_project_spark.operators import erasure as _er
     from data_lake_project_spark.operators.retrieval import (
         build_bm25_index,
         save_bm25_index,
@@ -4473,13 +4466,6 @@ def _published_gdpr_lanes(spark, sf) -> str:
     erased_docs = docs.filter(_GDPR_DOC_PRED).select("doc_id")
     erased_vecs = emb.filter(_GDPR_VEC_PRED).select("vec_id")
 
-    tag = sf.rstrip("/").replace("/", "_").replace(".", "_")
-    fp = "_".join(
-        _dataset_fingerprint(sf, t)
-        for t in ("documents", "embeddings", "events")
-    )
-    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_gdpr8"
-
     def build(tmp):
         import os as _os
 
@@ -4493,19 +4479,38 @@ def _published_gdpr_lanes(spark, sf) -> str:
             f"{tmp}/hll",
             lg_k=14,
         )
-        # the deletion request, propagated through every lane
-        erase_dedup_index(spark, f"{tmp}/dedup", erased_docs)
-        erase_bm25_index(spark, f"{tmp}/bm25", erased_docs)
-        erase_sq_index(spark, f"{tmp}/sq", erased_vecs)
-        erase_ann_index(spark, f"{tmp}/ann", erased_vecs)
+        # the deletion request, propagated through every lane (module
+        # attribute lookups, not from-imports, so the crash test can
+        # inject a failure at any single lane boundary)
+        _er.erase_dedup_index(spark, f"{tmp}/dedup", erased_docs)
+        _er.erase_bm25_index(spark, f"{tmp}/bm25", erased_docs)
+        _er.erase_sq_index(spark, f"{tmp}/sq", erased_vecs)
+        _er.erase_ann_index(spark, f"{tmp}/ann", erased_vecs)
         remaining = ev.filter(f"NOT ({_GDPR_USER_PRED})")
         touched = ev.filter(_GDPR_USER_PRED).select("event_type", "day")
-        rebuild_hll_keys(
+        _er.rebuild_hll_keys(
             spark, f"{tmp}/hll", remaining, touched,
             ["event_type", "day"], "user_id",
         )
 
-    _publish_if_absent(spark, path, build)
+    return build
+
+
+def _published_gdpr_lanes(spark, sf) -> str:
+    """The q168 artifact: ALL FIVE persisted lanes (dedup, BM25, SQ
+    with the id-bucket erase layout, IVF ANN, HLL rollup) built from
+    the lake, then a fixed deletion request erased through every one —
+    inside ONE publish-if-absent step, so the published directory IS
+    the post-erasure state (replays never re-build or re-erase; the
+    q141 composition pattern applied to deletion). Keyed by the
+    fingerprints of all three source tables."""
+    tag = sf.rstrip("/").replace("/", "_").replace(".", "_")
+    fp = "_".join(
+        _dataset_fingerprint(sf, t)
+        for t in ("documents", "embeddings", "events")
+    )
+    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_gdpr8"
+    _publish_if_absent(spark, path, _gdpr_build_fn(spark, sf))
     return path
 
 
@@ -4760,6 +4765,156 @@ def q171_kmeans_assign_report(spark, sf):
     )
 
 
+def q172_semantic_dedup_report(spark, sf):
+    """Semantic dedup (q139's lane) under a HARD oracle: injected
+    deterministic centroids (the 8 lowest-id vectors — the
+    ``semantic_dedup(centroids=)`` train-once path) make the whole
+    run SQL-derivable — assignment is q171's argmax arithmetic, the
+    within-cluster keep rule is q28's raw-vector cosine (expr lane,
+    sequential-sum parity), and the report is per-cluster
+    (n_total, n_kept, n_dropped). Training stays covered by the q88
+    CI pins; this certifies everything that touches 100 TB. See
+    ``operators.dedup.semantic_dedup_report``."""
+    import numpy as np
+
+    from data_lake_project_spark.operators.dedup import (
+        semantic_dedup_report,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    cents = np.array(_lowid_vectors(e, 8))
+    return semantic_dedup_report(
+        e, n_clusters=8, threshold=0.4, impl="expr", centroids=cents
+    )
+
+
+def q173_chunk_index_recall_report(spark, sf):
+    """q143's ANN-served RAG retrieval under a HARD oracle: the chunk
+    corpus (q142's chunking + hash embedding — both SQL-derivable)
+    builds a PERSISTED IVF index with INJECTED centroids (the 8
+    lowest packed-vec_id chunk vectors — ``build_ann_index(
+    centroids=)``), so the DuckDB oracle re-derives the entire
+    save→load→search: chunking, embedding, bucket assignment, probe
+    bucket resolution, in-bucket exact-cosine ranking — and the
+    recall arithmetic vs the exact brute-force baseline. The q170
+    recipe applied to the chunk-retrieval family; q143 keeps covering
+    the TRAINED variant (recall floor CI-pinned). Probes are the
+    q142 query set — a different id namespace than the packed chunk
+    ids, so self-exclusion is OFF on both lanes (a packed vec_id can
+    numerically collide with a query id)."""
+    from data_lake_project_spark.operators.ann_index import (
+        build_ann_index,
+        load_ann_index,
+        save_ann_index,
+        search_ann_index,
+    )
+    from data_lake_project_spark.operators.dataset import chunk_documents
+
+    d = load_table(spark, sf, "documents")
+    probes = spark.createDataFrame(
+        _Q142_QUERIES, "query_id int, qtext string"
+    ).select(
+        F.col("query_id").alias("probe_id"),
+        hash_embedding("qtext", 16).alias("embedding"),
+    )
+    # chunk+embed feeds THREE consumers (centroid collect, index
+    # build on the cold path, exact baseline) — eager-cut it once
+    # (the q141/q148 multi-consumer rule)
+    chunks = (
+        chunk_documents(d, chunk_size=32, overlap=8)
+        .select(
+            F.expr(
+                "doc_id * 4096 + chunk_id + coalesce(cast(assert_true("
+                "chunk_id < 4096, 'q173: chunk_id >= 4096 overflows the "
+                "packed vec_id — raise the pack width') AS BIGINT), 0)"
+            ).alias("vec_id"),
+            hash_embedding("chunk_text", 16).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cents = _lowid_vectors(chunks, 8)
+    tag = sf.rstrip("/").replace("/", "_").replace(".", "_")
+    fp = _dataset_fingerprint(sf, "documents")
+    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_chunks_ivf_inj8"
+
+    def _build(tmp):
+        save_ann_index(
+            build_ann_index(
+                chunks, kind="ivf", n_centroids=8, centroids=cents,
+                dim=16,
+            ),
+            tmp,
+        )
+
+    _publish_if_absent(spark, path, _build)
+    appr = search_ann_index(
+        load_ann_index(spark, path), probes, k=5, nprobe=4
+    )
+    exact = SIM.brute_force_topk(chunks, probes, k=5, exclude_self=False)
+    return SIM.recall_report(exact, appr).orderBy("probe_id")
+
+
+def q174_bpe_merge_trace(spark, sf):
+    """BPE TRAINING under a HARD oracle — the last rows-only family
+    without a driver-visible twin. Identical parameters to q138
+    (k_merges=8, min_pair_count=2), so the oracle certifies exactly
+    q138's lane: the DuckDB side replays all 8 merge iterations as a
+    CTE chain — weighted adjacent-pair counts over the
+    separator-wrapped word vocabulary, (count DESC, left, right)
+    winner selection, and the merge fold expressed as ONE global
+    ``replace`` on the doubled-separator encoding (chr(31)-wrapped
+    symbols make left-to-right non-overlapping replacement exactly
+    Sennrich's i-walk — the q140 serving encoding, reused for
+    training). Every (step, left, right, merged, pair_count) row is a
+    deterministic integer/string an oracle can re-derive, closing the
+    evidence gap golden-vs-pure-Python left. See ``operators.bpe``."""
+    from data_lake_project_spark.operators.bpe import bpe_merges
+
+    d = load_table(spark, sf, "documents")
+    return bpe_merges(d, k_merges=8, min_pair_count=2).orderBy("step")
+
+
+def q175_stream_interval_join_report(spark, sf):
+    """The stream-stream interval join EXPRESSION
+    (``streaming/windows.py`` St2 — watermarked, range-bounded, the
+    canonical two-stream Structured Streaming join) run in batch mode
+    — the unified-API degradation the batch≡stream equivalence test
+    exploits, here pinned against a plain SQL range join so the
+    streaming-join family gets a driver-visible hash row (q42/q43's
+    recipe applied to the join). Each error event pairs with the SAME
+    user's clicks in [error_ts - 30 min, error_ts]; the report is
+    q66's shape (per-error click count + closest gap). The key
+    equality makes the batch plan an EQUI-join with a range residual
+    — never a cross product — and in streaming mode the same
+    expression bounds join state to O(rate x 40 min) per key."""
+    from data_lake_project_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    e = load_table(spark, sf, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", F.col("ts").alias("e_ts")
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    j = stream_stream_interval_join(
+        err, clk, on="user_id", left_ts="e_ts", right_ts="c_ts",
+        horizon="30 minutes",
+    )
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    return (
+        j.groupBy("event_id")
+        .agg(
+            F.count("*").cast("long").alias("n_clicks_30m"),
+            (
+                F.min(epoch("e_ts") - epoch("c_ts")).cast("long")
+            ).alias("closest_gap_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -4939,6 +5094,10 @@ QUERIES: dict[str, QueryFn] = {
     "q169_kll_tolerance_report": q169_kll_tolerance_report,
     "q170_ann_index_injected_search": q170_ann_index_injected_search,
     "q171_kmeans_assign_report": q171_kmeans_assign_report,
+    "q172_semantic_dedup_report": q172_semantic_dedup_report,
+    "q173_chunk_index_recall_report": q173_chunk_index_recall_report,
+    "q174_bpe_merge_trace": q174_bpe_merge_trace,
+    "q175_stream_interval_join_report": q175_stream_interval_join_report,
 }
 
 _SHINGLE_CTE = """
@@ -9485,4 +9644,275 @@ ORACLE["q171_kmeans_assign_report"] = """
     )
     SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n_members
     FROM asg GROUP BY cluster ORDER BY cluster
+"""
+
+# q172: q171's unit-vector argmax assignment (8 injected lowest-id
+# centroids, ties to the LOWEST cluster) + q28's raw-vector pairwise
+# cosine for the within-cluster keep rule (sequential list_sum parity,
+# threshold compared on the UNROUNDED cosine exactly as
+# embedding_neardup filters) → per-cluster kept/dropped counts.
+ORACLE["q172_semantic_dedup_report"] = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM v
+    ),
+    u AS (
+        SELECT vec_id,
+               CASE WHEN nrm = 0 THEN v
+                    ELSE list_transform(v, x -> x / nrm) END AS uv
+        FROM n
+    ),
+    cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+               CASE WHEN nrm = 0 THEN v
+                    ELSE list_transform(v, x -> x / nrm) END AS cu
+        FROM n ORDER BY vec_id LIMIT 8
+    ),
+    asg AS (
+        SELECT vec_id, ci AS cluster FROM (
+            SELECT u.vec_id, cent.ci,
+                   row_number() OVER (PARTITION BY u.vec_id
+                       ORDER BY list_sum(list_transform(range(64),
+                           i -> u.uv[i+1] * cent.cu[i+1])) DESC,
+                           cent.ci ASC) AS rk
+            FROM u, cent
+        ) WHERE rk = 1
+    ),
+    m AS (
+        SELECT n.vec_id, n.v, n.nrm, asg.cluster
+        FROM n JOIN asg USING (vec_id)
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM m a JOIN m b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(64),
+                  i -> a.v[i+1] * b.v[i+1])) / (a.nrm * b.nrm) >= 0.4
+    ),
+    tot AS (
+        SELECT cluster, count(*)::BIGINT AS n_total FROM m GROUP BY cluster
+    ),
+    drp AS (
+        SELECT m.cluster, count(*)::BIGINT AS n_dropped
+        FROM dropped d JOIN m ON m.vec_id = d.vec_id
+        GROUP BY m.cluster
+    )
+    SELECT tot.cluster::BIGINT AS cluster, n_total,
+           (n_total - coalesce(n_dropped, 0))::BIGINT AS n_kept,
+           coalesce(n_dropped, 0)::BIGINT AS n_dropped
+    FROM tot LEFT JOIN drp USING (cluster)
+    ORDER BY cluster
+"""
+
+def _q174_trace_sql(k: int = 8, min_pair_count: int = 2) -> str:
+    """Replay ``bpe_merges`` as a DuckDB CTE chain: per step, weighted
+    adjacent-pair counts over the wrapped-symbol vocabulary, the
+    (count DESC, a, b) winner (empty when the best count drops below
+    ``min_pair_count`` — subsequent steps then yield nothing, exactly
+    the Spark side's early stop), and the merge applied as one global
+    ``replace`` on the doubled-separator encoding (left-to-right
+    non-overlapping = the JVM fold's i-walk; adjacent occurrences
+    share no separator chars, so '|a||b||a||b|' collapses both)."""
+    ctes = [
+        """w0 AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    )""",
+        """wv AS (
+        SELECT w, count(*)::BIGINT AS cnt FROM w0 WHERE len(w) > 0
+        GROUP BY w
+    )""",
+        """e1 AS (
+        SELECT array_to_string(
+                 list_transform(string_split(w, ''),
+                                c -> chr(31) || c || chr(31)),
+                 '') || chr(31) || '</w>' || chr(31) AS s,
+               cnt
+        FROM wv
+    )""",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(f"""p{i} AS (
+        SELECT sy[i] AS a, sy[i+1] AS b, sum(cnt)::BIGINT AS c
+        FROM (
+            SELECT sy, cnt,
+                   unnest(generate_series(1, len(sy) - 1)) AS i
+            FROM (
+                SELECT string_split(substring(s, 2, len(s) - 2),
+                                    chr(31) || chr(31)) AS sy, cnt
+                FROM e{i}
+            )
+        )
+        GROUP BY 1, 2
+    )""")
+        ctes.append(f"""w{i} AS (
+        SELECT a, b, c FROM p{i}
+        WHERE c >= {min_pair_count}
+        ORDER BY c DESC, a, b LIMIT 1
+    )""")
+        if i < k:
+            ctes.append(f"""e{i + 1} AS (
+        SELECT replace(e.s,
+                   chr(31) || w.a || chr(31) || chr(31) || w.b || chr(31),
+                   chr(31) || w.a || w.b || chr(31)) AS s,
+               e.cnt
+        FROM e{i} e, w{i} w
+    )""")
+    steps = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, a AS \"left\", b AS \"right\", "
+        f"a || b AS merged, c AS pair_count FROM w{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    SELECT * FROM (\n    "
+        + steps + "\n    ) ORDER BY step"
+    )
+
+
+# q174: training replayed end-to-end in SQL — the chr(31)-wrapped
+# encoding (q140's serving representation) makes the merge fold a
+# plain string replace, so all 8 iterations are CTE-chainable.
+ORACLE["q174_bpe_merge_trace"] = _q174_trace_sql(8, 2)
+
+# q175: the interval-join predicate compared on RAW timestamps (the
+# fixture carries no sub-microsecond components, so micro-vs-nano
+# precision cannot flip a boundary row — verified per SF); only the
+# OUTPUT gap floors to seconds (the q66 epoch rule).
+ORACLE["q175_stream_interval_join_report"] = """
+    SELECT err.event_id,
+           count(*)::BIGINT AS n_clicks_30m,
+           min(floor(epoch(err.e_ts))::BIGINT
+               - floor(epoch(clk.c_ts))::BIGINT)::BIGINT
+               AS closest_gap_s
+    FROM (SELECT user_id, event_id, ts AS e_ts FROM events
+          WHERE event_type = 'error') err
+    JOIN (SELECT user_id, ts AS c_ts FROM events
+          WHERE event_type = 'click') clk
+      ON clk.user_id = err.user_id
+     AND clk.c_ts >= err.e_ts - INTERVAL 30 MINUTE
+     AND clk.c_ts <= err.e_ts
+    GROUP BY err.event_id ORDER BY err.event_id
+"""
+
+
+# q173: q142's chunk+embed CTEs feed q163's IVF recipe — 8 injected
+# lowest-packed-id chunk centroids (ties HIGHEST ci, the array_sort+
+# reverse contract), nprobe=4 probe buckets, in-bucket exact cosine
+# top-5 (floor-rounded DESC, vec_id ASC), brute-force exact baseline,
+# recall arithmetic. NO self-exclusion on either lane (probe ids are a
+# different namespace than packed chunk ids).
+ORACLE["q173_chunk_index_recall_report"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> '') AS toks
+        FROM documents
+    ), c0 AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) <= 32 THEN 1
+                    ELSE CAST(floor((len(toks) - 32 + 23) / 24)
+                              AS BIGINT) + 1
+               END AS nc
+        FROM t
+    ), g AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, nc - 1)) AS chunk_id
+        FROM c0
+    ), ch AS (
+        SELECT doc_id * 4096 + chunk_id::BIGINT AS vec_id,
+               array_to_string(
+                   toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+                   AS chunk_text
+        FROM g
+    ), cv AS (
+        SELECT vec_id,
+               {_Q142_EMBED.format(src="chunk_text")} AS v
+        FROM ch
+    ), cn AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM cv
+    ), c AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v AS cvv,
+               nrm AS cnn
+        FROM cn ORDER BY vec_id LIMIT 8
+    ), asg AS (
+        SELECT vec_id, ci AS bucket FROM (
+            SELECT cn.vec_id, c.ci,
+                   row_number() OVER (
+                       PARTITION BY cn.vec_id
+                       ORDER BY list_sum(list_transform(range(16),
+                                i -> cn.v[i+1] * c.cvv[i+1]))
+                                / (cn.nrm * c.cnn)
+                                DESC, c.ci DESC) AS rk
+            FROM cn, c
+        ) WHERE rk = 1
+    ), q AS (
+        SELECT query_id AS probe_id,
+               {_Q142_EMBED.format(src="qtext")} AS pv
+        FROM (VALUES {_Q142_QUERY_ROWS}) AS qq(query_id, qtext)
+    ), p AS (
+        SELECT probe_id, pv,
+               sqrt(list_sum(list_transform(pv, x -> x * x))) AS pn
+        FROM q
+    ), pb AS (
+        SELECT probe_id, ci AS bucket FROM (
+            SELECT p.probe_id, c.ci,
+                   row_number() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY list_sum(list_transform(range(16),
+                                i -> p.pv[i+1] * c.cvv[i+1]))
+                                / (p.pn * c.cnn)
+                                DESC, c.ci DESC) AS rk
+            FROM p, c
+        ) WHERE rk <= 4
+    ), cand AS (
+        SELECT pb.probe_id, a.vec_id
+        FROM pb JOIN asg a ON a.bucket = pb.bucket
+    ), appr AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT cd.probe_id, cd.vec_id,
+                   row_number() OVER (PARTITION BY cd.probe_id
+                       ORDER BY floor(list_sum(list_transform(
+                           range(16),
+                           i -> pp.pv[i+1] * cc.v[i+1])) / (pp.pn * cc.nrm)
+                           * 10000.0 + 0.5) / 10000.0 DESC,
+                           cd.vec_id) AS rk
+            FROM cand cd
+            JOIN cn cc ON cc.vec_id = cd.vec_id
+            JOIN p pp ON pp.probe_id = cd.probe_id
+        ) WHERE rk <= 5
+    ), ex AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT p.probe_id, c2.vec_id,
+                   row_number() OVER (PARTITION BY p.probe_id
+                       ORDER BY floor(list_sum(list_transform(
+                           range(16),
+                           i -> p.pv[i+1] * c2.v[i+1])) / (p.pn * c2.nrm)
+                           * 10000.0 + 0.5) / 10000.0 DESC,
+                           c2.vec_id) AS rk
+            FROM p, cn c2
+        ) WHERE rk <= 5
+    ),
+    ne AS (SELECT probe_id, count(*)::BIGINT AS n_exact FROM ex GROUP BY 1),
+    na AS (SELECT probe_id, count(*)::BIGINT AS n_approx FROM appr GROUP BY 1),
+    nh AS (
+        SELECT e.probe_id, count(*)::BIGINT AS n_hit
+        FROM ex e JOIN appr a USING (probe_id, vec_id) GROUP BY 1
+    )
+    SELECT ne.probe_id, n_exact,
+           coalesce(n_approx, 0)::BIGINT AS n_approx,
+           coalesce(n_hit, 0)::BIGINT AS n_hit,
+           CASE WHEN n_exact > 0 THEN
+               floor(coalesce(n_hit, 0)::DOUBLE / n_exact::DOUBLE
+                     * 10000.0 + 0.5) / 10000.0
+           END AS recall
+    FROM ne LEFT JOIN na USING (probe_id) LEFT JOIN nh USING (probe_id)
+    ORDER BY probe_id
 """

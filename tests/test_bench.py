@@ -53,7 +53,23 @@ def test_large_suite_truncates_to_slowest_max_queries():
     for key in ("metric", "value", "unit", "queries", "sf"):
         assert key in out
     assert out["value"] == p["value"]
-    assert out["full_per_query"] == "bench_out.json"
+    # the pointer is an ABSOLUTE path (the one main() writes), not a
+    # bare name a consumer would resolve against its own cwd
+    assert os.path.isabs(out["full_per_query"])
+    assert out["full_per_query"].endswith("bench_out.json")
+    # an explicit full_path is passed through verbatim
+    assert (
+        compact_payload(_payload(165), full_path="/x/y.json")[
+            "full_per_query"
+        ]
+        == "/x/y.json"
+    )
+    # loadavg stamps survive compaction when present
+    stamped = _payload(165)
+    stamped["loadavg_start"] = 1.23
+    stamped["loadavg_end"] = 4.56
+    c = compact_payload(stamped)
+    assert c["loadavg_start"] == 1.23 and c["loadavg_end"] == 4.56
 
 
 def test_compact_line_is_bounded_json():

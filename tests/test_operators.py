@@ -2914,6 +2914,54 @@ def test_semantic_dedup_properties(spark):
                 assert float(va @ vb) < thr + 1e-9, (a, b, c)
 
 
+def test_semantic_dedup_report_consistency(spark):
+    """The report variant must agree with its own lane: per-cluster
+    n_total == the assignment histogram, n_kept == semantic_dedup's
+    kept set under the SAME injected centroids, and kept + dropped
+    partition each cluster. Injection skips training entirely, so the
+    report is reproducible from the centroids alone (q172's oracle
+    contract)."""
+    import numpy as np
+
+    from data_lake_project_spark.operators.clustering import kmeans_assign
+    from data_lake_project_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_report,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = np.array(
+        [
+            [float(x) for x in r.embedding]
+            for r in e.orderBy("vec_id").limit(8).collect()
+        ]
+    )
+    rep = {
+        r.cluster: r
+        for r in semantic_dedup_report(
+            e, n_clusters=8, threshold=0.4, impl="expr", centroids=cents
+        ).collect()
+    }
+    hist = {
+        r.cluster: r.n
+        for r in kmeans_assign(e, cents)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {c: r.n_total for c, r in rep.items()} == hist
+    kept = semantic_dedup(
+        e, n_clusters=8, threshold=0.4, impl="expr", centroids=cents
+    )
+    kept_hist = {}
+    for r in kept.collect():
+        kept_hist[r.cluster] = kept_hist.get(r.cluster, 0) + 1
+    assert {c: r.n_kept for c, r in rep.items() if r.n_kept} == kept_hist
+    for r in rep.values():
+        assert r.n_kept + r.n_dropped == r.n_total
+    assert sum(r.n_dropped for r in rep.values()) > 0  # non-trivial
+
+
 def _reference_bpe_tokenize(word, merges):
     syms = list(word) + ["</w>"]
     for a, b in merges:
@@ -3633,6 +3681,46 @@ def test_erasure_deletes_hive_escaped_partition_dirs(spark, tmp_path):
     assert left.count() == 5 and left.filter("b = 'x:1'").count() == 0
 
 
+def test_erasure_deletes_dirs_despite_type_inference(spark, tmp_path):
+    """Partition dirs whose NAME differs from str() of the
+    type-INFERRED value (b=01 reads back as int 1 under inference;
+    str(1) = "1" != "01") must still be deleted when fully erased —
+    the erase read disables partitionColumnTypeInference so the
+    reconstructed path is always the verbatim on-disk dir (round-8
+    ADVICE item: the inference half of the path-mismatch bug)."""
+    import glob
+
+    from data_lake_project_spark.operators.erasure import _erase_rows
+
+    df = spark.createDataFrame(
+        [(i, "01" if i % 2 else "00") for i in range(10)],
+        "id long, b string",
+    )
+    path = str(tmp_path / "t")
+    df.write.partitionBy("b").parquet(path)
+    assert glob.glob(f"{path}/b=01")  # zero-padded dir on disk
+    # sanity: default read DOES infer these dirs as ints — the trap
+    assert dict(spark.read.parquet(path).dtypes)["b"] in ("int", "bigint")
+    ids = spark.createDataFrame(
+        [(i,) for i in range(10) if i % 2], "id long"
+    )
+    n = _erase_rows(spark, path, "id", ids, "b")
+    assert n == 5
+    assert not glob.glob(f"{path}/b=01"), (
+        "zero-padded dir must be deleted — inferred-int str() would "
+        "have targeted b=1"
+    )
+    left = spark.read.parquet(path)
+    assert left.count() == 5
+    # the conf is restored after the erase read
+    assert (
+        spark.conf.get(
+            "spark.sql.sources.partitionColumnTypeInference.enabled"
+        )
+        != "false"
+    )
+
+
 def test_erasure_hll_rebuild_touched_keys(spark, tmp_path):
     from data_lake_project_spark.operators.erasure import (
         rebuild_hll_keys,
@@ -3783,6 +3871,68 @@ def test_recall_report_counts_and_ratio(spark):
     # probe 2: approx found nothing — counts zero-filled, recall 0.0
     assert rows[2].n_exact == 2 and rows[2].n_approx == 0
     assert rows[2].n_hit == 0 and rows[2].recall == 0.0
+
+
+def test_recall_report_surfaces_approx_only_probes(spark):
+    """A probe appearing ONLY in the approx frame (a buggy ANN lane
+    emitting hits for unknown probes) must surface as an
+    n_exact=0 / null-recall anomaly row, not vanish from the audit
+    (round-8 ADVICE item: full_outer, not exact-side left join)."""
+    from data_lake_project_spark.operators.similarity import recall_report
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11)], "probe_id int, vec_id int"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (7, 70), (7, 71)], "probe_id int, vec_id int"
+    )
+    rows = {r.probe_id: r for r in recall_report(exact, approx).collect()}
+    assert set(rows) == {1, 7}
+    ghost = rows[7]
+    assert ghost.n_exact == 0 and ghost.n_approx == 2
+    assert ghost.n_hit == 0 and ghost.recall is None
+
+
+def test_injected_codebooks_reject_wrong_ndim(spark):
+    """2-D / ragged codebooks must die with the contextual ValueError,
+    not an opaque IndexError (round-8 ADVICE item), in all three
+    injected-model entry points."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.ann_index import build_ann_index
+    from data_lake_project_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    flat = [[1.0, 0.0], [0.0, 1.0]]  # 2-D where 3-D is required
+    ragged = [[[1.0, 0.0]], [[1.0], [0.0, 1.0]]]
+    with _pytest.raises(ValueError, match="codebooks"):
+        pq_topk(e, e, m_subspaces=2, n_codes=2, codebooks=flat)
+    with _pytest.raises(ValueError, match="codebooks"):
+        pq_topk(e, e, m_subspaces=2, n_codes=2, codebooks=ragged)
+    with _pytest.raises(ValueError, match="codebooks"):
+        ivfpq_topk(
+            e,
+            e,
+            n_centroids=2,
+            m_subspaces=2,
+            n_codes=2,
+            centroids=[[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+            codebooks=flat,
+        )
+    with _pytest.raises(ValueError, match="codebooks"):
+        build_ann_index(
+            e,
+            kind="pq",
+            m_subspaces=2,
+            n_codes=2,
+            codebooks=flat,
+        )
 
 
 def test_ivfpq_injected_index_matches_fresh_encode(spark):
@@ -4028,21 +4178,36 @@ def test_gdpr_capstone_composed_pipeline(spark, tmp_path):
         search_sq_index(twin, probes, k=10)
     )
 
-    # ann (bucket-partitioned IVF): no erased id is ever served
+    # ann (bucket-partitioned IVF, TRAINED model): serving the erased
+    # index equals serving a twin that encodes ONLY the remaining
+    # corpus under the SAME frozen centroids — the erase contract for
+    # a trained index (the model is an aggregate artifact; only
+    # per-record codes are removed). Full equality, not just
+    # no-erased-id-served (round-9 capstone hardening).
     from data_lake_project_spark.operators.ann_index import (
+        AnnIndex,
         load_ann_index,
         search_ann_index,
     )
+    from data_lake_project_spark.operators.similarity import _ivf_assign
 
+    idx_ann = load_ann_index(spark, f"{root}/ann")
+    twin_codes = _ivf_assign(
+        rem_emb, idx_ann.centroids, "vec_id", "embedding"
+    ).select("vec_id", "__bucket", "__v", "__nrm")
+    twin_ann = AnnIndex(
+        kind=idx_ann.kind,
+        params=idx_ann.params,
+        centroids=idx_ann.centroids,
+        codebooks=idx_ann.codebooks,
+        codes=twin_codes,
+    )
+    got_ann = rows(search_ann_index(idx_ann, probes, k=10))
+    assert got_ann == rows(search_ann_index(twin_ann, probes, k=10))
     erased_vec_ids = {
         r.vec_id for r in emb.filter(_GDPR_VEC_PRED).select("vec_id").collect()
     }
-    served = {
-        r.vec_id
-        for r in search_ann_index(
-            load_ann_index(spark, f"{root}/ann"), probes, k=10
-        ).collect()
-    }
+    served = {t[1] for t in got_ann}
     assert served and not served & erased_vec_ids
 
     # hll: touched-key rebuild == build-on-remaining (estimates equal)
@@ -4064,6 +4229,75 @@ def test_gdpr_capstone_composed_pipeline(spark, tmp_path):
     assert n == erased_docs.count()
     left = {r.doc_id for r in spark.read.parquet(src).collect()}
     assert left == {r.doc_id for r in rem_docs.select("doc_id").collect()}
+
+
+def test_gdpr_capstone_partial_replay_crash(spark, tmp_path, monkeypatch):
+    """Kill the q168 build BETWEEN lane erases (dedup/bm25/sq already
+    erased, ann not yet), then replay: nothing may be published by the
+    crashed attempt (no half-erased artifact is ever visible), the
+    partial temp build is cleaned up, and the replay publishes an
+    artifact IDENTICAL to a clean one-shot build — the
+    publish-if-absent idempotence the deletion-queue story rests on
+    (round-9 capstone hardening)."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators import erasure
+    from data_lake_project_spark.queries import (
+        _gdpr_build_fn,
+        _publish_if_absent,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = str(tmp_path / "gdpr")
+    real_erase_ann = erasure.erase_ann_index
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected crash between lane erases")
+
+    monkeypatch.setattr(erasure, "erase_ann_index", crash)
+    with _pytest.raises(RuntimeError, match="between lane erases"):
+        _publish_if_absent(spark, path, _gdpr_build_fn(spark, sf))
+    assert not os.path.exists(path), "crashed build must not publish"
+    assert not glob.glob(path + ".build-*"), "partial temp not cleaned"
+
+    monkeypatch.setattr(erasure, "erase_ann_index", real_erase_ann)
+    _publish_if_absent(spark, path, _gdpr_build_fn(spark, sf))
+    ref = str(tmp_path / "gdpr_ref")
+    _publish_if_absent(spark, ref, _gdpr_build_fn(spark, sf))
+
+    # replayed artifact == clean one-shot build, lane by lane:
+    # parquet lanes row-identical, json models byte-identical, HLL
+    # compared by its query surface (serialized sketch bytes are
+    # register-state — compare what serving reads)
+    from data_lake_project_spark.operators.sketches import (
+        load_hll_rollup,
+        query_hll_rollup,
+    )
+
+    for rel in ("dedup/bands", "dedup/sets", "bm25/tfs", "bm25/dl",
+                "sq/codes", "ann/codes"):
+        a = spark.read.parquet(f"{path}/{rel}")
+        b = spark.read.parquet(f"{ref}/{rel}")
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        ), f"lane {rel} differs after replay"
+    for rel in ("hll",):
+        ea = sorted(
+            tuple(x)
+            for x in query_hll_rollup(
+                load_hll_rollup(spark, f"{path}/{rel}"), ["event_type"]
+            ).collect()
+        )
+        eb = sorted(
+            tuple(x)
+            for x in query_hll_rollup(
+                load_hll_rollup(spark, f"{ref}/{rel}"), ["event_type"]
+            ).collect()
+        )
+        assert ea == eb, "hll lane differs after replay"
 
 
 def test_ann_index_injected_model_roundtrip(spark, tmp_path):

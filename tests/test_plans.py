@@ -523,12 +523,14 @@ def test_round6_operators_pin_their_shuffle_budget(
         # recall reports (q163-q166): both search subtrees are eagerly
         # checkpointed (probes x k)-sized frames; the residual plan is
         # three tiny aggregate+join legs over the cut RDDs — 2
-        # exchanges per counted leg + the sort. A lost checkpoint
+        # exchanges per counted leg + the sort, +1 for the ne/na
+        # full_outer (an anomaly-surfacing audit join can't broadcast
+        # one side away; round-9 ADVICE fix). A lost checkpoint
         # re-inlines a brute-force cross product here and blows this.
-        ("q163_ivf_recall_report", 6),
-        ("q164_pq_recall_report", 6),
-        ("q165_ivfpq_recall_report", 6),
-        ("q166_lsh_recall_report", 6),
+        ("q163_ivf_recall_report", 7),
+        ("q164_pq_recall_report", 7),
+        ("q165_ivfpq_recall_report", 7),
+        ("q166_lsh_recall_report", 7),
         # three 1-row scalar aggs cross-joined (q148 shape)
         ("q167_hll_tolerance_report", 3),
         # five 1-row lane audits unioned over the published artifact;
@@ -547,6 +549,41 @@ def test_round8_operators_pin_their_shuffle_budget(
     spark, qname, max_exchanges
 ):
     """Round-8 plan-shape pins — same contract as the round-4/6 sets."""
+    from data_lake_project_spark.queries import QUERIES
+
+    df = QUERIES[qname](spark, "/root/testdata/sf0.001")
+    n = P.exchange_count(df)
+    assert n <= max_exchanges, (
+        f"{qname}: {n} exchanges > {max_exchanges}\n"
+        + P.explain_str(df)[:3000]
+    )
+
+
+@pytest.mark.parametrize(
+    ("qname", "max_exchanges"),
+    [
+        # assignment checkpointed once (Arrow map-only), then the
+        # cluster-blocked pair join + two cluster-sized aggs + the
+        # report join + sort over the cut RDD
+        ("q172_semantic_dedup_report", 7),
+        # chunk corpus checkpointed once; persisted bucket-pruned IVF
+        # serve + brute baseline both cut; residual = recall_report's
+        # three agg legs (incl. the full_outer) + sort
+        ("q173_chunk_index_recall_report", 7),
+        # the merge table is a driver-collected model (k 1-row winner
+        # collects during build); the returned frame is local — only
+        # the final sort may exchange
+        ("q174_bpe_merge_trace", 1),
+        # ONE user_id shuffle serves the interval equi-join, then the
+        # per-error agg + sort (the range bound is a residual filter,
+        # never a cross product)
+        ("q175_stream_interval_join_report", 2),
+    ],
+)
+def test_round9_operators_pin_their_shuffle_budget(
+    spark, qname, max_exchanges
+):
+    """Round-9 plan-shape pins — same contract as the earlier sets."""
     from data_lake_project_spark.queries import QUERIES
 
     df = QUERIES[qname](spark, "/root/testdata/sf0.001")

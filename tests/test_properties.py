@@ -1319,8 +1319,11 @@ def test_recall_report_invariants_on_random_topk_sets(
     got = {r.probe_id: r for r in recall_report(e, a).collect()}
     eset, aset = set(exact), set(approx)
     probes = {p for p, _ in eset}
-    assert set(got) == probes  # one row per probe with exact results
-    for p in probes:
+    aprobes = {p for p, _ in aset}
+    # one row per probe from EITHER side: approx-only probes surface
+    # as n_exact=0 anomaly rows (full_outer contract, round-9)
+    assert set(got) == probes | aprobes
+    for p in probes | aprobes:
         ne = sum(1 for q, _ in eset if q == p)
         na = sum(1 for q, _ in aset if q == p)
         nh = len({v for q, v in eset if q == p}
@@ -1328,8 +1331,11 @@ def test_recall_report_invariants_on_random_topk_sets(
         r = got[p]
         assert (r.n_exact, r.n_approx, r.n_hit) == (ne, na, nh)
         assert r.n_hit <= min(r.n_exact, r.n_approx)
-        assert 0.0 <= r.recall <= 1.0
-        assert abs(r.recall - nh / ne) < 1e-4
+        if ne == 0:
+            assert r.recall is None  # anomaly row: recall undefined
+        else:
+            assert 0.0 <= r.recall <= 1.0
+            assert abs(r.recall - nh / ne) < 1e-4
 
 
 @given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=30))
