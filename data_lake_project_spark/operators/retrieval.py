@@ -399,3 +399,132 @@ def rrf_fuse(
         fused.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def dcg_weight_literals(k: int) -> tuple[list[str], list[str]]:
+    """The DCG rank discounts ``1/log2(rank+1)`` for ranks 1..k and
+    their exact prefix sums, as DECIMAL(16,12) literal strings.
+
+    log2 is the one transcendental in nDCG and libm log2 is NOT
+    guaranteed identically rounded across engines — so it never runs
+    inside a query: the k discounts are computed ONCE here
+    (CPython's correctly-rounded ``math.log2`` on small ints),
+    quantized to 12 decimal places, and embedded as identical decimal
+    LITERALS on both the Spark and the DuckDB side (the q166
+    plane-literal rule). Decimal sums make DCG order-independent and
+    engine-exact; prefix sums are added exactly in Decimal so the
+    ideal-DCG table is literal too.
+    """
+    import math
+    from decimal import Decimal
+
+    q = Decimal("1e-12")
+    ws = [
+        Decimal(1.0 / math.log2(r + 1)).quantize(q)
+        for r in range(1, k + 1)
+    ]
+    cums, acc = [], Decimal(0)
+    for w in ws:
+        acc += w
+        cums.append(acc)
+    return [str(w) for w in ws], [str(c) for c in cums]
+
+
+def ranking_quality_report(
+    results: DataFrame,
+    relevant: DataFrame,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-query ranking quality of a retrieval lane against a binary
+    relevance set — the IR-observability twin of ``recall_report``:
+    (query, n_relevant, n_retrieved, n_rel_retrieved, first_rel_rank,
+    rr, dcg, ndcg) with MRR's reciprocal rank and binary-gain
+    DCG@k / nDCG@k. ``results`` carries a 1-based ``rank_col``;
+    ``relevant`` is the (query, id) relevance set (any extra columns
+    ignored).
+
+    Determinism: every metric is integer counting plus exact-decimal
+    sums of the ``dcg_weight_literals`` constants plus one or two
+    correctly-rounded IEEE divisions — a SQL oracle re-derives it all
+    bit-for-bit. Conventions: no relevant hit → rr = 0.0 and
+    dcg = 0.0 with first_rel_rank NULL; n_relevant = 0 → ndcg NULL
+    (undefined), else ndcg in [0, 1].
+
+    Both inputs feed two consumers each (own count + the hit join),
+    so each is eagerly cut first — they are (queries x k)-sized, and
+    the expensive retrieval subtrees must evaluate once (the
+    q141/q148 multi-consumer rule).
+    """
+    ws, cums = dcg_weight_literals(k)
+    warr = "array(" + ", ".join(
+        f"CAST('{w}' AS DECIMAL(16,12))" for w in ws
+    ) + ")"
+    carr = "array(" + ", ".join(
+        f"CAST('{c}' AS DECIMAL(16,12))" for c in cums
+    ) + ")"
+    r = (
+        results.filter(F.col(rank_col) <= k)
+        .select(
+            query_id_col, id_col, F.col(rank_col).cast("int").alias("__rk")
+        )
+        .localCheckpoint(eager=True)
+    )
+    rel = (
+        relevant.select(query_id_col, id_col)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nrel = rel.groupBy(query_id_col).agg(
+        F.count("*").cast("long").alias("n_relevant")
+    )
+    nret = r.groupBy(query_id_col).agg(
+        F.count("*").cast("long").alias("n_retrieved")
+    )
+    hits = r.join(rel, [query_id_col, id_col], "left_semi")
+    hagg = hits.groupBy(query_id_col).agg(
+        F.count("*").cast("long").alias("n_rel_retrieved"),
+        F.min("__rk").cast("long").alias("first_rel_rank"),
+        F.sum(F.expr(f"element_at({warr}, __rk)")).alias("__dcg_dec"),
+    )
+    idcg_dec = F.expr(
+        f"element_at({carr}, CAST(least(n_relevant, {k}) AS INT))"
+    )
+    out = (
+        nrel.join(nret, query_id_col, "full_outer")
+        .join(hagg, query_id_col, "left")
+        .select(
+            query_id_col,
+            F.coalesce("n_relevant", F.lit(0)).cast("long")
+            .alias("n_relevant"),
+            F.coalesce("n_retrieved", F.lit(0)).cast("long")
+            .alias("n_retrieved"),
+            F.coalesce("n_rel_retrieved", F.lit(0)).cast("long")
+            .alias("n_rel_retrieved"),
+            "first_rel_rank",
+            F.coalesce(
+                pround(F.lit(1.0) / F.col("first_rel_rank"), round_digits),
+                F.lit(0.0),
+            ).alias("rr"),
+            F.coalesce(
+                pround(
+                    F.col("__dcg_dec").cast("double"), round_digits
+                ),
+                F.lit(0.0),
+            ).alias("dcg"),
+            F.when(
+                F.coalesce("n_relevant", F.lit(0)) > 0,
+                pround(
+                    F.coalesce(
+                        F.col("__dcg_dec").cast("double"), F.lit(0.0)
+                    )
+                    / idcg_dec.cast("double"),
+                    round_digits,
+                ),
+            ).alias("ndcg"),
+        )
+    )
+    return out

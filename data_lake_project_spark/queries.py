@@ -4915,6 +4915,87 @@ def q175_stream_interval_join_report(spark, sf):
     )
 
 
+# q176's own query set: terms drawn from the corpus vocabulary so the
+# lexical lane actually retrieves (the q142 queries share only 2 terms
+# with the synthetic corpus, which would zero every metric — a report
+# whose arithmetic the hash never exercises).
+_Q176_QUERIES = [
+    (1, "hash join spark"),
+    (2, "customer order table"),
+    (3, "slow window merge"),
+]
+
+
+def q176_retrieval_quality_report(spark, sf):
+    """IR ranking quality for the retrieval ladder — recall_report's
+    role for the lexical/hybrid lanes: BM25 top-5 (q144's scorer) AND
+    the RRF hybrid top-5 (q145's fusion) are each judged against the
+    dense exact top-5 as the binary relevance set (cross-lane
+    agreement, the standard hybrid-retrieval diagnostic), producing
+    per-(lane, query) MRR reciprocal rank and DCG@5/nDCG@5. The one
+    transcendental (log2 rank discounts) enters as quantized decimal
+    LITERALS identical on both engines
+    (``retrieval.dcg_weight_literals`` — the q166 plane-literal
+    rule), sums are exact decimals, so the whole report is
+    hash-checkable. See
+    ``operators.retrieval.ranking_quality_report``."""
+    from data_lake_project_spark.operators.retrieval import (
+        bm25_topk,
+        ranking_quality_report,
+        rrf_fuse,
+    )
+
+    d = load_table(spark, sf, "documents")
+    qdf = spark.createDataFrame(
+        _Q176_QUERIES, "query_id int, qtext string"
+    )
+    # lex10 feeds the judged bm25 lane AND the fusion — cut the BM25
+    # subtree once (the q141/q148 multi-consumer rule; (queries x 10)
+    # rows)
+    lex10 = (
+        bm25_topk(d, qdf, k=10)
+        .select("query_id", "doc_id", "rk")
+        .localCheckpoint(eager=True)
+    )
+    corpus = d.select(
+        F.col("doc_id").alias("vec_id"),
+        hash_embedding("text", 16).alias("embedding"),
+    )
+    probes = qdf.select(
+        F.col("query_id").alias("probe_id"),
+        hash_embedding("qtext", 16).alias("embedding"),
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id")
+    )
+    # exclude_self=False: query ids and doc ids are independent
+    # namespaces that merely overlap (the q145 rule). dense10 feeds
+    # the fusion AND the relevance subset — cut once.
+    dense10 = (
+        SIM.brute_force_topk(corpus, probes, k=10, exclude_self=False)
+        .select(
+            F.col("probe_id").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "cosine",
+        )
+        .withColumn("rk", F.row_number().over(wd))
+        .localCheckpoint(eager=True)
+    )
+    rel = dense10.filter(F.col("rk") <= 5).select("query_id", "doc_id")
+    lex5 = lex10.filter(F.col("rk") <= 5)
+    rrf5 = rrf_fuse(
+        lex10, dense10.select("query_id", "doc_id", "rk"),
+        ["query_id", "doc_id"], k=5,
+    ).select("query_id", "doc_id", "rk")
+    rep_lex = ranking_quality_report(lex5, rel, k=5).select(
+        F.lit("bm25").alias("lane"), "*"
+    )
+    rep_rrf = ranking_quality_report(rrf5, rel, k=5).select(
+        F.lit("rrf").alias("lane"), "*"
+    )
+    return rep_lex.unionByName(rep_rrf).orderBy("lane", "query_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5098,6 +5179,7 @@ QUERIES: dict[str, QueryFn] = {
     "q173_chunk_index_recall_report": q173_chunk_index_recall_report,
     "q174_bpe_merge_trace": q174_bpe_merge_trace,
     "q175_stream_interval_join_report": q175_stream_interval_join_report,
+    "q176_retrieval_quality_report": q176_retrieval_quality_report,
 }
 
 _SHINGLE_CTE = """
@@ -8350,13 +8432,16 @@ ORACLE["q142_chunk_retrieval"] = f"""
 """
 
 
-def _bm25_lane_sql() -> str:
+def _bm25_lane_sql(query_rows: str | None = None) -> str:
     """BM25 CTE chain — engine-exact twin of
     ``operators.retrieval.bm25_topk`` (k1=1.2, b=0.75; constants
     folded to the same literals the Spark side embeds; every
     BIGINT-meets-decimal-literal site casts to DOUBLE first so DuckDB
     never drops into exact-decimal arithmetic the JVM isn't doing).
-    Ends in a ``lex`` relation (query_id, doc_id, bm25, rk)."""
+    Ends in a ``lex`` relation (query_id, doc_id, bm25, rk).
+    ``query_rows``: VALUES-list literal for the query set (defaults
+    to the q142 set)."""
+    _QUERY_ROWS = query_rows or _Q142_QUERY_ROWS
     return f"""
     toks AS (
         SELECT doc_id,
@@ -8377,7 +8462,7 @@ def _bm25_lane_sql() -> str:
     qt0 AS (
         SELECT query_id,
                unnest(regexp_split_to_array(lower(trim(qtext)), '\\s+')) AS tok
-        FROM (VALUES {_Q142_QUERY_ROWS}) AS qq(query_id, qtext)
+        FROM (VALUES {_QUERY_ROWS}) AS qq(query_id, qtext)
     ),
     qt AS (SELECT DISTINCT query_id, tok FROM qt0 WHERE tok <> ''),
     contrib AS (
@@ -9778,6 +9863,134 @@ def _q174_trace_sql(k: int = 8, min_pair_count: int = 2) -> str:
 # encoding (q140's serving representation) makes the merge fold a
 # plain string replace, so all 8 iterations are CTE-chainable.
 ORACLE["q174_bpe_merge_trace"] = _q174_trace_sql(8, 2)
+
+def _q176_quality_sql(k: int = 5) -> str:
+    """q176 oracle: the BM25 lane CTE (q176's own query set) + q145's
+    dense ranking + RRF fusion, then the nDCG arithmetic for BOTH
+    judged lanes with the SAME quantized decimal discount literals
+    the Spark side embeds (``retrieval.dcg_weight_literals`` — one
+    source of truth for the constants on both engines)."""
+    from data_lake_project_spark.operators.retrieval import (
+        dcg_weight_literals,
+    )
+
+    ws, cums = dcg_weight_literals(k)
+    wcase = " ".join(
+        f"WHEN {r + 1} THEN CAST('{w}' AS DECIMAL(16,12))"
+        for r, w in enumerate(ws)
+    )
+    ccase = " ".join(
+        f"WHEN {j + 1} THEN CAST('{c}' AS DECIMAL(16,12))"
+        for j, c in enumerate(cums)
+    )
+    q176_rows = ", ".join(
+        f"({qid}, '{qt}')" for qid, qt in _Q176_QUERIES
+    )
+
+    def metrics(lane: str, res: str) -> str:
+        return f"""
+    nret_{lane} AS (
+        SELECT query_id, count(*)::BIGINT AS n_retrieved
+        FROM {res} GROUP BY 1
+    ),
+    hits_{lane} AS (
+        SELECT l.query_id, l.rk
+        FROM {res} l JOIN rel r USING (query_id, doc_id)
+    ),
+    hagg_{lane} AS (
+        SELECT query_id,
+               count(*)::BIGINT AS n_rel_retrieved,
+               min(rk)::BIGINT AS first_rel_rank,
+               sum(CASE rk {wcase} END) AS dcg_dec
+        FROM hits_{lane} GROUP BY 1
+    ),
+    rep_{lane} AS (
+        SELECT '{lane}' AS lane, query_id,
+               coalesce(n_relevant, 0)::BIGINT AS n_relevant,
+               coalesce(n_retrieved, 0)::BIGINT AS n_retrieved,
+               coalesce(n_rel_retrieved, 0)::BIGINT AS n_rel_retrieved,
+               first_rel_rank,
+               coalesce(floor(CAST(1.0 AS DOUBLE) / first_rel_rank
+                              * 10000.0 + 0.5) / 10000.0, 0.0) AS rr,
+               coalesce(floor(CAST(dcg_dec AS DOUBLE) * 10000.0 + 0.5)
+                        / 10000.0, 0.0) AS dcg,
+               CASE WHEN coalesce(n_relevant, 0) > 0 THEN
+                   floor(coalesce(CAST(dcg_dec AS DOUBLE), 0.0)
+                         / CAST((CASE least(n_relevant, {k}) {ccase}
+                                 END) AS DOUBLE)
+                         * 10000.0 + 0.5) / 10000.0
+               END AS ndcg
+        FROM nrel
+        FULL OUTER JOIN nret_{lane} USING (query_id)
+        LEFT JOIN hagg_{lane} USING (query_id)
+    )"""
+
+    return f"""
+    WITH {_bm25_lane_sql(q176_rows)},
+    lex10 AS (SELECT query_id, doc_id, rk FROM lex WHERE rk <= 10),
+    lex5 AS (SELECT query_id, doc_id, rk FROM lex WHERE rk <= {k}),
+    dv AS (
+        SELECT doc_id, {_Q142_EMBED.format(src="text")} AS v
+        FROM documents
+    ),
+    dn AS (
+        SELECT doc_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM dv
+    ),
+    qv AS (
+        SELECT query_id, {_Q142_EMBED.format(src="qtext")} AS p
+        FROM (VALUES {q176_rows}) AS qq2(query_id, qtext)
+    ),
+    qn2 AS (
+        SELECT query_id, p,
+               sqrt(list_sum(list_transform(p, x -> x * x))) AS pn
+        FROM qv
+    ),
+    ds AS (
+        SELECT q.query_id, d.doc_id,
+               floor(list_sum(list_transform(range(len(d.v)),
+                         i -> q.p[i+1] * d.v[i+1])) / (q.pn * d.nrm)
+                     * 10000.0 + 0.5) / 10000.0 AS cosine
+        FROM qn2 q, dn d
+    ),
+    den AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, doc_id) AS rk
+        FROM ds
+    ),
+    den10 AS (SELECT query_id, doc_id, rk FROM den WHERE rk <= 10),
+    rel AS (SELECT query_id, doc_id FROM den WHERE rk <= {k}),
+    fused AS (
+        SELECT coalesce(l.query_id, d.query_id) AS query_id,
+               coalesce(l.doc_id, d.doc_id) AS doc_id,
+               floor((coalesce(1.0 / (60.0 + CAST(l.rk AS DOUBLE)), 0.0)
+                      + coalesce(1.0 / (60.0 + CAST(d.rk AS DOUBLE)),
+                                 0.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS rrf
+        FROM lex10 l FULL OUTER JOIN den10 d
+             ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    ),
+    fr AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf DESC, doc_id) AS rk
+        FROM fused
+    ),
+    rrf5 AS (SELECT query_id, doc_id, rk FROM fr WHERE rk <= {k}),
+    nrel AS (
+        SELECT query_id, count(*)::BIGINT AS n_relevant
+        FROM rel GROUP BY 1
+    ),{metrics("bm25", "lex5")},{metrics("rrf", "rrf5")}
+    SELECT * FROM (
+        SELECT * FROM rep_bm25 UNION ALL SELECT * FROM rep_rrf
+    ) ORDER BY lane, query_id
+"""
+
+
+ORACLE["q176_retrieval_quality_report"] = _q176_quality_sql(5)
+
 
 # q175: the interval-join predicate compared on RAW timestamps (the
 # fixture carries no sub-microsecond components, so micro-vs-nano

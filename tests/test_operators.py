@@ -3893,6 +3893,57 @@ def test_recall_report_surfaces_approx_only_probes(spark):
     assert ghost.n_hit == 0 and ghost.recall is None
 
 
+def test_ranking_quality_report_metrics(spark):
+    """nDCG/MRR arithmetic on hand-built ranked lists: counts, first
+    hit, reciprocal rank, DCG against hand-summed decimal weights,
+    perfect-ranking nDCG = 1, no-hit and no-relevance conventions."""
+    from decimal import Decimal
+
+    from data_lake_project_spark.operators.retrieval import (
+        dcg_weight_literals,
+        ranking_quality_report,
+    )
+
+    ws, cums = dcg_weight_literals(3)
+    assert [float(w) for w in ws][0] == 1.0  # 1/log2(2)
+    assert Decimal(cums[2]) == sum(Decimal(w) for w in ws)
+
+    # q1: hits at ranks 1,3 of 3 relevant; q2: no hits, 2 relevant;
+    # q3: perfect ranking (all 3 relevant at 1..3) => ndcg = 1;
+    # q4: retrieved but NO relevance set => ndcg NULL
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2),
+         (3, 30, 1), (3, 31, 2), (3, 32, 3),
+         (4, 40, 1)],
+        "query_id int, doc_id int, rk int",
+    )
+    relevant = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99),
+         (2, 77), (2, 78),
+         (3, 30), (3, 31), (3, 32)],
+        "query_id int, doc_id int",
+    )
+    rep = {
+        r.query_id: r
+        for r in ranking_quality_report(results, relevant, k=3).collect()
+    }
+    w = [Decimal(x) for x in ws]
+    r1 = rep[1]
+    assert (r1.n_relevant, r1.n_rel_retrieved, r1.first_rel_rank) == (3, 2, 1)
+    assert r1.rr == 1.0
+    exp_dcg = float(w[0] + w[2])
+    assert abs(r1.dcg - round(exp_dcg, 4)) < 1e-9
+    assert abs(r1.ndcg - round(exp_dcg / float(Decimal(cums[2])), 4)) < 1e-4
+    r2 = rep[2]
+    assert (r2.n_rel_retrieved, r2.first_rel_rank) == (0, None)
+    assert (r2.rr, r2.dcg, r2.ndcg) == (0.0, 0.0, 0.0)
+    r3 = rep[3]
+    assert r3.ndcg == 1.0 and r3.rr == 1.0
+    r4 = rep[4]
+    assert r4.n_relevant == 0 and r4.ndcg is None
+
+
 def test_injected_codebooks_reject_wrong_ndim(spark):
     """2-D / ragged codebooks must die with the contextual ValueError,
     not an opaque IndexError (round-8 ADVICE item), in all three

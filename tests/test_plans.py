@@ -578,6 +578,11 @@ def test_round8_operators_pin_their_shuffle_budget(
         # per-error agg + sort (the range bound is a residual filter,
         # never a cross product)
         ("q175_stream_interval_join_report", 2),
+        # TWO ranking_quality_report legs (each: nrel/nret/hits aggs +
+        # report joins over eagerly-cut (queries x k) frames) + the
+        # union sort; the bm25/dense/fusion subtrees are checkpointed
+        # once each — a lost cut re-inlines a corpus-sized search here
+        ("q176_retrieval_quality_report", 13),
     ],
 )
 def test_round9_operators_pin_their_shuffle_budget(

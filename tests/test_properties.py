@@ -1338,6 +1338,95 @@ def test_recall_report_invariants_on_random_topk_sets(
             assert abs(r.recall - nh / ne) < 1e-4
 
 
+@given(
+    ranked=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 25)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    rel=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 25)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_ranking_quality_report_matches_python_reference(
+    spark, ranked, rel
+):
+    """q176's nDCG/MRR arithmetic fuzzed against a pure-Python
+    reference on arbitrary ranked lists: per-query ranks are
+    re-densified 1..n, metrics recomputed with the SAME decimal
+    discount constants, every row must agree."""
+    from decimal import Decimal
+
+    from data_lake_project_spark.operators.retrieval import (
+        dcg_weight_literals,
+        ranking_quality_report,
+    )
+
+    k = 4
+    ws, cums = dcg_weight_literals(k)
+    wd = [Decimal(x) for x in ws]
+    cd = [Decimal(x) for x in cums]
+    # densify ranks per query: items in (query, id) order -> rank 1..n
+    by_q: dict[int, list[int]] = {}
+    for q, i in sorted(set(ranked)):
+        by_q.setdefault(q, []).append(i)
+    rows = [
+        (q, i, r + 1)
+        for q, items in by_q.items()
+        for r, i in enumerate(items)
+    ]
+    results = spark.createDataFrame(
+        rows, "query_id int, doc_id int, rk int"
+    )
+    relevant = spark.createDataFrame(
+        sorted(set(rel)), "query_id int, doc_id int"
+    )
+    got = {
+        r.query_id: r
+        for r in ranking_quality_report(results, relevant, k=k).collect()
+    }
+    relset = set(rel)
+    rel_by_q: dict[int, set[int]] = {}
+    for q, i in relset:
+        rel_by_q.setdefault(q, set()).add(i)
+    all_q = set(by_q) | set(rel_by_q)
+    assert set(got) == all_q
+    for q in all_q:
+        retrieved = [(r + 1, i) for r, i in enumerate(by_q.get(q, []))][:k]
+        relevant_ids = rel_by_q.get(q, set())
+        hits = [(r, i) for r, i in retrieved if i in relevant_ids]
+        row = got[q]
+        assert row.n_relevant == len(relevant_ids)
+        assert row.n_retrieved == len(retrieved)
+        assert row.n_rel_retrieved == len(hits)
+        if hits:
+            first = min(r for r, _ in hits)
+            assert row.first_rel_rank == first
+            exp_rr = math.floor(1.0 / first * 10000.0 + 0.5) / 10000.0
+            assert row.rr == exp_rr
+            dcg_dec = sum(wd[r - 1] for r, _ in hits)
+            exp_dcg = (
+                math.floor(float(dcg_dec) * 10000.0 + 0.5) / 10000.0
+            )
+            assert row.dcg == exp_dcg
+        else:
+            assert row.first_rel_rank is None
+            assert row.rr == 0.0 and row.dcg == 0.0
+        if not relevant_ids:
+            assert row.ndcg is None
+        else:
+            idcg = float(cd[min(len(relevant_ids), k) - 1])
+            dcg_f = float(sum(wd[r - 1] for r, _ in hits)) if hits else 0.0
+            exp_ndcg = math.floor(dcg_f / idcg * 10000.0 + 0.5) / 10000.0
+            assert row.ndcg == exp_ndcg
+            assert 0.0 <= row.ndcg <= 1.0
+
+
 @given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=30))
 @settings(max_examples=8, deadline=None)
 def test_id_bucket_expr_stable_across_integer_widths(spark, ids):
