@@ -80,12 +80,16 @@ def read_text(spark: SparkSession, path: str) -> str:
 
 
 def list_files(
-    spark: SparkSession, path: str, suffix: str | None = None
+    spark: SparkSession,
+    path: str,
+    suffix: str | None = None,
+    limit: int | None = None,
 ) -> list[tuple[str, int]]:
     """Recursive (path, size) listing of the files under ``path`` —
     :func:`list_statuses` without the mtimes."""
     return [
-        (name, size) for name, size, _ in list_statuses(spark, path, suffix)
+        (name, size)
+        for name, size, _ in list_statuses(spark, path, suffix, limit)
     ]
 
 
@@ -94,13 +98,19 @@ def total_size(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
 
 
 def list_statuses(
-    spark: SparkSession, path: str, suffix: str | None = None
+    spark: SparkSession,
+    path: str,
+    suffix: str | None = None,
+    limit: int | None = None,
 ) -> list[tuple[str, int, int]]:
     """Recursive (path, size, mtime-epoch-millis) listing of the
     files under ``path``; mtime is the retention signal marker-GC
     needs. One round-trip per batch of remote listings (the Hadoop
     ``listFiles`` iterator pages internally) — never a per-file RPC
-    loop in Python beyond iterating the statuses.
+    loop in Python beyond iterating the statuses. ``limit`` stops the
+    iterator after that many matches — a caller that only needs ONE
+    leaf file (the erasure schema probe) must not drain a full-table
+    listing on a 100 TB directory tree.
     """
     fs, p, _ = _fs(spark, path)
     if not fs.exists(p):
@@ -114,4 +124,6 @@ def list_statuses(
             out.append(
                 (name, int(st.getLen()), int(st.getModificationTime()))
             )
+            if limit is not None and len(out) >= limit:
+                break
     return out

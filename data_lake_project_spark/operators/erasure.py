@@ -80,6 +80,43 @@ def _resolve_ids(ids: DataFrame, id_col: str, ctx: str) -> DataFrame:
     )
 
 
+def _read_partitioned_verbatim(
+    spark: SparkSession, table_path: str, partition_col: str
+) -> DataFrame:
+    """Read a partitioned parquet table with the partition column as
+    the VERBATIM on-disk string (``b=01`` reads back as ``"01"``, not
+    inferred int 1), scoped to THIS read only: the schema is built
+    explicitly — data columns from one leaf file's footer plus the
+    partition column as ``string`` — and a user-provided schema
+    bypasses partition-type inference entirely. Round-9 ADVICE: the
+    previous session-global ``partitionColumnTypeInference`` toggle
+    silently gave any CONCURRENT reader of a different partitioned
+    table string-typed partition columns during the window; an
+    explicit schema has no cross-session blast radius. The leaf probe
+    lists with ``limit=1`` — never a full-table listing."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from data_lake_project_spark import fs
+
+    p = table_path.rstrip("/")
+    leaves = fs.list_files(spark, p, ".parquet", limit=1)
+    if not leaves:
+        raise ValueError(
+            f"_read_partitioned_verbatim: no parquet files under {p}"
+        )
+    data_schema = spark.read.parquet(leaves[0][0]).schema
+    if partition_col in data_schema.names:
+        # defensive: no current lane stores the partition column in the
+        # data files, but if one did, the footer schema already has it
+        full = data_schema
+    else:
+        full = StructType(
+            list(data_schema.fields)
+            + [StructField(partition_col, StringType())]
+        )
+    return spark.read.schema(full).parquet(p)
+
+
 def _erase_rows(
     spark: SparkSession,
     table_path: str,
@@ -108,25 +145,15 @@ def _erase_rows(
     erase, the worst failure mode this module can have.
     """
     if partition_col is not None:
-        # Read with partition-type inference OFF: the partition column
-        # comes back as the VERBATIM (unescaped) on-disk string, so
-        # the fully-erased-dir delete below always reconstructs the
-        # directory Spark actually wrote. With inference on, a dir
-        # "=01" reads back as int 1 and str() renders "1" — the delete
-        # targets a non-existent dir and the erased rows silently
-        # survive, this module's worst failure mode. (_hive_escape_part
-        # fixes the escaping half; this fixes the inference half.
-        # Inference happens at resolveRelation time, i.e. inside the
-        # read call, so restoring the conf right after is safe.)
-        infer_key = (
-            "spark.sql.sources.partitionColumnTypeInference.enabled"
-        )
-        old_infer = spark.conf.get(infer_key, "true")
-        spark.conf.set(infer_key, "false")
-        try:
-            t = spark.read.parquet(table_path)
-        finally:
-            spark.conf.set(infer_key, old_infer)
+        # Read with the partition column as the VERBATIM (unescaped)
+        # on-disk string, so the fully-erased-dir delete below always
+        # reconstructs the directory Spark actually wrote. With
+        # inference on, a dir "=01" reads back as int 1 and str()
+        # renders "1" — the delete targets a non-existent dir and the
+        # erased rows silently survive, this module's worst failure
+        # mode. (_hive_escape_part fixes the escaping half; the
+        # explicit-schema read fixes the inference half, per-read.)
+        t = _read_partitioned_verbatim(spark, table_path, partition_col)
     else:
         t = spark.read.parquet(table_path)
     if prune_values is not None:

@@ -3685,9 +3685,11 @@ def test_erasure_deletes_dirs_despite_type_inference(spark, tmp_path):
     """Partition dirs whose NAME differs from str() of the
     type-INFERRED value (b=01 reads back as int 1 under inference;
     str(1) = "1" != "01") must still be deleted when fully erased —
-    the erase read disables partitionColumnTypeInference so the
-    reconstructed path is always the verbatim on-disk dir (round-8
-    ADVICE item: the inference half of the path-mismatch bug)."""
+    the erase read passes an EXPLICIT schema (partition col as
+    string), so the reconstructed path is always the verbatim on-disk
+    dir without ever touching the session-global inference conf
+    (round-9 ADVICE: the conf toggle leaked string-typed partition
+    columns to concurrent readers of other tables)."""
     import glob
 
     from data_lake_project_spark.operators.erasure import _erase_rows
@@ -3712,7 +3714,8 @@ def test_erasure_deletes_dirs_despite_type_inference(spark, tmp_path):
     )
     left = spark.read.parquet(path)
     assert left.count() == 5
-    # the conf is restored after the erase read
+    # the session-global conf is NEVER touched (per-read schema scoping
+    # — a concurrent reader of another table can't observe the erase)
     assert (
         spark.conf.get(
             "spark.sql.sources.partitionColumnTypeInference.enabled"
