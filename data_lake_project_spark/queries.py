@@ -9162,14 +9162,18 @@ ORACLE["q163_ivf_recall_report"] = """
         SELECT e.probe_id, count(*)::BIGINT AS n_hit
         FROM ex e JOIN appr a USING (probe_id, vec_id) GROUP BY 1
     )
-    SELECT ne.probe_id, n_exact,
+    -- FULL join mirrors recall_report (similarity.py): a probe seen
+    -- ONLY by the approx lane must round-trip as an n_exact=0 anomaly
+    -- row on BOTH engines, not surface as an opaque hash mismatch
+    SELECT probe_id,
+           coalesce(n_exact, 0)::BIGINT AS n_exact,
            coalesce(n_approx, 0)::BIGINT AS n_approx,
            coalesce(n_hit, 0)::BIGINT AS n_hit,
-           CASE WHEN n_exact > 0 THEN
+           CASE WHEN coalesce(n_exact, 0) > 0 THEN
                floor(coalesce(n_hit, 0)::DOUBLE / n_exact::DOUBLE
                      * 10000.0 + 0.5) / 10000.0
            END AS recall
-    FROM ne LEFT JOIN na USING (probe_id) LEFT JOIN nh USING (probe_id)
+    FROM ne FULL JOIN na USING (probe_id) LEFT JOIN nh USING (probe_id)
     ORDER BY probe_id
 """
 
@@ -9287,14 +9291,18 @@ ORACLE["q166_lsh_recall_report"] = f"""
         SELECT e.probe_id, count(*)::BIGINT AS n_hit
         FROM ex e JOIN appr a USING (probe_id, vec_id) GROUP BY 1
     )
-    SELECT ne.probe_id, n_exact,
+    -- FULL join mirrors recall_report (similarity.py): a probe seen
+    -- ONLY by the approx lane must round-trip as an n_exact=0 anomaly
+    -- row on BOTH engines, not surface as an opaque hash mismatch
+    SELECT probe_id,
+           coalesce(n_exact, 0)::BIGINT AS n_exact,
            coalesce(n_approx, 0)::BIGINT AS n_approx,
            coalesce(n_hit, 0)::BIGINT AS n_hit,
-           CASE WHEN n_exact > 0 THEN
+           CASE WHEN coalesce(n_exact, 0) > 0 THEN
                floor(coalesce(n_hit, 0)::DOUBLE / n_exact::DOUBLE
                      * 10000.0 + 0.5) / 10000.0
            END AS recall
-    FROM ne LEFT JOIN na USING (probe_id) LEFT JOIN nh USING (probe_id)
+    FROM ne FULL JOIN na USING (probe_id) LEFT JOIN nh USING (probe_id)
     ORDER BY probe_id
 """
 
@@ -9388,14 +9396,18 @@ ORACLE["q164_pq_recall_report"] = """
         SELECT e.probe_id, count(*)::BIGINT AS n_hit
         FROM ex e JOIN appr a USING (probe_id, vec_id) GROUP BY 1
     )
-    SELECT ne.probe_id, n_exact,
+    -- FULL join mirrors recall_report (similarity.py): a probe seen
+    -- ONLY by the approx lane must round-trip as an n_exact=0 anomaly
+    -- row on BOTH engines, not surface as an opaque hash mismatch
+    SELECT probe_id,
+           coalesce(n_exact, 0)::BIGINT AS n_exact,
            coalesce(n_approx, 0)::BIGINT AS n_approx,
            coalesce(n_hit, 0)::BIGINT AS n_hit,
-           CASE WHEN n_exact > 0 THEN
+           CASE WHEN coalesce(n_exact, 0) > 0 THEN
                floor(coalesce(n_hit, 0)::DOUBLE / n_exact::DOUBLE
                      * 10000.0 + 0.5) / 10000.0
            END AS recall
-    FROM ne LEFT JOIN na USING (probe_id) LEFT JOIN nh USING (probe_id)
+    FROM ne FULL JOIN na USING (probe_id) LEFT JOIN nh USING (probe_id)
     ORDER BY probe_id
 """
 
@@ -9437,7 +9449,7 @@ ORACLE["q165_ivfpq_recall_report"] = """
         SELECT vec_id, ci AS bucket FROM (
             SELECT u.vec_id, cent.ci,
                    row_number() OVER (PARTITION BY u.vec_id
-                       ORDER BY list_sum(list_transform(range(64),
+                       ORDER BY list_sum(list_transform(range(len(u.uv)),
                            i -> u.uv[i+1] * cent.cu[i+1])) DESC,
                            cent.ci ASC) AS rk
             FROM u, cent
@@ -9516,14 +9528,18 @@ ORACLE["q165_ivfpq_recall_report"] = """
         SELECT e.probe_id, count(*)::BIGINT AS n_hit
         FROM ex e JOIN appr a USING (probe_id, vec_id) GROUP BY 1
     )
-    SELECT ne.probe_id, n_exact,
+    -- FULL join mirrors recall_report (similarity.py): a probe seen
+    -- ONLY by the approx lane must round-trip as an n_exact=0 anomaly
+    -- row on BOTH engines, not surface as an opaque hash mismatch
+    SELECT probe_id,
+           coalesce(n_exact, 0)::BIGINT AS n_exact,
            coalesce(n_approx, 0)::BIGINT AS n_approx,
            coalesce(n_hit, 0)::BIGINT AS n_hit,
-           CASE WHEN n_exact > 0 THEN
+           CASE WHEN coalesce(n_exact, 0) > 0 THEN
                floor(coalesce(n_hit, 0)::DOUBLE / n_exact::DOUBLE
                      * 10000.0 + 0.5) / 10000.0
            END AS recall
-    FROM ne LEFT JOIN na USING (probe_id) LEFT JOIN nh USING (probe_id)
+    FROM ne FULL JOIN na USING (probe_id) LEFT JOIN nh USING (probe_id)
     ORDER BY probe_id
 """
 
@@ -9631,7 +9647,7 @@ ORACLE["q170_ann_index_injected_search"] = """
         SELECT vec_id, ci AS bucket FROM (
             SELECT u.vec_id, cent.ci,
                    row_number() OVER (PARTITION BY u.vec_id
-                       ORDER BY list_sum(list_transform(range(64),
+                       ORDER BY list_sum(list_transform(range(len(u.uv)),
                            i -> u.uv[i+1] * cent.cu[i+1])) DESC,
                            cent.ci ASC) AS rk
             FROM u, cent
@@ -9721,7 +9737,7 @@ ORACLE["q171_kmeans_assign_report"] = """
         SELECT vec_id, ci AS cluster FROM (
             SELECT u.vec_id, cent.ci,
                    row_number() OVER (PARTITION BY u.vec_id
-                       ORDER BY list_sum(list_transform(range(64),
+                       ORDER BY list_sum(list_transform(range(len(u.uv)),
                            i -> u.uv[i+1] * cent.cu[i+1])) DESC,
                            cent.ci ASC) AS rk
             FROM u, cent
@@ -9762,7 +9778,7 @@ ORACLE["q172_semantic_dedup_report"] = """
         SELECT vec_id, ci AS cluster FROM (
             SELECT u.vec_id, cent.ci,
                    row_number() OVER (PARTITION BY u.vec_id
-                       ORDER BY list_sum(list_transform(range(64),
+                       ORDER BY list_sum(list_transform(range(len(u.uv)),
                            i -> u.uv[i+1] * cent.cu[i+1])) DESC,
                            cent.ci ASC) AS rk
             FROM u, cent
@@ -9776,7 +9792,7 @@ ORACLE["q172_semantic_dedup_report"] = """
         SELECT DISTINCT b.vec_id
         FROM m a JOIN m b
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        WHERE list_sum(list_transform(range(64),
+        WHERE list_sum(list_transform(range(len(a.v)),
                   i -> a.v[i+1] * b.v[i+1])) / (a.nrm * b.nrm) >= 0.4
     ),
     tot AS (
@@ -10043,6 +10059,12 @@ ORACLE["q173_chunk_index_recall_report"] = f"""
                    toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
                    AS chunk_text
         FROM g
+        -- mirrors the Spark side's assert_true(chunk_id < 4096): a
+        -- doc with more chunks would silently collide packed vec_ids
+        -- in DuckDB while Spark fails loud — fail loud here too
+        WHERE CASE WHEN chunk_id < 4096 THEN TRUE
+                   ELSE error('q173 oracle: chunk_id >= 4096 — packed '
+                              'vec_id collision') = '' END
     ), cv AS (
         SELECT vec_id,
                {_Q142_EMBED.format(src="chunk_text")} AS v
@@ -10060,7 +10082,7 @@ ORACLE["q173_chunk_index_recall_report"] = f"""
             SELECT cn.vec_id, c.ci,
                    row_number() OVER (
                        PARTITION BY cn.vec_id
-                       ORDER BY list_sum(list_transform(range(16),
+                       ORDER BY list_sum(list_transform(range(len(cn.v)),
                                 i -> cn.v[i+1] * c.cvv[i+1]))
                                 / (cn.nrm * c.cnn)
                                 DESC, c.ci DESC) AS rk
@@ -10079,7 +10101,7 @@ ORACLE["q173_chunk_index_recall_report"] = f"""
             SELECT p.probe_id, c.ci,
                    row_number() OVER (
                        PARTITION BY p.probe_id
-                       ORDER BY list_sum(list_transform(range(16),
+                       ORDER BY list_sum(list_transform(range(len(p.pv)),
                                 i -> p.pv[i+1] * c.cvv[i+1]))
                                 / (p.pn * c.cnn)
                                 DESC, c.ci DESC) AS rk
@@ -10093,7 +10115,7 @@ ORACLE["q173_chunk_index_recall_report"] = f"""
             SELECT cd.probe_id, cd.vec_id,
                    row_number() OVER (PARTITION BY cd.probe_id
                        ORDER BY floor(list_sum(list_transform(
-                           range(16),
+                           range(len(pp.pv)),
                            i -> pp.pv[i+1] * cc.v[i+1])) / (pp.pn * cc.nrm)
                            * 10000.0 + 0.5) / 10000.0 DESC,
                            cd.vec_id) AS rk
@@ -10106,7 +10128,7 @@ ORACLE["q173_chunk_index_recall_report"] = f"""
             SELECT p.probe_id, c2.vec_id,
                    row_number() OVER (PARTITION BY p.probe_id
                        ORDER BY floor(list_sum(list_transform(
-                           range(16),
+                           range(len(p.pv)),
                            i -> p.pv[i+1] * c2.v[i+1])) / (p.pn * c2.nrm)
                            * 10000.0 + 0.5) / 10000.0 DESC,
                            c2.vec_id) AS rk
@@ -10119,13 +10141,17 @@ ORACLE["q173_chunk_index_recall_report"] = f"""
         SELECT e.probe_id, count(*)::BIGINT AS n_hit
         FROM ex e JOIN appr a USING (probe_id, vec_id) GROUP BY 1
     )
-    SELECT ne.probe_id, n_exact,
+    -- FULL join mirrors recall_report (similarity.py): a probe seen
+    -- ONLY by the approx lane must round-trip as an n_exact=0 anomaly
+    -- row on BOTH engines, not surface as an opaque hash mismatch
+    SELECT probe_id,
+           coalesce(n_exact, 0)::BIGINT AS n_exact,
            coalesce(n_approx, 0)::BIGINT AS n_approx,
            coalesce(n_hit, 0)::BIGINT AS n_hit,
-           CASE WHEN n_exact > 0 THEN
+           CASE WHEN coalesce(n_exact, 0) > 0 THEN
                floor(coalesce(n_hit, 0)::DOUBLE / n_exact::DOUBLE
                      * 10000.0 + 0.5) / 10000.0
            END AS recall
-    FROM ne LEFT JOIN na USING (probe_id) LEFT JOIN nh USING (probe_id)
+    FROM ne FULL JOIN na USING (probe_id) LEFT JOIN nh USING (probe_id)
     ORDER BY probe_id
 """
