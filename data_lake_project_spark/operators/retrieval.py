@@ -401,6 +401,67 @@ def rrf_fuse(
     )
 
 
+def mine_hard_negatives(
+    results: DataFrame,
+    positives: DataFrame,
+    k_neg: int = 5,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training — the
+    classic BM25-negatives recipe (Karpukhin et al., "Dense Passage
+    Retrieval", EMNLP 2020): from a retrieval lane's ranked top-k
+    ``results``, drop the known ``positives`` (anti-join on
+    (query, id)) and keep the ``k_neg`` best-ranked survivors per
+    query. Documents a lexical retriever scores highly but the
+    relevance set rejects are exactly the confusable pairs a
+    contrastive loss needs; random negatives are trivially separable
+    and teach nothing. Output is the labeled training-pair frame:
+    positives as ``role='pos'`` with ``pair_rank`` 0, mined negatives
+    as ``role='neg'`` re-numbered 1..k_neg by (lane rank, id) — a
+    downstream trainer groups by query and reads (pos, negs) batches
+    straight off it.
+
+    Deterministic: anti-join + row_number with a total tiebreak —
+    integer-only, so a SQL oracle re-derives it exactly.
+
+    Scale: both inputs are (queries x k)-sized whatever the corpus
+    was — the mining join is training-set-shaped, never corpus-
+    shaped. Each input feeds two consumers (positives: pass-through +
+    anti-join; results: only once, but the lane subtree above it is
+    expensive), so the caller should pass eagerly-cut frames (the
+    q141/q148 multi-consumer rule); positives is cut here because
+    BOTH consumers are local.
+    """
+    pos = (
+        positives.select(query_id_col, id_col)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    wneg = Window.partitionBy(query_id_col).orderBy(
+        F.col(rank_col), F.col(id_col)
+    )
+    neg = (
+        results.select(query_id_col, id_col, rank_col)
+        .join(pos, [query_id_col, id_col], "left_anti")
+        .withColumn("pair_rank", F.row_number().over(wneg))
+        .filter(F.col("pair_rank") <= k_neg)
+        .select(
+            query_id_col,
+            id_col,
+            F.lit("neg").alias("role"),
+            F.col("pair_rank").cast("long"),
+        )
+    )
+    return pos.select(
+        query_id_col,
+        id_col,
+        F.lit("pos").alias("role"),
+        F.lit(0).cast("long").alias("pair_rank"),
+    ).unionByName(neg)
+
+
 def dcg_weight_literals(k: int) -> tuple[list[str], list[str]]:
     """The DCG rank discounts ``1/log2(rank+1)`` for ranks 1..k and
     their exact prefix sums, as DECIMAL(16,12) literal strings.

@@ -106,6 +106,65 @@ def brute_force_topk(
     )
 
 
+def knn_graph(
+    vecs: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mutual: bool = True,
+    round_digits: int = 4,
+    impl: str = "expr",
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph over an embedding table —
+    every vector probes the corpus it belongs to. With ``mutual``
+    (the default) an edge survives only when EACH endpoint ranks the
+    other inside its own top-k — the standard symmetrization that
+    strips hub artifacts (a density hub sits in everyone's top-k;
+    almost nobody sits in its). The mutual edge list is the building
+    block for density-based diversity sampling and graph dedup: feed
+    it to ``dedup.connected_components`` for similarity clusters.
+
+    Output: (src, dst, cosine) with ``src < dst`` under ``mutual``
+    (cosine is symmetric, so one undirected row per pair); the raw
+    directed (src, dst, cosine) top-k edges otherwise.
+
+    Scale: the exact scorer is deliberately brute-force — correct
+    baseline first (the q163-q166 recall-report pattern measures
+    approximations AGAINST it). At corpus scale, run per IVF/LSH
+    bucket (the blocked shape ``dedup.embedding_neardup`` uses) or
+    swap ``brute_force_topk`` for ``ann_index`` probes; the mutual
+    semi-join and everything after are (N x k)-sized regardless of
+    corpus width. The directed edge frame feeds two consumers (both
+    join sides), so it is eagerly cut once.
+    """
+    probes = vecs.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col)
+    )
+    edges = brute_force_topk(
+        vecs,
+        probes,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+        impl=impl,
+        exclude_self=True,
+    ).select(
+        F.col("probe_id").alias("src"),
+        F.col(id_col).alias("dst"),
+        "cosine",
+    )
+    if not mutual:
+        return edges
+    edges = edges.localCheckpoint(eager=True)
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return edges.join(rev, ["src", "dst"], "left_semi").filter(
+        F.col("src") < F.col("dst")
+    )
+
+
 def _brute_force_topk_arrow(
     corpus: DataFrame,
     probes: DataFrame,

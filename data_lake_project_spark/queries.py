@@ -4996,6 +4996,160 @@ def q176_retrieval_quality_report(spark, sf):
     return rep_lex.unionByName(rep_rrf).orderBy("lane", "query_id")
 
 
+def q177_stream_funnel_report(spark, sf):
+    """The CUSTOM-STATEFUL streaming funnel
+    (``streaming/stateful.funnel_stages`` — St3's
+    ``applyInPandasWithState`` per-key state machine) executed as a
+    REAL Structured Streaming query and hash-pinned against q69's
+    relational min-chain oracle: the whole fixture arrives as ONE
+    availableNow micro-batch (in-order delivery by construction), so
+    the final per-user snapshot equals the batch fold exactly — the
+    documented contract ``test_funnel_stream_equals_batch`` pins
+    across 4 batches, here made driver-visible (the q175 recipe
+    applied to the stateful family; the last equivalence-only lane
+    gains a driver row). The file source needs a DIRECTORY, so the
+    fixture file is exposed through a content-keyed /tmp symlink dir
+    (no data copy). Scale: state is O(stages) epoch-micros per key in
+    the executor state store (RocksDB on a cluster); the memory-sink
+    snapshot here is per-key depth rows — a deployment writes the
+    idempotent parquet sink (``write_stream_idempotent``) instead."""
+    import os as _os
+
+    from data_lake_project_spark.streaming.stateful import funnel_stages
+
+    load_table(spark, sf, "events")  # pins TZ + nanos confs
+    path = f"{sf.rstrip('/')}/events.parquet"
+    st = _os.stat(path)
+    src_dir = (
+        f"/tmp/spark_graft_q177_src_{st.st_size}_{int(st.st_mtime)}"
+    )
+    _os.makedirs(src_dir, exist_ok=True)
+    link = _os.path.join(src_dir, "events.parquet")
+    if not _os.path.exists(link):
+        try:
+            _os.symlink(path, link)
+        except FileExistsError:  # concurrent publisher won the race
+            pass
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(src_dir)
+    q = (
+        funnel_stages(stream)
+        .writeStream.format("memory")
+        .queryName("q177_funnel_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    # depth is monotone: the snapshot per key is the max stage across
+    # updates (single-batch here, but robust to a multi-file source)
+    snap = spark.table("q177_funnel_mem").groupBy("key").agg(
+        F.max("stage").alias("stage")
+    )
+    return (
+        snap.select(
+            F.when(F.col("stage") == 3, "3_purchase")
+            .when(F.col("stage") == 2, "2_click")
+            .when(F.col("stage") == 1, "1_view")
+            .otherwise("0_none")
+            .alias("stage")
+        )
+        .groupBy("stage")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+def q178_hard_negative_mining(spark, sf):
+    """Contrastive training-pair mining for the retrieval ladder
+    (``operators.retrieval.mine_hard_negatives`` — the DPR
+    BM25-negatives recipe): the dense exact top-3 per query is the
+    positive set, the BM25 top-10 minus those positives yields the 5
+    highest-ranked hard negatives — documents the lexical retriever
+    finds confusable but the relevance set rejects, exactly what an
+    embedding-model trainer needs next to each positive. Output is
+    the labeled (query, doc, role, pair_rank) training frame. Plan:
+    both lanes are (queries x k)-sized after their own top-k cuts;
+    the mining itself is an anti-join + window over tens of rows —
+    training-set-shaped, never corpus-shaped."""
+    from data_lake_project_spark.operators.retrieval import (
+        bm25_topk,
+        mine_hard_negatives,
+    )
+
+    d = load_table(spark, sf, "documents")
+    qdf = spark.createDataFrame(
+        _Q176_QUERIES, "query_id int, qtext string"
+    )
+    lex10 = (
+        bm25_topk(d, qdf, k=10)
+        .select("query_id", "doc_id", "rk")
+        .localCheckpoint(eager=True)
+    )
+    corpus = d.select(
+        F.col("doc_id").alias("vec_id"),
+        hash_embedding("text", 16).alias("embedding"),
+    )
+    probes = qdf.select(
+        F.col("query_id").alias("probe_id"),
+        hash_embedding("qtext", 16).alias("embedding"),
+    )
+    # exclude_self=False: query ids and doc ids are independent
+    # namespaces that merely overlap (the q145 rule)
+    pos = SIM.brute_force_topk(
+        corpus, probes, k=3, exclude_self=False
+    ).select(
+        F.col("probe_id").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+    )
+    return mine_hard_negatives(lex10, pos, k_neg=5).orderBy(
+        "query_id", "role", "pair_rank", "doc_id"
+    )
+
+
+def q179_k_anonymity_report(spark, sf):
+    """Privacy-risk audit before a data release
+    (``operators.privacy.k_anonymity_report``): customers bucketed by
+    the quasi-identifier pair (nation, account-balance-per-1000) —
+    the generalized attributes a linker could join on — with market
+    segment as the sensitive attribute. One row per QI equivalence
+    class: size ``k``, sensitive diversity ``l_div``, and the
+    ``risky`` flag for classes under k=5 (re-identifiable). Plan: a
+    single hash-groupBy with partial aggregation — keyed-count cost
+    at any scale. The balance bucket is exact decimal floor division
+    (no float boundary between engines)."""
+    from data_lake_project_spark.operators.privacy import (
+        k_anonymity_report,
+    )
+
+    c = load_table(spark, sf, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+            "bal_bucket"
+        ),
+        "c_mktsegment",
+    )
+    return k_anonymity_report(
+        c, ["c_nationkey", "bal_bucket"], "c_mktsegment", k_threshold=5
+    ).orderBy("c_nationkey", "bal_bucket")
+
+
+def q180_mutual_knn_graph(spark, sf):
+    """Mutual k-nearest-neighbor graph over the embeddings table
+    (``operators.similarity.knn_graph``): every vector probes the
+    corpus, and an undirected edge survives only when both endpoints
+    rank each other in their own top-10 — the hub-stripping
+    symmetrization whose edge list feeds diversity sampling and
+    graph dedup (``connected_components``). Expr lane for the oracle
+    (sequential-fold dot products are bit-identical to DuckDB's
+    list_sum — the q22 rule); the Arrow/BLAS lane is the documented
+    production scorer, and at corpus scale the probe pass runs per
+    IVF/LSH bucket instead of brute-force."""
+    e = load_table(spark, sf, "embeddings")
+    return SIM.knn_graph(e, k=10, mutual=True).orderBy("src", "dst")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5180,6 +5334,10 @@ QUERIES: dict[str, QueryFn] = {
     "q174_bpe_merge_trace": q174_bpe_merge_trace,
     "q175_stream_interval_join_report": q175_stream_interval_join_report,
     "q176_retrieval_quality_report": q176_retrieval_quality_report,
+    "q177_stream_funnel_report": q177_stream_funnel_report,
+    "q178_hard_negative_mining": q178_hard_negative_mining,
+    "q179_k_anonymity_report": q179_k_anonymity_report,
+    "q180_mutual_knn_graph": q180_mutual_knn_graph,
 }
 
 _SHINGLE_CTE = """
@@ -10154,4 +10312,124 @@ ORACLE["q173_chunk_index_recall_report"] = f"""
            END AS recall
     FROM ne FULL JOIN na USING (probe_id) LEFT JOIN nh USING (probe_id)
     ORDER BY probe_id
+"""
+
+
+# q177: the streaming funnel shares q69's oracle verbatim (the q28b
+# precedent: two engine lanes, one contract) — a single availableNow
+# batch delivers the fixture in order, and the stateful fold's
+# strict-after + 24h-horizon semantics ARE the batch fold's, so the
+# snapshot is the same relational min-chain DuckDB runs.
+ORACLE["q177_stream_funnel_report"] = ORACLE["q69_funnel"]
+
+
+# q178: both lanes re-derived in SQL — the BM25 CTE chain (shared
+# with q144/q176) and the dense exact top-3 (the q176 dense lane at
+# k=3); mining is pure integer set algebra, so the whole training
+# frame is hash-checkable.
+_Q178_ROWS = ", ".join(
+    f"({qid}, '{qt}')" for qid, qt in _Q176_QUERIES
+)
+ORACLE["q178_hard_negative_mining"] = f"""
+    WITH {_bm25_lane_sql(_Q178_ROWS)},
+    lex10 AS (SELECT query_id, doc_id, rk FROM lex WHERE rk <= 10),
+    dv AS (
+        SELECT doc_id, {_Q142_EMBED.format(src="text")} AS v
+        FROM documents
+    ),
+    dn AS (
+        SELECT doc_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM dv
+    ),
+    qv AS (
+        SELECT query_id, {_Q142_EMBED.format(src="qtext")} AS p
+        FROM (VALUES {_Q178_ROWS}) AS qq2(query_id, qtext)
+    ),
+    qn2 AS (
+        SELECT query_id, p,
+               sqrt(list_sum(list_transform(p, x -> x * x))) AS pn
+        FROM qv
+    ),
+    ds AS (
+        SELECT q.query_id, d.doc_id,
+               floor(list_sum(list_transform(range(len(d.v)),
+                         i -> q.p[i+1] * d.v[i+1])) / (q.pn * d.nrm)
+                     * 10000.0 + 0.5) / 10000.0 AS cosine
+        FROM qn2 q, dn d
+    ),
+    den AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, doc_id) AS rk
+        FROM ds
+    ),
+    pos AS (SELECT query_id, doc_id FROM den WHERE rk <= 3),
+    neg AS (
+        SELECT l.query_id, l.doc_id,
+               row_number() OVER (PARTITION BY l.query_id
+                                  ORDER BY l.rk, l.doc_id) AS pair_rank
+        FROM lex10 l
+        WHERE NOT EXISTS (SELECT 1 FROM pos p
+                          WHERE p.query_id = l.query_id
+                            AND p.doc_id = l.doc_id)
+    )
+    SELECT * FROM (
+        SELECT query_id, doc_id, 'pos' AS role, 0::BIGINT AS pair_rank
+        FROM pos
+        UNION ALL
+        SELECT query_id, doc_id, 'neg' AS role, pair_rank::BIGINT
+        FROM neg WHERE pair_rank <= 5
+    ) ORDER BY query_id, role, pair_rank, doc_id
+"""
+
+
+# q179: exact decimal floor-division bucket (c_acctbal is
+# DECIMAL(15,2); /1000 stays decimal on both engines — no float
+# boundary); counts and the boolean flag are integer-exact.
+ORACLE["q179_k_anonymity_report"] = """
+    SELECT c_nationkey,
+           floor(c_acctbal / 1000)::BIGINT AS bal_bucket,
+           count(*)::BIGINT AS k,
+           count(DISTINCT c_mktsegment)::BIGINT AS l_div,
+           count(*) < 5 AS risky
+    FROM customer
+    GROUP BY 1, 2
+    ORDER BY c_nationkey, bal_bucket
+"""
+
+
+# q180: full directed top-10 per vector, then the mutual filter as a
+# self-join — cosine via sequential sums (DuckDB list_sum == Spark
+# aggregate fold, the q22 parity rule), ranked on pround(.,4).
+ORACLE["q180_mutual_knn_graph"] = """
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM v
+    ),
+    e AS (
+        SELECT src, dst, cosine FROM (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   floor(list_sum(list_transform(range(len(a.v)),
+                             i -> a.v[i+1] * b.v[i+1]))
+                         / (a.nrm * b.nrm) * 10000.0 + 0.5) / 10000.0
+                       AS cosine,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY floor(list_sum(list_transform(
+                                    range(len(a.v)),
+                                    i -> a.v[i+1] * b.v[i+1]))
+                                / (a.nrm * b.nrm) * 10000.0 + 0.5)
+                                / 10000.0 DESC, b.vec_id) AS rk
+            FROM n a, n b WHERE a.vec_id <> b.vec_id
+        ) WHERE rk <= 10
+    )
+    SELECT e.src, e.dst, e.cosine
+    FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src
+    WHERE e.src < e.dst
+    ORDER BY e.src, e.dst
 """

@@ -4468,3 +4468,111 @@ def test_injected_ragged_centroids_fail_fast(spark):
         build_ann_index(e, kind="ivf", centroids=ragged)
     with _pytest.raises(ValueError, match="ragged centroid widths"):
         ivfpq_topk(e, probes, centroids=ragged, codebooks=cb)
+
+
+# ---------------------------------------------------------------------------
+# Round 10: hard-negative mining, k-anonymity, mutual-kNN graph
+# ---------------------------------------------------------------------------
+
+
+def test_mine_hard_negatives_labels_and_caps(spark):
+    """Positives pass through as role='pos'/rank 0; negatives exclude
+    every positive, renumber 1..k_neg by (lane rank, id), and cap at
+    k_neg per query."""
+    from data_lake_project_spark.operators.retrieval import (
+        mine_hard_negatives,
+    )
+
+    results = spark.createDataFrame(
+        [(1, d, r) for r, d in enumerate([10, 11, 12, 13, 14, 15], 1)]
+        + [(2, d, r) for r, d in enumerate([20, 21, 22], 1)],
+        "query_id int, doc_id int, rk int",
+    )
+    pos = spark.createDataFrame(
+        [(1, 11), (1, 13), (2, 99)], "query_id int, doc_id int"
+    )
+    got = {
+        (r.query_id, r.doc_id, r.role, r.pair_rank)
+        for r in mine_hard_negatives(results, pos, k_neg=3).collect()
+    }
+    assert got == {
+        (1, 11, "pos", 0),
+        (1, 13, "pos", 0),
+        (2, 99, "pos", 0),  # a positive absent from the lane still emits
+        (1, 10, "neg", 1),
+        (1, 12, "neg", 2),
+        (1, 14, "neg", 3),  # 15 cut by k_neg=3
+        (2, 20, "neg", 1),
+        (2, 21, "neg", 2),
+        (2, 22, "neg", 3),
+    }
+
+
+def test_k_anonymity_report_and_summary(spark):
+    """Class sizes, exact l-diversity, the risky flag, and the
+    release-gate rollup; empty QI list fails loud."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.privacy import (
+        k_anonymity_report,
+        k_anonymity_summary,
+    )
+
+    df = spark.createDataFrame(
+        # class (1,'a'): 3 rows, 2 sensitive values; (1,'b'): 1 row;
+        # (2,'a'): 2 rows, 1 value
+        [(1, "a", "x"), (1, "a", "x"), (1, "a", "y"),
+         (1, "b", "z"), (2, "a", "x"), (2, "a", "x")],
+        "g int, h string, s string",
+    )
+    rep = k_anonymity_report(df, ["g", "h"], "s", k_threshold=2)
+    got = {
+        (r.g, r.h): (r.k, r.l_div, r.risky) for r in rep.collect()
+    }
+    assert got == {
+        (1, "a"): (3, 2, False),
+        (1, "b"): (1, 1, True),
+        (2, "a"): (2, 1, False),
+    }
+    s = k_anonymity_summary(rep).collect()[0]
+    assert (
+        s.n_classes, s.min_k, s.min_l, s.n_risky_classes, s.n_risky_rows
+    ) == (3, 1, 1, 1, 1)
+    with _pytest.raises(ValueError, match="quasi_cols is empty"):
+        k_anonymity_report(df, [], "s")
+
+
+def test_knn_graph_mutual_symmetry_and_directed_lane(spark):
+    """Mutual edges are exactly the directed top-k edge pairs present
+    in BOTH directions, emitted once with src < dst; the directed
+    lane returns per-node top-k."""
+    from data_lake_project_spark.operators.similarity import knn_graph
+
+    e = load_table(spark, SF_DIR, "embeddings").limit(60)
+    directed = knn_graph(e, k=3, mutual=False)
+    d = {(r.src, r.dst) for r in directed.collect()}
+    per_node: dict[int, int] = {}
+    for s, _ in d:
+        per_node[s] = per_node.get(s, 0) + 1
+    assert set(per_node.values()) == {3}
+    want_mutual = {(a, b) for (a, b) in d if (b, a) in d and a < b}
+    got = {(r.src, r.dst) for r in knn_graph(e, k=3, mutual=True).collect()}
+    assert got == want_mutual
+    assert all(a < b for a, b in got)
+
+
+def test_knn_graph_arrow_lane_matches_expr(spark):
+    """The BLAS production lane produces the same mutual edge set as
+    the oracle-exact expr lane (the q28b parity contract, graph-level)."""
+    from data_lake_project_spark.operators.similarity import knn_graph
+
+    e = load_table(spark, SF_DIR, "embeddings").limit(120)
+    ex = {
+        (r.src, r.dst, r.cosine)
+        for r in knn_graph(e, k=5, impl="expr").collect()
+    }
+    ar = {
+        (r.src, r.dst, r.cosine)
+        for r in knn_graph(e, k=5, impl="arrow").collect()
+    }
+    assert ex == ar

@@ -599,6 +599,42 @@ def test_round9_operators_pin_their_shuffle_budget(
     )
 
 
+@pytest.mark.parametrize(
+    ("qname", "max_exchanges"),
+    [
+        # the returned frame aggregates the memory-sink snapshot: two
+        # small aggs + sort; the stateful stream itself already ran
+        ("q177_stream_funnel_report", 3),
+        # lex10 and the dense positives are each cut once; mining is
+        # an anti-join + window + union over (queries x k) rows
+        ("q178_hard_negative_mining", 4),
+        # ONE hash-groupBy (partial-agg'd) + the report sort
+        ("q179_k_anonymity_report", 3),
+        # directed top-k edges cut once; mutual = one semi-join over
+        # (N x k) rows + sort — never the N x N score stream
+        ("q180_mutual_knn_graph", 3),
+    ],
+)
+def test_round10_operators_pin_their_shuffle_budget(
+    spark, qname, max_exchanges
+):
+    """Round-10 plan-shape pins — same contract as the earlier sets.
+    All four returned plans must also stay free of BNLJ and Python
+    eval nodes (their expensive subtrees are checkpoint-cut)."""
+    from data_lake_project_spark.queries import QUERIES
+
+    df = QUERIES[qname](spark, "/root/testdata/sf0.001")
+    n = P.exchange_count(df)
+    assert n <= max_exchanges, (
+        f"{qname}: {n} exchanges > {max_exchanges}\n"
+        + P.explain_str(df)[:3000]
+    )
+    plan = P.explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_write_zordered_narrows_footer_envelopes(spark, tmp_path):
     """The layout claim made REAL: after write_zordered, the parquet
     row-group stats (the pruning surface) carry envelopes on BOTH
