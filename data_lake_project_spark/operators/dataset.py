@@ -684,3 +684,61 @@ def importance_weights(
             ).alias("importance"),
         )
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reliability-diagram bins for a quality scorer — the audit a
+    curation pipeline runs before trusting a classifier threshold
+    (the FineWeb/quality-filter tuning loop): rank rows by predicted
+    score into ``n_bins`` equal-count bins (ntile with a total
+    (score, id) order — deterministic under ties, and Spark's and
+    ANSI SQL's ntile share the remainder-to-leading-buckets rule),
+    then report per bin the row count, the positive-label count and
+    rate, and the score envelope. A well-calibrated scorer shows
+    ``good_rate`` rising monotonically with the bin; a flat diagram
+    says the score carries no signal at that granularity.
+
+    Determinism: counting + one exact division (pround) + min/max of
+    already-rounded scores — no averaging of floats (a float mean
+    sums in engine-dependent order; the envelope is order-free), so
+    a SQL oracle re-derives every cell.
+
+    Scale: one global ntile is a single-partition sort of (score, id)
+    pairs — fine for audit-sized frames; at corpus scale pre-bucket
+    by score range (width_bucket-style) or sample first. The report
+    itself is n_bins rows.
+    """
+    from data_lake_project_spark.functions import pround
+
+    w = Window.orderBy(F.col(score_col), F.col(id_col))
+    b = scored.select(
+        F.col(score_col), F.col(label_col), F.col(id_col)
+    ).withColumn("bin", F.ntile(n_bins).over(w))
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col(label_col), 1).otherwise(0))
+            .cast("long")
+            .alias("n_good"),
+            F.min(score_col).alias("min_score"),
+            F.max(score_col).alias("max_score"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n",
+            "n_good",
+            pround(
+                F.col("n_good").cast("double") / F.col("n").cast("double"),
+                4,
+            ).alias("good_rate"),
+            "min_score",
+            "max_score",
+        )
+    )

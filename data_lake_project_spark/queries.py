@@ -5155,6 +5155,33 @@ def q180_mutual_knn_graph(spark, sf):
     return SIM.knn_graph(e, k=10, mutual=True).orderBy("src", "dst")
 
 
+def q181_quality_calibration(spark, sf):
+    """Reliability diagram for the q30 quality scorer
+    (``operators.dataset.calibration_report``): documents ranked into
+    10 equal-count bins by predicted quality (deterministic
+    (score, doc_id) ntile), each bin reporting row count, the
+    token-richness proxy label's positive count/rate (n_tokens >= 40
+    — the threshold a curation gate would tune), and the score
+    envelope — the audit that justifies (or kills) a classifier
+    threshold before it filters a corpus. Counting + one exact
+    division + order-free min/max of pre-rounded scores keep every
+    cell hash-checkable; the global ntile is audit-sized here and
+    pre-bucketed at corpus scale (see the operator docstring)."""
+    from data_lake_project_spark.operators.dataset import (
+        calibration_report,
+    )
+
+    d = load_table(spark, sf, "documents")
+    scored = TX.quality_score(d).select(
+        "doc_id",
+        "quality",
+        (F.col("n_tokens") >= 40).alias("is_good"),
+    )
+    return calibration_report(
+        scored, "quality", "is_good", n_bins=10
+    ).orderBy("bin")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5343,6 +5370,7 @@ QUERIES: dict[str, QueryFn] = {
     "q178_hard_negative_mining": q178_hard_negative_mining,
     "q179_k_anonymity_report": q179_k_anonymity_report,
     "q180_mutual_knn_graph": q180_mutual_knn_graph,
+    "q181_quality_calibration": q181_quality_calibration,
 }
 
 _SHINGLE_CTE = """
@@ -10437,4 +10465,62 @@ ORACLE["q180_mutual_knn_graph"] = """
     FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src
     WHERE e.src < e.dst
     ORDER BY e.src, e.dst
+"""
+
+
+# q181: the q30 score CTEs verbatim + ntile over the same total
+# (quality, doc_id) order (both engines share the remainder-to-
+# leading-buckets ntile rule); cells are counts, one pround division,
+# and min/max of already-rounded scores — no float means anywhere.
+ORACLE["q181_quality_calibration"] = """
+    WITH t AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               length(text) AS n_chars_m,
+               len(toks) AS n_tokens,
+               len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+               len(list_filter(list_transform(toks, x -> lower(x)),
+                   x -> list_contains(
+                       ['the','a','of','and','to','in','is',
+                        'le','la','et','les','des','un','une',
+                        'el','y','los','de','una',
+                        'der','die','das','und','ein','zu','von',
+                        'de5','shi4','le5','zai4','he2','you3','wo3'], x)))
+                   AS n_stop
+        FROM t
+    ),
+    r AS (
+        SELECT doc_id, n_tokens,
+               floor(n_punct / greatest(n_chars_m, 1)::DOUBLE * 10000.0 + 0.5)
+                   / 10000.0 AS punct_ratio,
+               floor(n_stop / greatest(n_tokens, 1)::DOUBLE * 10000.0 + 0.5)
+                   / 10000.0 AS stop_ratio,
+               least(n_tokens::DOUBLE / 100.0, 1.0) AS length_term
+        FROM s
+    ),
+    q AS (
+        SELECT doc_id, n_tokens >= 40 AS is_good,
+               floor((0.5 * length_term + 0.3 * (1.0 - punct_ratio)
+                     + 0.2 * stop_ratio) * 10000.0 + 0.5) / 10000.0
+                   AS quality
+        FROM r
+    ),
+    b AS (
+        SELECT quality, is_good,
+               ntile(10) OVER (ORDER BY quality, doc_id) AS bin
+        FROM q
+    )
+    SELECT bin::BIGINT AS bin,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN is_good THEN 1 ELSE 0 END)::BIGINT AS n_good,
+           floor(sum(CASE WHEN is_good THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE * 10000.0 + 0.5) / 10000.0
+               AS good_rate,
+           min(quality) AS min_score,
+           max(quality) AS max_score
+    FROM b GROUP BY bin ORDER BY bin
 """

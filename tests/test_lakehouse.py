@@ -720,3 +720,18 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     )
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)]" in plan
     assert "ReadSchema" in plan and "v:double" not in plan
+
+
+def test_fs_list_statuses_limit_stops_early(spark, tmp_path):
+    """limit= bounds the listing (the erasure schema probe must never
+    drain a full-table listing to find one leaf file)."""
+    from data_lake_project_spark import fs
+
+    d = str(tmp_path / "many")
+    spark.range(100).repartition(10).write.parquet(d)
+    all_files = fs.list_files(spark, d, ".parquet")
+    assert len(all_files) == 10
+    one = fs.list_files(spark, d, ".parquet", limit=1)
+    assert len(one) == 1 and one[0] in all_files
+    three = fs.list_statuses(spark, d, ".parquet", limit=3)
+    assert len(three) == 3

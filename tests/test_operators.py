@@ -4576,3 +4576,26 @@ def test_knn_graph_arrow_lane_matches_expr(spark):
         for r in knn_graph(e, k=5, impl="arrow").collect()
     }
     assert ex == ar
+
+
+def test_calibration_report_bins_and_rates(spark):
+    """Equal-count bins under the (score, id) total order; counts,
+    rate and score envelope per bin; label signal shows up as a
+    rising good_rate."""
+    from data_lake_project_spark.operators.dataset import (
+        calibration_report,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i / 20.0, i >= 10) for i in range(20)],
+        "doc_id long, score double, lab boolean",
+    )
+    rep = calibration_report(
+        df, "score", "lab", n_bins=4, id_col="doc_id"
+    ).orderBy("bin")
+    rows = rep.collect()
+    assert [r.bin for r in rows] == [1, 2, 3, 4]
+    assert all(r.n == 5 for r in rows)
+    assert [r.n_good for r in rows] == [0, 0, 5, 5]
+    assert [r.good_rate for r in rows] == [0.0, 0.0, 1.0, 1.0]
+    assert rows[0].min_score == 0.0 and rows[3].max_score == 0.95

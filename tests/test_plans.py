@@ -613,6 +613,9 @@ def test_round9_operators_pin_their_shuffle_budget(
         # directed top-k edges cut once; mutual = one semi-join over
         # (N x k) rows + sort — never the N x N score stream
         ("q180_mutual_knn_graph", 3),
+        # scoring is a pure map; the audit-sized global ntile + one
+        # groupBy are the only movements
+        ("q181_quality_calibration", 2),
     ],
 )
 def test_round10_operators_pin_their_shuffle_budget(
