@@ -32,4 +32,8 @@ declarative DataFrame rewrite designed to survive a 100 TB scale-up:
                    index (O(delta) band/set fold per ingest).
 - ``bpe``        — distributed BPE tokenizer training (corpus-sized
                    word count once, vocabulary-sized merge loop).
+- ``retrieval``  — exact BM25 / RRF hybrid fusion / IR quality
+                   metrics / hard-negative mining (training pairs).
+- ``privacy``    — k-anonymity / l-diversity release-gate audit
+                   (the governance twin of ``erasure``).
 """

@@ -114,6 +114,10 @@ def knn_graph(
     mutual: bool = True,
     round_digits: int = 4,
     impl: str = "expr",
+    method: str = "exact",
+    bits: int = 6,
+    n_tables: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact k-nearest-neighbor graph over an embedding table —
     every vector probes the corpus it belongs to. With ``mutual``
@@ -128,28 +132,53 @@ def knn_graph(
     (cosine is symmetric, so one undirected row per pair); the raw
     directed (src, dst, cosine) top-k edges otherwise.
 
-    Scale: the exact scorer is deliberately brute-force — correct
+    Scale: ``method='exact'`` is deliberately brute-force — correct
     baseline first (the q163-q166 recall-report pattern measures
-    approximations AGAINST it). At corpus scale, run per IVF/LSH
-    bucket (the blocked shape ``dedup.embedding_neardup`` uses) or
-    swap ``brute_force_topk`` for ``ann_index`` probes; the mutual
-    semi-join and everything after are (N x k)-sized regardless of
-    corpus width. The directed edge frame feeds two consumers (both
-    join sides), so it is eagerly cut once.
+    approximations AGAINST it). ``method='lsh'`` IS the corpus-scale
+    shape shipped: candidates come from the deterministic md5-plane
+    multi-table LSH buckets (``bits``/``n_tables``/``dim`` as in
+    ``lsh_bucketed_topk``; each probe scans ~L*(bits+1)/2^bits of the
+    corpus), and q183's report measures the graph-level recall the
+    approximation costs. Either way the mutual semi-join and
+    everything after are (N x k)-sized regardless of corpus width.
+    The directed edge frame feeds two consumers (both join sides), so
+    it is eagerly cut once.
     """
     probes = vecs.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col)
     )
-    edges = brute_force_topk(
-        vecs,
-        probes,
-        k=k,
-        id_col=id_col,
-        vec_col=vec_col,
-        round_digits=round_digits,
-        impl=impl,
-        exclude_self=True,
-    ).select(
+    if method == "lsh":
+        # the corpus-scale scorer: candidates come from the md5-
+        # derived multi-table LSH buckets (each probe scans
+        # ~L*(bits+1)/2^bits of the corpus), the same deterministic
+        # planes q33/q166 pin — the graph-level recall vs 'exact' is
+        # what q183's report measures
+        directed = lsh_bucketed_topk(
+            vecs,
+            probes,
+            k=k,
+            bits=bits,
+            n_tables=n_tables,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    elif method == "exact":
+        directed = brute_force_topk(
+            vecs,
+            probes,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
+            impl=impl,
+            exclude_self=True,
+        )
+    else:
+        raise ValueError(
+            f"knn_graph: unknown method {method!r} (exact | lsh)"
+        )
+    edges = directed.select(
         F.col("probe_id").alias("src"),
         F.col(id_col).alias("dst"),
         "cosine",

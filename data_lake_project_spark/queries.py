@@ -5001,6 +5001,34 @@ def q176_retrieval_quality_report(spark, sf):
     return rep_lex.unionByName(rep_rrf).orderBy("lane", "query_id")
 
 
+def _stream_table_source(spark, sf, table: str):
+    """A fixture table as a Structured Streaming file source. The
+    file source needs a DIRECTORY (basePath on a file path fails in
+    FileStreamSource), so the fixture file is exposed through a
+    content-keyed /tmp symlink dir — no data copy, publish-if-absent
+    keyed on (size, mtime) like the index lifecycles. Batch-read
+    schema, so nanos handling matches ``load_table`` exactly."""
+    import os as _os
+
+    load_table(spark, sf, table)  # pins TZ + nanos confs
+    path = f"{sf.rstrip('/')}/{table}.parquet"
+    st = _os.stat(path)
+    src_dir = (
+        f"/tmp/spark_graft_stream_src_{table}_"
+        f"{st.st_size}_{int(st.st_mtime)}"
+    )
+    _os.makedirs(src_dir, exist_ok=True)
+    link = _os.path.join(src_dir, f"{table}.parquet")
+    if not _os.path.exists(link):
+        try:
+            _os.symlink(path, link)
+        except FileExistsError:  # concurrent publisher won the race
+            pass
+    return spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).parquet(src_dir)
+
+
 def q177_stream_funnel_report(spark, sf):
     """The CUSTOM-STATEFUL streaming funnel
     (``streaming/stateful.funnel_stages`` — St3's
@@ -5018,26 +5046,9 @@ def q177_stream_funnel_report(spark, sf):
     the executor state store (RocksDB on a cluster); the memory-sink
     snapshot here is per-key depth rows — a deployment writes the
     idempotent parquet sink (``write_stream_idempotent``) instead."""
-    import os as _os
-
     from data_lake_project_spark.streaming.stateful import funnel_stages
 
-    load_table(spark, sf, "events")  # pins TZ + nanos confs
-    path = f"{sf.rstrip('/')}/events.parquet"
-    st = _os.stat(path)
-    src_dir = (
-        f"/tmp/spark_graft_q177_src_{st.st_size}_{int(st.st_mtime)}"
-    )
-    _os.makedirs(src_dir, exist_ok=True)
-    link = _os.path.join(src_dir, "events.parquet")
-    if not _os.path.exists(link):
-        try:
-            _os.symlink(path, link)
-        except FileExistsError:  # concurrent publisher won the race
-            pass
-    stream = spark.readStream.schema(
-        spark.read.parquet(path).schema
-    ).parquet(src_dir)
+    stream = _stream_table_source(spark, sf, "events")
     q = (
         funnel_stages(stream)
         .writeStream.format("memory")
@@ -5153,6 +5164,85 @@ def q180_mutual_knn_graph(spark, sf):
     IVF/LSH bucket instead of brute-force."""
     e = load_table(spark, sf, "embeddings")
     return SIM.knn_graph(e, k=10, mutual=True).orderBy("src", "dst")
+
+
+def q182_stream_window_report(spark, sf):
+    """The WATERMARKED tumbling-window aggregation (St1/St2's
+    ``streaming/windows.tumbling_agg``) executed as a REAL Structured
+    Streaming query — q42 pins the window EXPRESSION in batch mode;
+    this runs the streaming plan itself (StateStoreSave/complete
+    output over a memory sink, availableNow) and hash-pins the final
+    window totals against q42's date_trunc oracle, which they must
+    equal exactly once the one in-order batch lands (complete mode:
+    every window's current total, none dropped — the watermark only
+    bounds state eviction). With q177 (custom-stateful) and q175
+    (stream-stream join), every streaming family now has a
+    driver-visible hash row that executed the streaming engine, not
+    just its batch degradation. Scale: state is one row per open
+    (window, event_type); the watermark evicts closed windows on a
+    real unbounded stream."""
+    from data_lake_project_spark.streaming.windows import tumbling_agg
+
+    stream = _stream_table_source(spark, sf, "events")
+    # EventTimeWatermark requires TIMESTAMP, not TIMESTAMP_NTZ; the
+    # session timeZone is pinned UTC (load_table), so the cast is a
+    # rendering-identical relabel
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = tumbling_agg(
+        stream,
+        "ts",
+        "1 hour",
+        agg_exprs=[
+            F.count("*").cast("long").alias("n"),
+            pround(dec_sum(F.col("value")), 2).alias("sum_value"),
+        ],
+        keys=["event_type"],
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q182_window_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.table("q182_window_mem")
+        .select(
+            _ts(F.col("win.start")).alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+def q183_knn_graph_recall_report(spark, sf):
+    """Graph-level recall of the APPROXIMATE mutual-kNN graph
+    (``knn_graph(method='lsh')`` — q33/q166's md5-plane multi-table
+    LSH as the corpus-scale edge scorer) against q180's exact graph:
+    both undirected edge sets explode to per-node incidence and
+    ``recall_report`` counts, per node, its exact-mutual degree, its
+    approx-mutual degree, the shared edges and the recall — the
+    diagnostic that tunes bits/n_tables before the approximate graph
+    feeds dedup or diversity sampling. Everything is integer set
+    algebra over two (N x k)-bounded edge lists; the oracle
+    re-derives both graphs end to end (the embedded plane literals
+    make even the LSH side SQL-expressible — the q166 property,
+    graph-scale)."""
+    e = load_table(spark, sf, "embeddings")
+    ex = SIM.knn_graph(e, k=10, mutual=True)
+    ap = SIM.knn_graph(e, k=10, mutual=True, method="lsh", dim=64)
+
+    def incident(g):
+        return g.select(F.col("src").alias("node"), "dst").unionByName(
+            g.select(F.col("dst").alias("node"), F.col("src").alias("dst"))
+        )
+
+    return SIM.recall_report(
+        incident(ex), incident(ap), probe_id_col="node", id_col="dst"
+    ).orderBy("node")
 
 
 def q181_quality_calibration(spark, sf):
@@ -5371,6 +5461,8 @@ QUERIES: dict[str, QueryFn] = {
     "q179_k_anonymity_report": q179_k_anonymity_report,
     "q180_mutual_knn_graph": q180_mutual_knn_graph,
     "q181_quality_calibration": q181_quality_calibration,
+    "q182_stream_window_report": q182_stream_window_report,
+    "q183_knn_graph_recall_report": q183_knn_graph_recall_report,
 }
 
 _SHINGLE_CTE = """
@@ -10523,4 +10615,112 @@ ORACLE["q181_quality_calibration"] = """
            min(quality) AS min_score,
            max(quality) AS max_score
     FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+# q182: the real streaming window plan shares q42's oracle verbatim
+# (the q177/q69 precedent) — complete-mode final totals over one
+# in-order batch ARE the batch aggregation.
+ORACLE["q182_stream_window_report"] = ORACLE["q42_time_bucket"]
+
+
+# q183: both graphs re-derived end to end — the exact lane is q180's
+# oracle, the LSH lane reuses q166's embedded plane literals with ALL
+# nodes as probes; mutual filter + per-node incidence + the shared
+# FULL-JOIN recall tail keyed on node.
+ORACLE["q183_knn_graph_recall_report"] = f"""
+    WITH pl AS (SELECT {_lsh_planes_literal()}::DOUBLE[] AS flat),
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM v
+    ),
+    sigs AS (
+        SELECT n.vec_id, t.t,
+               (t.t * 64 + list_sum(list_transform(range(6), b ->
+                   CASE WHEN list_sum(list_transform(range(len(n.v)),
+                        i -> n.v[i+1] * pl.flat[(t.t*6 + b)*64 + i + 1]))
+                        >= 0
+                   THEN (1 << (5 - b)) ELSE 0 END)))::INT AS bucket
+        FROM n, range(4) t(t), pl
+    ),
+    pbuckets AS (
+        SELECT DISTINCT probe_id, bucket FROM (
+            SELECT s.vec_id AS probe_id, s.bucket FROM sigs s
+            UNION ALL
+            SELECT s.vec_id AS probe_id, xor(s.bucket, (1 << f.i)::INT)
+            FROM sigs s, range(6) f(i)
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT pb.probe_id, s.vec_id
+        FROM pbuckets pb JOIN sigs s ON s.bucket = pb.bucket
+        WHERE s.vec_id <> pb.probe_id
+    ),
+    appr_d AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT cd.probe_id, cd.vec_id,
+                   row_number() OVER (PARTITION BY cd.probe_id
+                       ORDER BY floor(list_sum(list_transform(
+                           range(len(cc.v)),
+                           i -> pp.v[i+1] * cc.v[i+1])) / (pp.nrm * cc.nrm)
+                           * 10000.0 + 0.5) / 10000.0 DESC,
+                           cd.vec_id) AS rk
+            FROM cand cd
+            JOIN n cc ON cc.vec_id = cd.vec_id
+            JOIN n pp ON pp.vec_id = cd.probe_id
+        ) WHERE rk <= 10
+    ),
+    ex_d AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT a.vec_id AS probe_id, b.vec_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY floor(list_sum(list_transform(
+                           range(len(a.v)),
+                           i -> a.v[i+1] * b.v[i+1])) / (a.nrm * b.nrm)
+                           * 10000.0 + 0.5) / 10000.0 DESC,
+                           b.vec_id) AS rk
+            FROM n a, n b WHERE b.vec_id <> a.vec_id
+        ) WHERE rk <= 10
+    ),
+    em AS (
+        SELECT a.probe_id AS src, a.vec_id AS dst
+        FROM ex_d a JOIN ex_d b
+          ON b.probe_id = a.vec_id AND b.vec_id = a.probe_id
+        WHERE a.probe_id < a.vec_id
+    ),
+    am AS (
+        SELECT a.probe_id AS src, a.vec_id AS dst
+        FROM appr_d a JOIN appr_d b
+          ON b.probe_id = a.vec_id AND b.vec_id = a.probe_id
+        WHERE a.probe_id < a.vec_id
+    ),
+    ei AS (
+        SELECT src AS node, dst FROM em
+        UNION ALL SELECT dst AS node, src AS dst FROM em
+    ),
+    ai AS (
+        SELECT src AS node, dst FROM am
+        UNION ALL SELECT dst AS node, src AS dst FROM am
+    ),
+    ne AS (SELECT node, count(*)::BIGINT AS n_exact FROM ei GROUP BY 1),
+    na AS (SELECT node, count(*)::BIGINT AS n_approx FROM ai GROUP BY 1),
+    nh AS (
+        SELECT e.node, count(*)::BIGINT AS n_hit
+        FROM ei e JOIN ai a USING (node, dst) GROUP BY 1
+    )
+    SELECT node,
+           coalesce(n_exact, 0)::BIGINT AS n_exact,
+           coalesce(n_approx, 0)::BIGINT AS n_approx,
+           coalesce(n_hit, 0)::BIGINT AS n_hit,
+           CASE WHEN coalesce(n_exact, 0) > 0 THEN
+               floor(coalesce(n_hit, 0)::DOUBLE / n_exact::DOUBLE
+                     * 10000.0 + 0.5) / 10000.0
+           END AS recall
+    FROM ne FULL JOIN na USING (node) LEFT JOIN nh USING (node)
+    ORDER BY node
 """

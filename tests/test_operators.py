@@ -4599,3 +4599,38 @@ def test_calibration_report_bins_and_rates(spark):
     assert [r.n_good for r in rows] == [0, 0, 5, 5]
     assert [r.good_rate for r in rows] == [0.0, 0.0, 1.0, 1.0]
     assert rows[0].min_score == 0.0 and rows[3].max_score == 0.95
+
+
+def test_knn_graph_lsh_method_and_recall_contract(spark):
+    """The LSH graph lane: edges are a subset-quality approximation —
+    per-node incidence recall vs the exact graph must clear a floor
+    at the q33/q166 config (bits=6, n_tables=4), and the method knob
+    rejects unknown values."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.similarity import (
+        knn_graph,
+        recall_report,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    ex = knn_graph(e, k=10, mutual=True)
+    ap = knn_graph(e, k=10, mutual=True, method="lsh", dim=64)
+
+    def incident(g):
+        return g.select(F.col("src").alias("node"), "dst").unionByName(
+            g.select(F.col("dst").alias("node"), F.col("src").alias("dst"))
+        )
+
+    rep = recall_report(
+        incident(ex), incident(ap), probe_id_col="node", id_col="dst"
+    ).collect()
+    tot_exact = sum(r.n_exact for r in rep)
+    tot_hit = sum(r.n_hit for r in rep)
+    assert tot_exact > 0
+    # multi-table multiprobe at bits=6 covers ~44% of the corpus per
+    # probe; mutual edges concentrate on high-cosine pairs which LSH
+    # keeps preferentially — macro recall well above the floor
+    assert tot_hit / tot_exact >= 0.5, (tot_hit, tot_exact)
+    with _pytest.raises(ValueError, match="unknown method"):
+        knn_graph(e, method="hnsw")

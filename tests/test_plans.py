@@ -616,6 +616,13 @@ def test_round9_operators_pin_their_shuffle_budget(
         # scoring is a pure map; the audit-sized global ntile + one
         # groupBy are the only movements
         ("q181_quality_calibration", 2),
+        # the returned frame projects + sorts the memory-sink window
+        # totals; the watermarked streaming agg itself already ran
+        ("q182_stream_window_report", 2),
+        # both graphs' directed edges checkpoint-cut inside knn_graph;
+        # residual = two mutual semi-joins + incidence unions +
+        # recall_report's three agg legs + sort, all (N x k)-sized
+        ("q183_knn_graph_recall_report", 8),
     ],
 )
 def test_round10_operators_pin_their_shuffle_budget(
