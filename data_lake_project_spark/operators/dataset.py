@@ -742,3 +742,50 @@ def calibration_report(
             "max_score",
         )
     )
+
+
+def waterfall_report(
+    df: DataFrame, stages: list[tuple[str, str]]
+) -> DataFrame:
+    """Per-stage attrition attribution for a curation ladder — the
+    waterfall a data-ops dashboard shows next to every corpus build:
+    given one row per candidate and one BOOLEAN flag column per stage
+    (in ladder order), report for each stage how many rows entered
+    (survivors of every earlier stage), how many it kept, and how
+    many it removed. Stage i's input is the cumulative AND of flags
+    1..i-1, so removals attribute to the FIRST stage that rejects a
+    row — the semantics of running the filters sequentially, without
+    scanning the corpus once per stage.
+
+    ONE aggregation pass computes every cumulative-survivor count
+    (map-side partial aggregation; the corpus is read once however
+    long the ladder); the (stages)-row report unstacks driver-side
+    from that single row. ``stages``: (stage_name, flag_col) pairs.
+
+    Output: (stage, stage_name, n_in, n_kept, n_removed), one row per
+    stage, ``stage`` 1-based in ladder order.
+    """
+    if not stages:
+        raise ValueError("waterfall_report: stages is empty")
+    aggs = [F.count("*").cast("long").alias("n0")]
+    cum = None
+    for i, (_, flag_col) in enumerate(stages, 1):
+        c = F.col(flag_col)
+        cum = c if cum is None else (cum & c)
+        aggs.append(
+            F.sum(cum.cast("long")).cast("long").alias(f"n{i}")
+        )
+    one = df.agg(*aggs)
+    rows = ", ".join(
+        f"CAST({i} AS BIGINT), '{name}', n{i - 1}, n{i}"
+        for i, (name, _) in enumerate(stages, 1)
+    )
+    return (
+        one.selectExpr(
+            f"stack({len(stages)}, {rows}) AS "
+            "(stage, stage_name, n_in, n_kept)"
+        )
+        .withColumn(
+            "n_removed", (F.col("n_in") - F.col("n_kept")).cast("long")
+        )
+    )

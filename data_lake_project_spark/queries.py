@@ -5245,6 +5245,59 @@ def q183_knn_graph_recall_report(spark, sf):
     ).orderBy("node")
 
 
+def q184_curation_waterfall(spark, sf):
+    """Per-stage attrition waterfall for a 4-stage curation ladder
+    (``dataset.waterfall_report``) — the corpus-build dashboard row:
+    normalized dedup (q47's canonical hash, lowest-id survivor) →
+    quality >= 0.6 (q30's composite) → token-length window [20, 500]
+    → per-source quota of the 50 best by quality (q48's cut). Every
+    flag is a COLUMN on one narrow scored pass and the whole report
+    is ONE aggregation (map-side partial cumulative-AND sums) — the
+    corpus is scanned once however long the ladder, and removals
+    attribute to the FIRST rejecting stage, exactly the semantics of
+    running the filters sequentially. The quota rank orders
+    prior-survivors first (boolean desc), so qualifying rows rank
+    1..n among themselves — deterministic on both engines."""
+    from data_lake_project_spark.operators.dataset import (
+        waterfall_report,
+    )
+    from data_lake_project_spark.operators.text import canonicalize
+
+    d = load_table(spark, sf, "documents")
+    scored = TX.quality_score(d).join(
+        d.select("doc_id", "source", "text"), "doc_id"
+    )
+    base = scored.withColumn(
+        "__canon", F.md5(canonicalize(F.col("text")))
+    )
+    wd = Window.partitionBy("__canon").orderBy("doc_id")
+    flagged = (
+        base.withColumn("f_dedup", F.row_number().over(wd) == 1)
+        .withColumn("f_quality", F.col("quality") >= 0.6)
+        .withColumn(
+            "f_length", F.col("n_tokens").between(20, 500)
+        )
+    )
+    prior = (
+        F.col("f_dedup") & F.col("f_quality") & F.col("f_length")
+    )
+    wq = Window.partitionBy("source").orderBy(
+        prior.desc(), F.col("quality").desc(), F.col("doc_id")
+    )
+    flagged = flagged.withColumn(
+        "f_quota", prior & (F.row_number().over(wq) <= 50)
+    )
+    return waterfall_report(
+        flagged,
+        [
+            ("dedup", "f_dedup"),
+            ("quality", "f_quality"),
+            ("length", "f_length"),
+            ("source_quota", "f_quota"),
+        ],
+    ).orderBy("stage")
+
+
 def q181_quality_calibration(spark, sf):
     """Reliability diagram for the q30 quality scorer
     (``operators.dataset.calibration_report``): documents ranked into
@@ -5463,6 +5516,7 @@ QUERIES: dict[str, QueryFn] = {
     "q181_quality_calibration": q181_quality_calibration,
     "q182_stream_window_report": q182_stream_window_report,
     "q183_knn_graph_recall_report": q183_knn_graph_recall_report,
+    "q184_curation_waterfall": q184_curation_waterfall,
 }
 
 _SHINGLE_CTE = """
@@ -10723,4 +10777,89 @@ ORACLE["q183_knn_graph_recall_report"] = f"""
            END AS recall
     FROM ne FULL JOIN na USING (node) LEFT JOIN nh USING (node)
     ORDER BY node
+"""
+
+
+# q184: the q30 score CTEs + q47's canonical hash feed per-row stage
+# flags; ONE aggregate derives every cumulative-survivor count, and
+# the report rows unstack from it. The quota rank orders
+# prior-survivors first (CASE 0/1 == Spark's boolean desc), so
+# qualifying rows rank 1..n among themselves on both engines.
+ORACLE["q184_curation_waterfall"] = """
+    WITH t AS (
+        SELECT doc_id, source, text,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, source, text,
+               length(text) AS n_chars_m,
+               len(toks) AS n_tokens,
+               len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+               len(list_filter(list_transform(toks, x -> lower(x)),
+                   x -> list_contains(
+                       ['the','a','of','and','to','in','is',
+                        'le','la','et','les','des','un','une',
+                        'el','y','los','de','una',
+                        'der','die','das','und','ein','zu','von',
+                        'de5','shi4','le5','zai4','he2','you3','wo3'], x)))
+                   AS n_stop
+        FROM t
+    ),
+    r AS (
+        SELECT doc_id, source, text, n_tokens,
+               floor(n_punct / greatest(n_chars_m, 1)::DOUBLE * 10000.0 + 0.5)
+                   / 10000.0 AS punct_ratio,
+               floor(n_stop / greatest(n_tokens, 1)::DOUBLE * 10000.0 + 0.5)
+                   / 10000.0 AS stop_ratio,
+               least(n_tokens::DOUBLE / 100.0, 1.0) AS length_term
+        FROM s
+    ),
+    q AS (
+        SELECT doc_id, source, n_tokens,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS canon,
+               floor((0.5 * length_term + 0.3 * (1.0 - punct_ratio)
+                     + 0.2 * stop_ratio) * 10000.0 + 0.5) / 10000.0
+                   AS quality
+        FROM r
+    ),
+    flg AS (
+        SELECT doc_id, source, quality, n_tokens,
+               (row_number() OVER (PARTITION BY canon ORDER BY doc_id)
+                   = 1) AS f1,
+               (quality >= 0.6) AS f2,
+               (n_tokens BETWEEN 20 AND 500) AS f3
+        FROM q
+    ),
+    flg2 AS (
+        SELECT *,
+               (f1 AND f2 AND f3) AS prior,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY CASE WHEN f1 AND f2 AND f3 THEN 0 ELSE 1
+                            END, quality DESC, doc_id) AS rnq
+        FROM flg
+    ),
+    agg AS (
+        SELECT count(*)::BIGINT AS n0,
+               sum(CASE WHEN f1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+               sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END)::BIGINT
+                   AS n3,
+               sum(CASE WHEN prior AND rnq <= 50 THEN 1 ELSE 0 END)::BIGINT
+                   AS n4
+        FROM flg2
+    )
+    SELECT * FROM (
+        SELECT 1::BIGINT AS stage, 'dedup' AS stage_name,
+               n0 AS n_in, n1 AS n_kept, (n0 - n1)::BIGINT AS n_removed
+        FROM agg
+        UNION ALL
+        SELECT 2::BIGINT, 'quality', n1, n2, (n1 - n2)::BIGINT FROM agg
+        UNION ALL
+        SELECT 3::BIGINT, 'length', n2, n3, (n2 - n3)::BIGINT FROM agg
+        UNION ALL
+        SELECT 4::BIGINT, 'source_quota', n3, n4, (n3 - n4)::BIGINT
+        FROM agg
+    ) ORDER BY stage
 """

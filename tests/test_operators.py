@@ -4634,3 +4634,35 @@ def test_knn_graph_lsh_method_and_recall_contract(spark):
     assert tot_hit / tot_exact >= 0.5, (tot_hit, tot_exact)
     with _pytest.raises(ValueError, match="unknown method"):
         knn_graph(e, method="hnsw")
+
+
+def test_waterfall_report_attributes_to_first_rejecting_stage(spark):
+    """Cumulative-AND semantics: a row failing stages 1 AND 3 counts
+    as removed by stage 1 only; totals telescope; empty ladder fails
+    loud."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.dataset import (
+        waterfall_report,
+    )
+
+    df = spark.createDataFrame(
+        # (f1, f2, f3): 10 rows
+        [(True, True, True)] * 4      # survive all
+        + [(False, True, True)] * 2   # stage 1 removes
+        + [(True, False, False)] * 3  # stage 2 removes (f3 irrelevant)
+        + [(True, True, False)] * 1,  # stage 3 removes
+        "f1 boolean, f2 boolean, f3 boolean",
+    )
+    rows = waterfall_report(
+        df, [("a", "f1"), ("b", "f2"), ("c", "f3")]
+    ).orderBy("stage").collect()
+    got = [(r.stage, r.stage_name, r.n_in, r.n_kept, r.n_removed)
+           for r in rows]
+    assert got == [
+        (1, "a", 10, 8, 2),
+        (2, "b", 8, 5, 3),
+        (3, "c", 5, 4, 1),
+    ]
+    with _pytest.raises(ValueError, match="stages is empty"):
+        waterfall_report(df, [])

@@ -623,6 +623,9 @@ def test_round9_operators_pin_their_shuffle_budget(
         # residual = two mutual semi-joins + incidence unions +
         # recall_report's three agg legs + sort, all (N x k)-sized
         ("q183_knn_graph_recall_report", 8),
+        # one narrow scored pass + two flag windows + ONE aggregate;
+        # the report unstacks from a single row
+        ("q184_curation_waterfall", 3),
     ],
 )
 def test_round10_operators_pin_their_shuffle_budget(
