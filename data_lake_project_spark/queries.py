@@ -5298,6 +5298,45 @@ def q184_curation_waterfall(spark, sf):
     ).orderBy("stage")
 
 
+def q185_stream_dedup_report(spark, sf):
+    """Streaming DEDUP executed as a real stream
+    (``streaming/windows.stream_dedup`` — watermarked
+    ``dropDuplicates``, the scalable fix for the reference's
+    at-least-once duplicate delivery, ``spark_stream.py:217-224``):
+    the events stream dedups on (user_id, event_type) with dedup
+    state bounded by the watermark, append-mode first-seen rows land
+    in the memory sink, and the distinct-pair set is hash-pinned
+    against a plain DISTINCT oracle (projected to the key columns, so
+    first-arrival nondeterminism cannot leak into the result). The
+    fourth streaming family executed for real after q175/q177/q182 —
+    dedup state, not window or funnel state. Report: events per user
+    across distinct event types — proves the dedup dropped the
+    duplicate (user, type) deliveries and nothing else."""
+    from data_lake_project_spark.streaming.windows import stream_dedup
+
+    stream = _stream_table_source(spark, sf, "events")
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = stream_dedup(
+        stream.select("user_id", "event_type", "ts"),
+        ["user_id", "event_type"],
+        ts_col="ts",
+    ).select("user_id", "event_type")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("q185_dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.table("q185_dedup_mem")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_event_types"))
+        .orderBy("user_id")
+    )
+
+
 def q181_quality_calibration(spark, sf):
     """Reliability diagram for the q30 quality scorer
     (``operators.dataset.calibration_report``): documents ranked into
@@ -5517,6 +5556,7 @@ QUERIES: dict[str, QueryFn] = {
     "q182_stream_window_report": q182_stream_window_report,
     "q183_knn_graph_recall_report": q183_knn_graph_recall_report,
     "q184_curation_waterfall": q184_curation_waterfall,
+    "q185_stream_dedup_report": q185_stream_dedup_report,
 }
 
 _SHINGLE_CTE = """
@@ -10862,4 +10902,14 @@ ORACLE["q184_curation_waterfall"] = """
         SELECT 4::BIGINT, 'source_quota', n3, n4, (n3 - n4)::BIGINT
         FROM agg
     ) ORDER BY stage
+"""
+
+
+# q185: the streaming dedup's append output projected to key columns
+# IS the distinct set — first-arrival nondeterminism cannot reach the
+# result; the report is a plain per-user distinct-type count.
+ORACLE["q185_stream_dedup_report"] = """
+    SELECT user_id,
+           count(DISTINCT event_type)::BIGINT AS n_event_types
+    FROM events GROUP BY user_id ORDER BY user_id
 """

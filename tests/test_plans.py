@@ -626,6 +626,9 @@ def test_round9_operators_pin_their_shuffle_budget(
         # one narrow scored pass + two flag windows + ONE aggregate;
         # the report unstacks from a single row
         ("q184_curation_waterfall", 3),
+        # per-user agg + sort over the memory-sink distinct pairs;
+        # the stateful streaming dedup itself already ran
+        ("q185_stream_dedup_report", 2),
     ],
 )
 def test_round10_operators_pin_their_shuffle_budget(
