@@ -118,6 +118,9 @@ def oracle_sql() -> dict[str, str]:
     deterministic injected model: q163-q166 recall reports, q167/q169
     sketch tolerance, q170 persisted-ANN serving, q171 k-means
     assignment, q172 semantic dedup, q173 chunk-index retrieval,
-    q174 BPE merge trace.
+    q174 BPE merge trace. Round 10 adds REAL-streaming-execution
+    rows (q177 stateful funnel, q182 watermarked window, q185
+    streaming dedup — the engine actually runs, not just its batch
+    degradation) and the q183 LSH-graph twin for q180.
     """
     return dict(ORACLE)
