@@ -710,3 +710,108 @@ def pii_report(
         F.count(F.when(F.col("__i") > 0, 1)).cast("long").alias("docs_id"),
         F.sum("__i").cast("long").alias("n_id"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    mask: int = 32,
+) -> DataFrame:
+    """Content-defined chunking by ROLLING hash — the rsync/LBFS
+    boundary trick at token granularity: a chunk boundary falls after
+    token i exactly when the hash of the ``window``-token context
+    ending at i is ``0 mod mask`` (expected chunk length ~``mask``
+    tokens). Because the boundary decision depends ONLY on the local
+    window, inserting or deleting text re-chunks the edited
+    neighborhood and NOTHING ELSE — unlike fixed-size chunking, where
+    one inserted token shifts every later boundary and defeats
+    chunk-hash dedup/delta-sync (the CDC self-healing property,
+    CI-pinned). The chunk fingerprint table this emits is the unit of
+    cross-document duplicate detection at sub-document granularity
+    and of delta storage.
+
+    Hash: first 8 md5 hex chars of the space-joined window as a
+    BIGINT (the engine's portable-hash idiom — bit-identical in any
+    md5-capable engine, no RNG, no seed skew). All positions evaluate
+    as one array expression per row; ONE explode emits the chunks —
+    zero shuffles before the caller's own aggregation.
+
+    Output: (id, chunk_id, start_tok, n_tokens, chunk_hash) — chunk_id
+    0-based in document order, start_tok 1-based, chunk_hash the md5
+    of the space-joined chunk text.
+
+    Scale: pure map + one generator; cost is O(tokens) hash
+    arithmetic per row. Documents are independent — no skew beyond
+    document length itself (bound upstream by the q97-class
+    splitter).
+    """
+    if window < 1 or mask < 1:
+        raise ValueError("cdc_chunks: window and mask must be >= 1")
+    # The token array is materialized in its OWN Project first: the
+    # boundary expression below reads it O(tokens) times via
+    # element_at, and referencing the raw split+filter TREE that many
+    # times re-tokenizes the string per reference — O(n^2 * len) per
+    # row (measured 7.6x at 10x SF before this split; CollapseProject
+    # keeps a multi-referenced non-trivial alias un-inlined, the
+    # round-3 regex-tree rule).
+    base = docs.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda x: x != "").alias(
+            "__toks"
+        ),
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+
+    def win_hash(i):
+        # md5 of the window ending at 1-based token position i
+        joined = F.concat_ws(
+            " ",
+            *[
+                F.element_at(toks, i - (window - 1) + j)
+                for j in range(window)
+            ],
+        )
+        return F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast(
+            "long"
+        )
+
+    # boundary AFTER position i (i >= window so the window is full;
+    # never after the last token — that cut is implicit). The n-1 <
+    # window guard matters: Spark's sequence(a, b) auto-steps -1 when
+    # a > b, which would emit DESCENDING bogus positions for short
+    # docs instead of no positions.
+    bnd = F.when(
+        n - 1 >= window,
+        F.filter(
+            F.sequence(F.lit(window), n - 1),
+            lambda i: F.pmod(win_hash(i), F.lit(mask)) == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), F.transform(bnd, lambda b: b + 1))
+    ends = F.concat(bnd, F.array(n))
+    spans = F.filter(
+        F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
+        lambda p: p["s"] <= p["e"],
+    )
+    out = base.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.posexplode(spans).alias("chunk_id", "__span"),
+    )
+    chunk = F.slice(
+        F.col("__toks"),
+        F.col("__span.s"),
+        F.col("__span.e") - F.col("__span.s") + 1,
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("__span.s").cast("long").alias("start_tok"),
+        (F.col("__span.e") - F.col("__span.s") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )

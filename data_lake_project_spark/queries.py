@@ -5337,6 +5337,24 @@ def q185_stream_dedup_report(spark, sf):
     )
 
 
+def q186_cdc_chunks(spark, sf):
+    """Content-defined chunking by ROLLING hash
+    (``text.cdc_chunks`` — the rsync/LBFS boundary trick at token
+    granularity): a chunk cut falls after token i exactly when the
+    md5-derived hash of the 3-token window ending at i is 0 mod 32,
+    so boundary decisions are purely LOCAL — an insertion re-chunks
+    its neighborhood and nothing else (the self-healing property
+    fixed-size chunking lacks, CI-pinned), which is what makes the
+    emitted chunk-fingerprint table the unit of sub-document
+    duplicate detection and delta storage. Pure map + one generator;
+    the whole derivation is portable integer/md5 arithmetic, so the
+    oracle replays every boundary."""
+    from data_lake_project_spark.operators.text import cdc_chunks
+
+    d = load_table(spark, sf, "documents")
+    return cdc_chunks(d).orderBy("doc_id", "chunk_id")
+
+
 def q181_quality_calibration(spark, sf):
     """Reliability diagram for the q30 quality scorer
     (``operators.dataset.calibration_report``): documents ranked into
@@ -5557,6 +5575,7 @@ QUERIES: dict[str, QueryFn] = {
     "q183_knn_graph_recall_report": q183_knn_graph_recall_report,
     "q184_curation_waterfall": q184_curation_waterfall,
     "q185_stream_dedup_report": q185_stream_dedup_report,
+    "q186_cdc_chunks": q186_cdc_chunks,
 }
 
 _SHINGLE_CTE = """
@@ -10912,4 +10931,49 @@ ORACLE["q185_stream_dedup_report"] = """
     SELECT user_id,
            count(DISTINCT event_type)::BIGINT AS n_event_types
     FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# q186: every boundary replayed — same tokenization, same 3-token
+# window hash (first-8-md5-hex as BIGINT, the portable-hash idiom),
+# same mod-32 cut rule, same span algebra. range(3, len) == Spark's
+# guarded sequence(3, n-1): positions 3..n-1, never after the last
+# token, empty for short docs.
+ORACLE["q186_cdc_chunks"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   x -> x <> '') AS toks
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               list_filter(range(3, len(toks)),
+                   i -> ('0x' || substr(md5(toks[i-2] || ' ' ||
+                            toks[i-1] || ' ' || toks[i]), 1, 8))::BIGINT
+                        % 32 = 0) AS bnd
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id, toks, n,
+               list_concat([1], list_transform(bnd, b -> b + 1))
+                   AS starts,
+               list_concat(bnd, [n]) AS ends
+        FROM b WHERE n > 0
+    ),
+    c AS (
+        SELECT doc_id, toks, starts, ends,
+               unnest(generate_series(1, len(starts))) AS k
+        FROM s
+    )
+    SELECT doc_id,
+           (k - 1)::BIGINT AS chunk_id,
+           starts[k]::BIGINT AS start_tok,
+           (ends[k] - starts[k] + 1)::BIGINT AS n_tokens,
+           md5(array_to_string(toks[starts[k]:ends[k]], ' '))
+               AS chunk_hash
+    FROM c
+    WHERE starts[k] <= ends[k]
+    ORDER BY doc_id, chunk_id
 """

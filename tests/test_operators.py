@@ -4666,3 +4666,43 @@ def test_waterfall_report_attributes_to_first_rejecting_stage(spark):
     ]
     with _pytest.raises(ValueError, match="stages is empty"):
         waterfall_report(df, [])
+
+
+def test_cdc_chunks_self_healing_boundaries(spark):
+    """The CDC property that justifies rolling-hash chunking: an edit
+    near the document head re-chunks only its neighborhood — chunk
+    hashes strictly after the edit window are IDENTICAL, while
+    fixed-size chunking would shift every later boundary. Also: short
+    docs (< window+2 tokens) yield exactly one whole-doc chunk and
+    never a bogus descending-sequence boundary."""
+    from data_lake_project_spark.operators.text import cdc_chunks
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    edited = "inserted words here " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "only two"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    h1 = {r.chunk_hash for r in by_doc[1]}
+    h2 = {r.chunk_hash for r in by_doc[2]}
+    shared = h1 & h2
+    # every chunk of doc1 that starts past the edit's hash window
+    # must reappear verbatim in doc2 (same content, same local
+    # boundaries) — all but the first chunk qualify
+    assert len(shared) >= len(by_doc[1]) - 1 > 0, (len(shared), len(h1))
+    # short docs: single chunk spanning the whole doc
+    for d, n_tok in ((3, 2), (4, 4)):
+        assert len(by_doc[d]) == 1
+        assert by_doc[d][0].start_tok == 1
+        assert by_doc[d][0].n_tokens == n_tok
+    # spans tile each doc exactly
+    for d, chunks in by_doc.items():
+        chunks = sorted(chunks, key=lambda r: r.chunk_id)
+        pos = 1
+        for c in chunks:
+            assert c.start_tok == pos
+            pos += c.n_tokens

@@ -629,6 +629,8 @@ def test_round9_operators_pin_their_shuffle_budget(
         # per-user agg + sort over the memory-sink distinct pairs;
         # the stateful streaming dedup itself already ran
         ("q185_stream_dedup_report", 2),
+        # pure map + ONE generator; only the output sort exchanges
+        ("q186_cdc_chunks", 1),
     ],
 )
 def test_round10_operators_pin_their_shuffle_budget(
