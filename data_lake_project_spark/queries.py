@@ -5355,6 +5355,48 @@ def q186_cdc_chunks(spark, sf):
     return cdc_chunks(d).orderBy("doc_id", "chunk_id")
 
 
+def q187_knn_index_maintained(spark, sf):
+    """The persisted kNN-graph index under MAINTENANCE
+    (``operators/knn_index.py`` — the seventh persisted lifecycle):
+    the index is built from 90% of the corpus, the remaining 10%
+    folds in through ``fold_knn_index`` — O(N x delta) scoring that is
+    EXACT, because cosines never change when the corpus grows (a new
+    top-k is always a subset of stored-top-k UNION delta), then the
+    mutual graph serves straight off the maintained edge table. The
+    published /tmp artifact IS the post-fold state (built inside one
+    publish-if-absent step — replay-idempotent, the q168 pattern),
+    and the oracle is q180's FROM-SCRATCH full-graph SQL verbatim:
+    the driver hash proves maintained == rebuilt, the equality that
+    makes O(delta) ingest trustworthy at 100 TB."""
+    import os as _os
+
+    from data_lake_project_spark.operators.knn_index import (
+        fold_knn_index,
+        load_knn_edges,
+        mutual_knn_edges,
+        save_knn_index,
+    )
+
+    st = _os.stat(f"{sf.rstrip('/')}/embeddings.parquet")
+    path = (
+        f"/tmp/spark_graft_knn_idx_{st.st_size}_{int(st.st_mtime)}"
+    )
+
+    def _build(tmp):
+        e = load_table(spark, sf, "embeddings")
+        save_knn_index(
+            e.filter(F.col("vec_id") % 10 != 0), tmp, k=10
+        )
+        fold_knn_index(
+            spark, tmp, e.filter(F.col("vec_id") % 10 == 0)
+        )
+
+    _publish_if_absent(spark, path, _build)
+    return mutual_knn_edges(load_knn_edges(spark, path)).orderBy(
+        "src", "dst"
+    )
+
+
 def q181_quality_calibration(spark, sf):
     """Reliability diagram for the q30 quality scorer
     (``operators.dataset.calibration_report``): documents ranked into
@@ -5576,6 +5618,7 @@ QUERIES: dict[str, QueryFn] = {
     "q184_curation_waterfall": q184_curation_waterfall,
     "q185_stream_dedup_report": q185_stream_dedup_report,
     "q186_cdc_chunks": q186_cdc_chunks,
+    "q187_knn_index_maintained": q187_knn_index_maintained,
 }
 
 _SHINGLE_CTE = """
@@ -10977,3 +11020,10 @@ ORACLE["q186_cdc_chunks"] = """
     WHERE starts[k] <= ends[k]
     ORDER BY doc_id, chunk_id
 """
+
+
+# q187: the maintained index must equal a from-scratch rebuild
+# (exact O(delta) fold — see operators/knn_index.py), so it shares
+# q180's full-graph oracle verbatim: the driver hash IS the
+# maintained == rebuilt proof.
+ORACLE["q187_knn_index_maintained"] = ORACLE["q180_mutual_knn_graph"]

@@ -4706,3 +4706,48 @@ def test_cdc_chunks_self_healing_boundaries(spark):
         for c in chunks:
             assert c.start_tok == pos
             pos += c.n_tokens
+
+
+def test_knn_index_fold_equals_rebuild(spark, tmp_path):
+    """The O(delta) maintenance contract, pinned: after TWO
+    sequential folds the persisted edge table is bit-identical to a
+    from-scratch rebuild over the full corpus (cosines never change
+    when the corpus grows, so stored-top-k UNION delta always
+    contains the new top-k); the served mutual graph matches too,
+    and an empty delta is a no-op."""
+    from data_lake_project_spark.operators.knn_index import (
+        fold_knn_index,
+        load_knn_edges,
+        mutual_knn_edges,
+        save_knn_index,
+    )
+    from data_lake_project_spark.operators.similarity import knn_graph
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "knn_idx")
+    save_knn_index(e.filter(F.col("vec_id") % 3 != 0), path, k=10)
+    assert fold_knn_index(spark, path, e.filter(F.col("vec_id") % 6 == 0)) > 0
+    assert fold_knn_index(spark, path, e.filter(F.col("vec_id") % 6 == 3)) > 0
+    assert (
+        fold_knn_index(spark, path, e.filter(F.col("vec_id") < 0)) == 0
+    )
+    maintained = {
+        (r.src, r.dst, r.cosine)
+        for r in load_knn_edges(spark, path).collect()
+    }
+    fresh = {
+        (r.src, r.dst, r.cosine)
+        for r in knn_graph(e, k=10, mutual=False).collect()
+    }
+    assert maintained == fresh
+    mm = {
+        (r.src, r.dst)
+        for r in mutual_knn_edges(load_knn_edges(spark, path)).collect()
+    }
+    fm = {
+        (r.src, r.dst)
+        for r in knn_graph(e, k=10, mutual=True)
+        .select("src", "dst")
+        .collect()
+    }
+    assert mm == fm

@@ -631,6 +631,10 @@ def test_round9_operators_pin_their_shuffle_budget(
         ("q185_stream_dedup_report", 2),
         # pure map + ONE generator; only the output sort exchanges
         ("q186_cdc_chunks", 1),
+        # serves off the published edge table: one semi-join over
+        # (N x k) checkpointed edges + sort — the fold already ran
+        # inside the publish step
+        ("q187_knn_index_maintained", 2),
     ],
 )
 def test_round10_operators_pin_their_shuffle_budget(
