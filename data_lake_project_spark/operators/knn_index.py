@@ -14,11 +14,14 @@ the O(N^2) rebuild — then re-ranks each union under the same
 full rebuild (CI-pinned, and q187 hash-pins the folded index's mutual
 graph against q180's from-scratch oracle).
 
-Deletion is NOT O(delta)-exact for this structure (removing a
-neighbor exposes rank k+1, which was never stored); the honest
-contract is a bounded re-probe of the affected nodes — documented,
-not implemented, because erasure for the vector lanes already routes
-through the ANN/SQ code tables (``operators/erasure.py``).
+Deletion cannot reuse the stored edges alone (removing a neighbor
+exposes rank k+1, which was never stored); :func:`erase_knn_index`
+implements the honest bounded contract instead — only the nodes that
+LOST a neighbor re-probe the remaining corpus, everyone else's edges
+pass through verbatim, and the result equals an index that never
+ingested the erased ids (erase == never-ingested, the
+``operators/erasure.py`` contract, CI-pinned and driver-hash-proven
+by q188).
 
 Layout: ``path/edges`` (directed top-k: src, dst, cosine),
 ``path/vectors`` (the corpus the NEXT fold scores against),
@@ -221,3 +224,82 @@ def _directed_topk(
             "cosine",
         )
     )
+
+
+def erase_knn_index(
+    spark: SparkSession, path: str, ids: DataFrame
+) -> int:
+    """Right-to-be-forgotten for the graph lane — EXACT, with a
+    bounded rebuild instead of a full one: erased nodes' own edges
+    and every edge pointing AT them drop; a surviving node's top-k
+    can change ONLY if it lost a neighbor (removing a non-neighbor
+    can never promote anyone — ranks only rise when a member leaves),
+    so exactly the AFFECTED nodes re-probe the remaining corpus
+    (O(|affected| x N)) and every other node's edges pass through
+    untouched. Post-erase state == an index that never ingested the
+    erased ids (CI-pinned; q188 hash-pins the served mutual graph
+    against the from-scratch oracle over the remaining corpus).
+
+    Returns the number of DISTINCT VECTORS erased (the uniform
+    ``erase_*`` unit across every lane — ids, never edge rows). Both
+    rewritten tables are eagerly cut before their overwrite (the
+    erasure-module discipline: the write never scans the files it
+    replaces)."""
+    from data_lake_project_spark.operators.erasure import _resolve_ids
+
+    prm = knn_index_params(spark, path)
+    k, id_col, vec_col = prm["k"], prm["id_col"], prm["vec_col"]
+    rd = prm["round_digits"]
+    p = path.rstrip("/")
+    vectors = spark.read.parquet(f"{p}/vectors")
+    idf = F.broadcast(
+        _resolve_ids(ids, id_col, "erase_knn_index").distinct()
+    )
+    n = vectors.join(idf, id_col, "left_semi").count()
+    if n == 0:
+        return 0
+    remaining = vectors.join(idf, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    edges = load_knn_edges(spark, path)
+    erased_ids = idf.select(F.col(id_col).alias("__eid"))
+    # survivors that LOST a neighbor — the only nodes whose top-k can
+    # change; everyone else's edges pass through verbatim
+    affected = (
+        edges.join(
+            erased_ids, edges["dst"] == F.col("__eid"), "left_semi"
+        )
+        .select("src")
+        .distinct()
+        .join(
+            erased_ids, F.col("src") == F.col("__eid"), "left_anti"
+        )
+    )
+    untouched = (
+        edges.join(
+            erased_ids, edges["src"] == F.col("__eid"), "left_anti"
+        )
+        .join(
+            erased_ids, edges["dst"] == F.col("__eid"), "left_anti"
+        )
+        .join(affected, "src", "left_anti")
+    )
+    reprobe = _directed_topk(
+        remaining,
+        remaining.join(
+            F.broadcast(affected),
+            remaining[id_col] == affected["src"],
+            "left_semi",
+        ),
+        k,
+        id_col,
+        vec_col,
+        rd,
+        probe_is_src=True,
+    )
+    new_edges = untouched.unionByName(reprobe).localCheckpoint(
+        eager=True
+    )
+    new_edges.write.mode("overwrite").parquet(f"{p}/edges")
+    remaining.write.mode("overwrite").parquet(f"{p}/vectors")
+    return n

@@ -5397,6 +5397,49 @@ def q187_knn_index_maintained(spark, sf):
     )
 
 
+def q188_knn_index_erased(spark, sf):
+    """GDPR erasure for the kNN-graph lane
+    (``knn_index.erase_knn_index`` — the seventh lifecycle gains its
+    delete leg): the full-corpus index is built, a fixed modular
+    deletion request (vec_id % 9 == 4 — SQL-expressible, no side
+    channel; the q168 convention) is erased with the BOUNDED rebuild
+    (only nodes that lost a neighbor re-probe the remaining corpus;
+    removing a non-neighbor can never promote anyone, so everyone
+    else's edges pass through verbatim), and the mutual graph serves
+    off the post-erasure edges. Build + erase compose inside ONE
+    publish-if-absent step, so the artifact IS the post-erasure state
+    (replay-idempotent — the q168 pattern), and the oracle is the
+    from-scratch q180 SQL over the REMAINING corpus: the driver hash
+    proves erase == never-ingested for the graph family."""
+    import os as _os
+
+    from data_lake_project_spark.operators.knn_index import (
+        erase_knn_index,
+        load_knn_edges,
+        mutual_knn_edges,
+        save_knn_index,
+    )
+
+    st = _os.stat(f"{sf.rstrip('/')}/embeddings.parquet")
+    path = (
+        f"/tmp/spark_graft_knn_erased_{st.st_size}_{int(st.st_mtime)}"
+    )
+
+    def _build(tmp):
+        e = load_table(spark, sf, "embeddings")
+        save_knn_index(e, tmp, k=10)
+        erase_knn_index(
+            spark,
+            tmp,
+            e.filter(F.col("vec_id") % 9 == 4).select("vec_id"),
+        )
+
+    _publish_if_absent(spark, path, _build)
+    return mutual_knn_edges(load_knn_edges(spark, path)).orderBy(
+        "src", "dst"
+    )
+
+
 def q181_quality_calibration(spark, sf):
     """Reliability diagram for the q30 quality scorer
     (``operators.dataset.calibration_report``): documents ranked into
@@ -5619,6 +5662,7 @@ QUERIES: dict[str, QueryFn] = {
     "q185_stream_dedup_report": q185_stream_dedup_report,
     "q186_cdc_chunks": q186_cdc_chunks,
     "q187_knn_index_maintained": q187_knn_index_maintained,
+    "q188_knn_index_erased": q188_knn_index_erased,
 }
 
 _SHINGLE_CTE = """
@@ -11027,3 +11071,11 @@ ORACLE["q186_cdc_chunks"] = """
 # q180's full-graph oracle verbatim: the driver hash IS the
 # maintained == rebuilt proof.
 ORACLE["q187_knn_index_maintained"] = ORACLE["q180_mutual_knn_graph"]
+
+
+# q188: erase == never-ingested for the graph lane — the oracle is
+# q180's from-scratch SQL over the REMAINING corpus (the deletion
+# request is the SQL-expressible modular predicate, q168 convention).
+ORACLE["q188_knn_index_erased"] = ORACLE["q180_mutual_knn_graph"].replace(
+    "FROM embeddings", "FROM embeddings WHERE vec_id % 9 <> 4"
+)

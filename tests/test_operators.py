@@ -4751,3 +4751,39 @@ def test_knn_index_fold_equals_rebuild(spark, tmp_path):
         .collect()
     }
     assert mm == fm
+
+
+def test_knn_index_erase_equals_never_ingested(spark, tmp_path):
+    """The graph lane's erasure contract: after erase_knn_index the
+    persisted edges are bit-identical to an index built over the
+    remaining corpus only (bounded rebuild — only neighbors-of-erased
+    re-probe); empty request is a no-op; the uniform erase unit is
+    distinct vectors."""
+    from data_lake_project_spark.operators.knn_index import (
+        erase_knn_index,
+        load_knn_edges,
+        save_knn_index,
+    )
+    from data_lake_project_spark.operators.similarity import knn_graph
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "knn_erase")
+    save_knn_index(e, path, k=10)
+    ids = e.filter(F.col("vec_id") % 9 == 4).select("vec_id")
+    n = erase_knn_index(spark, path, ids)
+    assert n == ids.count() > 0
+    got = {
+        (r.src, r.dst, r.cosine)
+        for r in load_knn_edges(spark, path).collect()
+    }
+    want = {
+        (r.src, r.dst, r.cosine)
+        for r in knn_graph(
+            e.filter(F.col("vec_id") % 9 != 4), k=10, mutual=False
+        ).collect()
+    }
+    assert got == want
+    assert (
+        erase_knn_index(spark, path, e.filter(F.col("vec_id") < 0).select("vec_id"))
+        == 0
+    )

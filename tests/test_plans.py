@@ -635,6 +635,8 @@ def test_round9_operators_pin_their_shuffle_budget(
         # (N x k) checkpointed edges + sort — the fold already ran
         # inside the publish step
         ("q187_knn_index_maintained", 2),
+        # same serve path off the post-erasure artifact
+        ("q188_knn_index_erased", 2),
     ],
 )
 def test_round10_operators_pin_their_shuffle_budget(
