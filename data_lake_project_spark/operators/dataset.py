@@ -776,15 +776,25 @@ def waterfall_report(
             F.sum(cum.cast("long")).cast("long").alias(f"n{i}")
         )
     one = df.agg(*aggs)
-    rows = ", ".join(
-        f"CAST({i} AS BIGINT), '{name}', n{i - 1}, n{i}"
-        for i, (name, _) in enumerate(stages, 1)
+    # typed lit() structs, not a selectExpr stack() string — a stage
+    # name is DATA and must never reach the SQL parser (a quote in a
+    # name would break the parse / open an expression-injection hole)
+    report_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("stage"),
+                    F.lit(name).alias("stage_name"),
+                    F.col(f"n{i - 1}").alias("n_in"),
+                    F.col(f"n{i}").alias("n_kept"),
+                )
+                for i, (name, _) in enumerate(stages, 1)
+            ]
+        )
     )
     return (
-        one.selectExpr(
-            f"stack({len(stages)}, {rows}) AS "
-            "(stage, stage_name, n_in, n_kept)"
-        )
+        one.select(report_rows.alias("__s"))
+        .select("__s.*")
         .withColumn(
             "n_removed", (F.col("n_in") - F.col("n_kept")).cast("long")
         )

@@ -459,11 +459,45 @@ def _embedding_neardup_arrow(
         norms[norms == 0] = 1.0
         sims = (x @ x.T) / np.outer(norms, norms)
         ia, ib = np.triu_indices(len(pdf), k=1)
-        keep = sims[ia, ib] >= threshold
-        ia, ib = ia[keep], ib[keep]
-        # pround formula: floor(x * 1e4 + 0.5) / 1e4
-        c = np.floor(sims[ia, ib] * 10000.0 + 0.5) / 10000.0
+        tri = sims[ia, ib]
         ids = pdf[id_col].to_numpy()
+        # Boundary guard (round-10 advice): BLAS summation order
+        # differs from the expr lane's sequential fold by O(n*eps)
+        # ~1e-13 per cosine, so a cosine sitting within that band of
+        # the THRESHOLD cut or a 4-decimal pround half-point could
+        # resolve differently per environment (BLAS build, SIMD
+        # width) — a silent hash flip. Fail loudly on the ambiguous
+        # pair instead; 1e-11 cosine tolerance is ~100x the BLAS
+        # deviation yet vanishingly unlikely (~2e-8/pair) for a
+        # legitimate cosine to trip.
+        tol = 1e-11
+        amb = np.abs(tri - threshold) < tol
+        if amb.any():
+            j = int(np.argmax(amb))
+            raise ValueError(
+                "embedding_neardup[arrow]: rounding-boundary event — "
+                f"cosine {tri[j]!r} of pair ({ids[ia[j]]}, {ids[ib[j]]}) "
+                f"is within {tol} of threshold {threshold}; membership "
+                "is environment-dependent at this distance. Re-run on "
+                "impl='expr' (deterministic sequential fold) to "
+                "adjudicate."
+            )
+        keep = tri >= threshold
+        ia, ib = ia[keep], ib[keep]
+        kept = tri[keep]
+        t = kept * 10000.0 + 0.5
+        amb = np.abs(t - np.rint(t)) < tol * 10000.0
+        if amb.any():
+            j = int(np.argmax(amb))
+            raise ValueError(
+                "embedding_neardup[arrow]: rounding-boundary event — "
+                f"cosine {kept[j]!r} of pair ({ids[ia[j]]}, {ids[ib[j]]}) "
+                "sits on a 4-decimal pround half-point; the rounded "
+                "value is environment-dependent at this distance. "
+                "Re-run on impl='expr' to adjudicate."
+            )
+        # pround formula: floor(x * 1e4 + 0.5) / 1e4
+        c = np.floor(t) / 10000.0
         return pd.DataFrame(
             {"id_a": ids[ia], "id_b": ids[ib], "cosine": c}
         )

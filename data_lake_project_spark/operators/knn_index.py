@@ -129,7 +129,15 @@ def fold_knn_index(
     by contract — the O(delta) premise); the corpus-sized frame is
     never shuffled, only scanned. Both new frames are eagerly cut
     before the edges overwrite so the write never scans the files it
-    replaces (the erasure-module discipline)."""
+    replaces (the erasure-module discipline).
+
+    Delta ids must be DISJOINT from the stored corpus: re-ingesting
+    an existing id would append a duplicate vector row and inject
+    duplicate dst candidates that silently consume top-k slots —
+    a corrupted index with no error. The fold validates this up
+    front (one broadcast semi-join against the corpus — free next to
+    the O(N x delta) scoring) and raises on any collision; an
+    ingest-or-update flow should erase first, then fold."""
     prm = knn_index_params(spark, path)
     k, id_col, vec_col = prm["k"], prm["id_col"], prm["vec_col"]
     rd = prm["round_digits"]
@@ -139,6 +147,16 @@ def fold_knn_index(
     n_delta = d.count()
     if n_delta == 0:
         return 0
+    n_dup = old.join(
+        F.broadcast(d.select(id_col).distinct()), id_col, "left_semi"
+    ).count()
+    if n_dup:
+        raise ValueError(
+            f"fold_knn_index: {n_dup} delta id(s) already exist in the "
+            f"stored corpus at {p!r} — folding them would duplicate "
+            "vectors and corrupt top-k rankings; erase the ids first "
+            "(erase_knn_index), then fold the replacements"
+        )
 
     # new nodes' own top-k over the grown corpus (delta probes the
     # union — |delta| probes broadcast, corpus scanned once)

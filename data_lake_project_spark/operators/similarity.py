@@ -118,6 +118,8 @@ def knn_graph(
     bits: int = 6,
     n_tables: int = 4,
     dim: int | None = None,
+    max_corpus: int | None = 200_000,
+    force: bool = False,
 ) -> DataFrame:
     """Exact k-nearest-neighbor graph over an embedding table —
     every vector probes the corpus it belongs to. With ``mutual``
@@ -143,7 +145,28 @@ def knn_graph(
     everything after are (N x k)-sized regardless of corpus width.
     The directed edge frame feeds two consumers (both join sides), so
     it is eagerly cut once.
+
+    ``max_corpus``/``force``: the ``'exact'`` lane is O(n²) BY DESIGN
+    (a certification baseline — the fuzzy_join ``max_block``
+    contract applied to the one other deliberately-quadratic
+    operator). Rather than silently accept a 10⁹-row corpus into an
+    all-pairs cross-score, it fails fast (one tiny count job) when
+    the corpus exceeds ``max_corpus`` rows; pass ``force=True`` (or
+    ``max_corpus=None``) to run anyway. Production shapes at scale:
+    ``method='lsh'`` here, per-IVF-bucket scoring, or serving the
+    persisted maintained index (``operators/knn_index.py``).
     """
+    if method == "exact" and max_corpus is not None and not force:
+        n = vecs.count()
+        if n > max_corpus:
+            raise ValueError(
+                f"knn_graph(method='exact'): corpus has {n} rows > "
+                f"max_corpus={max_corpus} — the exact lane scores all "
+                "O(n²) pairs and is a certification baseline, not a "
+                "production path. Use method='lsh', per-IVF-bucket "
+                "scoring, or the persisted knn_index; pass force=True "
+                "to run the quadratic scan anyway."
+            )
     probes = vecs.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col)
     )

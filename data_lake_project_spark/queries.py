@@ -5029,6 +5029,23 @@ def _stream_table_source(spark, sf, table: str):
     ).parquet(src_dir)
 
 
+def _await_stream(q, timeout_s: int = 600) -> None:
+    """``awaitTermination(timeout)`` returns FALSE on timeout with
+    the query still running — reading the memory sink then would
+    snapshot a partial result, and a rerun in the same session would
+    fail on the duplicate active queryName. Stop the straggler and
+    fail loudly instead of returning a silently-wrong frame."""
+    if not q.awaitTermination(timeout_s):
+        name = q.name
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} still running after "
+            f"{timeout_s}s (availableNow batch should finish in "
+            "seconds) — stopped it rather than snapshot a partial "
+            "memory-sink table"
+        )
+
+
 def q177_stream_funnel_report(spark, sf):
     """The CUSTOM-STATEFUL streaming funnel
     (``streaming/stateful.funnel_stages`` — St3's
@@ -5057,7 +5074,7 @@ def q177_stream_funnel_report(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_stream(q)
     # depth is monotone: the snapshot per key is the max stage across
     # updates (single-batch here, but robust to a multi-file source)
     snap = spark.table("q177_funnel_mem").groupBy("key").agg(
@@ -5205,7 +5222,7 @@ def q182_stream_window_report(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_stream(q)
     return (
         spark.table("q182_window_mem")
         .select(
@@ -5328,7 +5345,7 @@ def q185_stream_dedup_report(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_stream(q)
     return (
         spark.table("q185_dedup_mem")
         .groupBy("user_id")

@@ -129,7 +129,16 @@ def funnel_stages(
         # chunk-local order, not batch order
         chunks = [p for p in pdfs if len(p)]
         if chunks:
-            batch = pd.concat(chunks, ignore_index=True)
+            # NULL ts/seq rows cannot be ordered, so they never fold a
+            # stage — but they are dropped HERE, after grouping, so
+            # the key itself still emits its depth row. Filtering them
+            # before the groupBy would silently erase a user whose
+            # only funnel events are null-stamped, while q69's batch
+            # fold (null-tolerant aggregate) still reports 0_none —
+            # a stream-vs-batch key-universe mismatch.
+            batch = pd.concat(chunks, ignore_index=True).dropna(
+                subset=[ts_col, seq_col]
+            )
             for _, row in batch.sort_values([ts_col, seq_col]).iterrows():
                 i = stage_of.get(row[type_col])
                 if i is None or ts[i] != -1:
@@ -154,9 +163,8 @@ def funnel_stages(
     # the same second as its predecessor (later by micros) is lost.
     filtered = (
         events.filter(F.col(type_col).isin(*stages))
-        # null ts/seq would crash the stateful fn (int(NaN) raises) —
-        # drop them, matching the batch fold's null-tolerant aggregate
-        .filter(F.col(ts_col).isNotNull() & F.col(seq_col).isNotNull())
+        # null ts/seq rows are dropped INSIDE fn (see above), never
+        # here — the key universe must match the batch fold's
         .selectExpr(
             f"CAST({key_col} AS STRING) AS key",
             f"unix_micros(CAST({ts_col} AS TIMESTAMP)) AS {ts_col}",
@@ -275,6 +283,12 @@ def funnel_stages_eventtime(
         # filter, so non-stage traffic still advances it
         .withWatermark("__ets", delay)
         .filter(F.col(type_col).isin(*stages))
+        # unlike funnel_stages, null ts/seq rows drop BEFORE grouping
+        # here: an event-time operator cannot buffer or ripen a row
+        # with no event time (the watermark never passes it). A key
+        # whose only events are null-stamped emits nothing — the
+        # event-time contract, documented divergence from the
+        # in-order twin's key universe.
         .filter(F.col(ts_col).isNotNull() & F.col(seq_col).isNotNull())
         .selectExpr(
             f"CAST({key_col} AS STRING) AS key",

@@ -4787,3 +4787,106 @@ def test_knn_index_erase_equals_never_ingested(spark, tmp_path):
         erase_knn_index(spark, path, e.filter(F.col("vec_id") < 0).select("vec_id"))
         == 0
     )
+
+
+def test_fold_knn_index_rejects_duplicate_ids(spark, tmp_path):
+    """Round-10 advice: re-ingesting an id already in the stored
+    corpus would append a duplicate vector row and inject duplicate
+    dst candidates that silently eat top-k slots — the fold must
+    refuse the collision up front, and a disjoint fold afterwards
+    must still work (the guard adds validation, not a behavior
+    change)."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.knn_index import (
+        fold_knn_index,
+        save_knn_index,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "knn_dup")
+    save_knn_index(e.filter(F.col("vec_id") % 10 != 0), path, k=5)
+    with _pytest.raises(ValueError, match="already exist"):
+        fold_knn_index(
+            spark, path, e.filter(F.col("vec_id") % 10 == 1)
+        )
+    assert (
+        fold_knn_index(
+            spark, path, e.filter(F.col("vec_id") % 10 == 0)
+        )
+        > 0
+    )
+
+
+def test_knn_graph_exact_corpus_guard(spark):
+    """knn_graph(method='exact') is the declared quadratic baseline —
+    it must fail fast (fuzzy_join's max_block contract) when the
+    corpus exceeds max_corpus, and force=True must open the escape
+    hatch for a deliberate certification run."""
+    import pytest as _pytest
+
+    from data_lake_project_spark.operators.similarity import knn_graph
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    with _pytest.raises(ValueError, match="max_corpus"):
+        knn_graph(e, k=3, max_corpus=5)
+    assert knn_graph(e, k=3, max_corpus=5, force=True).count() > 0
+
+
+def test_waterfall_report_quoted_stage_name(spark):
+    """Stage names are data, not SQL: a name containing quotes (or
+    any other parser-hostile text) must flow through the report
+    verbatim (round-10 advice — the stack() selectExpr interpolation
+    was an injection surface)."""
+    from data_lake_project_spark.operators.dataset import waterfall_report
+
+    df = spark.createDataFrame(
+        [(True, True), (True, False), (False, True)], ["a", "b"]
+    )
+    name = "o'brien''s -- stage\" ; drop"
+    rows = waterfall_report(df, [(name, "a"), ("plain", "b")]).orderBy(
+        "stage"
+    ).collect()
+    assert [r.stage_name for r in rows] == [name, "plain"]
+    assert [(r.n_in, r.n_kept, r.n_removed) for r in rows] == [
+        (3, 2, 1),
+        (2, 1, 1),
+    ]
+
+
+def test_embedding_neardup_arrow_boundary_guard(spark):
+    """The Arrow/BLAS lane must fail LOUDLY (round-10 advice) when a
+    cosine sits within float-noise distance of the threshold cut or a
+    4-decimal pround half-point — there the value is environment-
+    dependent (BLAS summation order) and a silent hash flip is worse
+    than an error naming the ambiguous pair."""
+    import math
+
+    import pytest as _pytest
+
+    # (3,4)x(4,3): cosine is exactly 24/25 = the float64 nearest 0.96,
+    # identical to the threshold literal -> threshold-boundary event
+    df = spark.createDataFrame(
+        [(1, "x", [3.0, 4.0]), (2, "x", [4.0, 3.0])],
+        ["vec_id", "label", "embedding"],
+    )
+    with _pytest.raises(Exception, match="rounding-boundary"):
+        D.embedding_neardup(df, threshold=0.96, impl="arrow").collect()
+
+    # cosine == 0.49995 (within ~1e-16): t = cos*1e4 + 0.5 lands on an
+    # integer -> pround half-point event
+    b2 = math.sqrt(1.0 - 0.49995 * 0.49995)
+    df2 = spark.createDataFrame(
+        [(1, "x", [1.0, 0.0]), (2, "x", [0.49995, b2])],
+        ["vec_id", "label", "embedding"],
+    )
+    with _pytest.raises(Exception, match="rounding-boundary"):
+        D.embedding_neardup(df2, threshold=0.3, impl="arrow").collect()
+
+    # a comfortably-off-boundary pair still flows through unchanged
+    df3 = spark.createDataFrame(
+        [(1, "x", [1.0, 0.0]), (2, "x", [1.0, 1.0])],
+        ["vec_id", "label", "embedding"],
+    )
+    rows = D.embedding_neardup(df3, threshold=0.3, impl="arrow").collect()
+    assert [(r.id_a, r.id_b, r.cosine) for r in rows] == [(1, 2, 0.7071)]

@@ -1633,3 +1633,46 @@ def test_streaming_events_fold_into_persisted_hll_rollup(spark, tmp_path):
     r = load_hll_rollup(spark, s_path)
     assert estimates(r) == s_final
     assert r.count() == r.select(*keys).distinct().count()
+
+
+def test_funnel_null_ts_key_still_reports(spark, tmp_path):
+    """Round-10 advice: a user whose ONLY funnel-type events carry
+    NULL ts must still emit a (key, 0) row — q69's batch fold counts
+    that user as 0_none, so dropping the rows before grouping would
+    silently shrink the stream's key universe. Null rows are dropped
+    INSIDE the stateful fn (they cannot be ordered), the key
+    survives."""
+    from data_lake_project_spark.streaming.stateful import funnel_stages
+
+    src = str(tmp_path / "null_ts_src")
+    spark.createDataFrame(
+        [
+            ("u_null", None, 1, "view"),
+            ("u_null", None, 2, "click"),
+            ("u_ok", "2024-01-01 10:00:00", 3, "view"),
+            ("u_ok", "2024-01-01 10:05:00", 4, "click"),
+        ],
+        "user_id string, ts string, event_id long, event_type string",
+    ).select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "event_type",
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        funnel_stages(stream)
+        .writeStream.format("memory")
+        .queryName("mem_funnel_null_ts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    final = {
+        r.key: r.stage for r in spark.table("mem_funnel_null_ts").collect()
+    }
+    assert final == {"u_null": 0, "u_ok": 2}
