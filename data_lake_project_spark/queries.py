@@ -5247,9 +5247,24 @@ def q183_knn_graph_recall_report(spark, sf):
     algebra over two (N x k)-bounded edge lists; the oracle
     re-derives both graphs end to end (the embedded plane literals
     make even the LSH side SQL-expressible — the q166 property,
-    graph-scale)."""
+    graph-scale).
+
+    The exact side is SERVED from the q187 maintained index instead
+    of rebuilt inline (round-10 verdict item: the recall report was
+    the suite's slowest query because it re-ran the quadratic
+    baseline it certifies) — maintained == rebuilt is exactly what
+    q187's own driver hash proves, and this report's oracle still
+    derives the exact graph from scratch, so the hash is unchanged
+    while the quadratic rebuild cost drops out."""
+    from data_lake_project_spark.operators.knn_index import (
+        load_knn_edges,
+        mutual_knn_edges,
+    )
+
     e = load_table(spark, sf, "embeddings")
-    ex = SIM.knn_graph(e, k=10, mutual=True)
+    ex = mutual_knn_edges(
+        load_knn_edges(spark, _published_knn_index(spark, sf))
+    )
     ap = SIM.knn_graph(e, k=10, mutual=True, method="lsh", dim=64)
 
     def incident(g):
@@ -5372,25 +5387,19 @@ def q186_cdc_chunks(spark, sf):
     return cdc_chunks(d).orderBy("doc_id", "chunk_id")
 
 
-def q187_knn_index_maintained(spark, sf):
-    """The persisted kNN-graph index under MAINTENANCE
-    (``operators/knn_index.py`` — the seventh persisted lifecycle):
-    the index is built from 90% of the corpus, the remaining 10%
-    folds in through ``fold_knn_index`` — O(N x delta) scoring that is
-    EXACT, because cosines never change when the corpus grows (a new
-    top-k is always a subset of stored-top-k UNION delta), then the
-    mutual graph serves straight off the maintained edge table. The
-    published /tmp artifact IS the post-fold state (built inside one
-    publish-if-absent step — replay-idempotent, the q168 pattern),
-    and the oracle is q180's FROM-SCRATCH full-graph SQL verbatim:
-    the driver hash proves maintained == rebuilt, the equality that
-    makes O(delta) ingest trustworthy at 100 TB."""
+def _published_knn_index(spark, sf) -> str:
+    """The q187 artifact: the kNN-graph index built from 90% of the
+    corpus with the remaining 10% folded in (``fold_knn_index`` —
+    O(N x delta), EXACT), inside one publish-if-absent step keyed on
+    the embeddings fixture. The maintained edge table equals a
+    from-scratch rebuild (q187's driver hash IS that proof), so any
+    consumer needing the exact graph — q187's serve, q183's recall
+    report exact side — loads these edges instead of re-running the
+    quadratic baseline."""
     import os as _os
 
     from data_lake_project_spark.operators.knn_index import (
         fold_knn_index,
-        load_knn_edges,
-        mutual_knn_edges,
         save_knn_index,
     )
 
@@ -5409,6 +5418,28 @@ def q187_knn_index_maintained(spark, sf):
         )
 
     _publish_if_absent(spark, path, _build)
+    return path
+
+
+def q187_knn_index_maintained(spark, sf):
+    """The persisted kNN-graph index under MAINTENANCE
+    (``operators/knn_index.py`` — the seventh persisted lifecycle):
+    the index is built from 90% of the corpus, the remaining 10%
+    folds in through ``fold_knn_index`` — O(N x delta) scoring that is
+    EXACT, because cosines never change when the corpus grows (a new
+    top-k is always a subset of stored-top-k UNION delta), then the
+    mutual graph serves straight off the maintained edge table. The
+    published /tmp artifact IS the post-fold state (built inside one
+    publish-if-absent step — replay-idempotent, the q168 pattern),
+    and the oracle is q180's FROM-SCRATCH full-graph SQL verbatim:
+    the driver hash proves maintained == rebuilt, the equality that
+    makes O(delta) ingest trustworthy at 100 TB."""
+    from data_lake_project_spark.operators.knn_index import (
+        load_knn_edges,
+        mutual_knn_edges,
+    )
+
+    path = _published_knn_index(spark, sf)
     return mutual_knn_edges(load_knn_edges(spark, path)).orderBy(
         "src", "dst"
     )
