@@ -19,6 +19,11 @@ or refactoring queries. Red flags, each of which has bitten a round:
   values are correct (the q55 round-5 incident). Declared outputs
   are scalars-only; emit ``array_join``/``to_json`` projections and
   keep typed nested results on the operator API.
+- A Window with an EMPTY partition spec — the whole frame funnels
+  through one task (Exchange SinglePartition + single-partition
+  WindowExec); fine on an audit-sized frame, a straggler-killer on
+  a corpus-sized one. Every deliberate global window is allowlisted
+  with its boundedness argument; anything unlisted is a flag.
 
 Usage: python scripts/audit_plans.py [sf_dir]   (exit 1 on any flag)
 """
@@ -93,6 +98,87 @@ BNLJ_ALLOWED: set[str] = {
 }
 
 
+# Queries allowed a no-partition-spec Window — each entry's comment
+# states why the windowed frame is BOUNDED (never corpus-sized), the
+# round-10 verdict item #4 contract. Detection: a `(N) Window` detail
+# block whose Arguments line has only [exprs], [order] (a partitioned
+# window has [exprs], [partition], [order]).
+GLOBAL_WINDOW_ALLOWED: set[str] = {
+    # vocabulary-sized input: the rank runs on the aggregated term
+    # table (~1e3 rows after groupBy(tok)), never corpus rows.
+    "q71_boilerplate_scrub",
+    # min(count) over the per-stratum COUNT table — rows = #sources
+    # (temperature_sample's tiny groupBy(strata) summary).
+    "q83_temperature_mix",
+    # two-phase skyline: the global pass runs over the per-block
+    # survivor union (each block contributes only its own frontier).
+    "q95_pareto_frontier",
+    # two-phase distributed rank: the cumulative-offset window runs
+    # over per-block summaries (one row per block), both phases.
+    "q98_sorted_neighborhood",
+    # cumulative offsets over per-bucket net-change summaries
+    # (one row per time bucket).
+    "q107_max_concurrency",
+    # cumulative CDF offsets over per-value-block summaries.
+    "q110_ks_drift",
+    # cumulative weight offsets over per-block summaries.
+    "q119_systematic_sample",
+    # phase-2 rank over per-block count summaries (q128's equi-depth
+    # two-phase pattern).
+    "q128_equidepth_hist",
+    # running totals over per-BATCH vocabulary summaries — rows =
+    # #ingest batches, never tokens.
+    "q156_vocab_growth",
+    # global ntile over (score, id) — audit-cadence calibration
+    # diagram, documented audit-sized contract in
+    # dataset.calibration_report (pre-bucket or sample at corpus
+    # scale).
+    "q181_quality_calibration",
+}
+
+
+def _split_toplevel_lists(s: str) -> list[str]:
+    """Split an Arguments payload into its top-level [...] groups."""
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def global_windows(plan: str) -> int:
+    """Count Window nodes whose partition spec is empty. The
+    Arguments line renders [exprs], [partitionSpec], [orderSpec] with
+    empty lists OMITTED, so 2 lists is ambiguous: partitioned-but-
+    unordered (second list = plain attributes — fine, it scales) vs
+    global-ordered (second list = ordering specs with ASC/DESC — the
+    single-partition funnel this check hunts). 1 list = neither
+    partition nor order — also global."""
+    n = 0
+    for m in re.finditer(
+        r"^\(\d+\) Window\n(?:(?!\n\().*\n)*?Arguments: (.+)$",
+        plan,
+        re.MULTILINE,
+    ):
+        groups = _split_toplevel_lists(m.group(1))
+        if len(groups) == 1 or (
+            len(groups) == 2
+            and re.search(r"\b(ASC|DESC)\b", groups[1])
+        ):
+            n += 1
+    return n
+
+
 def audit_schema(name: str, schema) -> list[str]:
     """Scalars-only output contract for declared queries (see module
     docstring): flag any top-level nested-type column."""
@@ -113,6 +199,13 @@ def audit(name: str, plan: str) -> list[str]:
         flags.append("BroadcastNestedLoopJoin")
     if re.search(r"BatchEvalPython|ArrowEvalPython", plan):
         flags.append("python-udf-node")
+    if name not in GLOBAL_WINDOW_ALLOWED:
+        n_gw = global_windows(plan)
+        if n_gw:
+            flags.append(
+                f"global-window x{n_gw} (single-partition WindowExec; "
+                "allowlist with a boundedness comment if deliberate)"
+            )
     n_ex = len(re.findall(r"\bExchange (hash|range)partitioning", plan))
     if n_ex > MAX_EXCHANGES:
         flags.append(f"exchanges={n_ex}>{MAX_EXCHANGES}")
