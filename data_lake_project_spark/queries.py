@@ -4435,7 +4435,7 @@ _GDPR_USER_PRED = "user_id % 10 = 3"
 
 
 def _gdpr_build_fn(spark, sf):
-    """The q168 build closure: all five lanes built + the fixed
+    """The q168 build closure: all six lanes built + the fixed
     deletion request erased through every one, into the directory the
     closure receives. Exposed separately from the publish step so the
     partial-replay crash test can drive ``_publish_if_absent`` with
@@ -4450,6 +4450,7 @@ def _gdpr_build_fn(spark, sf):
         save_dedup_index,
     )
     from data_lake_project_spark.operators import erasure as _er
+    from data_lake_project_spark.operators import knn_index as _knn
     from data_lake_project_spark.operators.retrieval import (
         build_bm25_index,
         save_bm25_index,
@@ -4484,6 +4485,7 @@ def _gdpr_build_fn(spark, sf):
             f"{tmp}/hll",
             lg_k=14,
         )
+        _knn.save_knn_index(emb, f"{tmp}/knn", k=10)
         # the deletion request, propagated through every lane (module
         # attribute lookups, not from-imports, so the crash test can
         # inject a failure at any single lane boundary)
@@ -4491,6 +4493,7 @@ def _gdpr_build_fn(spark, sf):
         _er.erase_bm25_index(spark, f"{tmp}/bm25", erased_docs)
         _er.erase_sq_index(spark, f"{tmp}/sq", erased_vecs)
         _er.erase_ann_index(spark, f"{tmp}/ann", erased_vecs)
+        _knn.erase_knn_index(spark, f"{tmp}/knn", erased_vecs)
         remaining = ev.filter(f"NOT ({_GDPR_USER_PRED})")
         touched = ev.filter(_GDPR_USER_PRED).select("event_type", "day")
         _er.rebuild_hll_keys(
@@ -4502,19 +4505,20 @@ def _gdpr_build_fn(spark, sf):
 
 
 def _published_gdpr_lanes(spark, sf) -> str:
-    """The q168 artifact: ALL FIVE persisted lanes (dedup, BM25, SQ
-    with the id-bucket erase layout, IVF ANN, HLL rollup) built from
-    the lake, then a fixed deletion request erased through every one —
-    inside ONE publish-if-absent step, so the published directory IS
-    the post-erasure state (replays never re-build or re-erase; the
-    q141 composition pattern applied to deletion). Keyed by the
-    fingerprints of all three source tables."""
+    """The q168 artifact: ALL SIX persisted lanes (dedup, BM25, SQ
+    with the id-bucket erase layout, IVF ANN, HLL rollup, kNN-graph —
+    the seventh lifecycle's erase leg composed in since round 11)
+    built from the lake, then a fixed deletion request erased through
+    every one — inside ONE publish-if-absent step, so the published
+    directory IS the post-erasure state (replays never re-build or
+    re-erase; the q141 composition pattern applied to deletion).
+    Keyed by the fingerprints of all three source tables."""
     tag = sf.rstrip("/").replace("/", "_").replace(".", "_")
     fp = "_".join(
         _dataset_fingerprint(sf, t)
         for t in ("documents", "embeddings", "events")
     )
-    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_gdpr8"
+    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_gdpr9"
     _publish_if_absent(spark, path, _gdpr_build_fn(spark, sf))
     return path
 
@@ -4522,11 +4526,18 @@ def _published_gdpr_lanes(spark, sf) -> str:
 def q168_gdpr_erasure_report(spark, sf):
     """GDPR capstone (the q141 composition pattern for DELETION):
     every persisted lane is built from the lake and a fixed deletion
-    request erased through all five — dedup bands/sets, BM25
+    request erased through all six — dedup bands/sets, BM25
     postings/dl, id-bucketed SQ codes, bucket-partitioned IVF codes,
-    HLL rollup (non-invertible → touched-key rebuild) — then this
-    report audits the post-erasure state per lane: rows remaining and
-    erased ids still visible (must be 0). The oracle re-derives
+    HLL rollup (non-invertible → touched-key rebuild), and the
+    kNN-graph index (bounded rebuild: only nodes that lost a neighbor
+    re-probe — ``knn_index.erase_knn_index``) — then this report
+    audits the post-erasure state per lane: rows remaining and erased
+    ids still visible (must be 0). The kNN lane contributes TWO rows:
+    its corpus vectors (the uniform per-id unit) and its directed
+    edge table, whose post-erasure cardinality the oracle re-derives
+    as n_remaining x least(k, n_remaining - 1) — exactly the count an
+    index that never ingested the erased ids would hold, and erased
+    ids must be invisible as src OR dst. The oracle re-derives
     n_remaining from the source tables under the same modular erased
     predicates and asserts the zero — a lane that leaked an erased id
     (or dropped a survivor) hash-mismatches. Serve-equals-never-
@@ -4534,6 +4545,9 @@ def q168_gdpr_erasure_report(spark, sf):
     audit of the composed pipeline."""
     from data_lake_project_spark.operators.dedup_index import (
         load_dedup_index,
+    )
+    from data_lake_project_spark.operators.knn_index import (
+        load_knn_edges,
     )
     from data_lake_project_spark.operators.retrieval import (
         load_bm25_index,
@@ -4569,6 +4583,20 @@ def q168_gdpr_erasure_report(spark, sf):
         spark.read.parquet(f"{root}/ann/codes"),
         _GDPR_VEC_PRED,
     )
+    knn = lane(
+        "knn",
+        spark.read.parquet(f"{root}/knn/vectors"),
+        _GDPR_VEC_PRED,
+    )
+    # the edge table: an erased id may appear on EITHER end of a
+    # directed edge, and both are leaks
+    edge_pred = (
+        f"({_GDPR_VEC_PRED.replace('vec_id', 'src')}) OR "
+        f"({_GDPR_VEC_PRED.replace('vec_id', 'dst')})"
+    )
+    knn_e = lane(
+        "knn_edges", load_knn_edges(spark, f"{root}/knn"), edge_pred
+    )
     # HLL rows are keyed by (event_type, day), not user — "visible"
     # here means a key that would not exist had the erased users never
     # ingested (i.e. a key with no remaining-user events survived the
@@ -4603,6 +4631,8 @@ def q168_gdpr_erasure_report(spark, sf):
         dd.unionByName(bm)
         .unionByName(sq)
         .unionByName(ann)
+        .unionByName(knn)
+        .unionByName(knn_e)
         .unionByName(hll)
         .orderBy("lane")
     )
@@ -10080,7 +10110,12 @@ ORACLE["q165_ivfpq_recall_report"] = """
 # (or dropped a survivor during the rewrite) hash-mismatches. The HLL
 # lane's n_remaining is the distinct (event_type, day) keys of the
 # remaining users' events: a key whose rows were ALL erased must
-# vanish in the touched-key rebuild, every other key survives.
+# vanish in the touched-key rebuild, every other key survives. The
+# kNN edge lane's n_remaining is n x least(k, n - 1): every surviving
+# node holds exactly its top-k over the remaining corpus — the count
+# an index that never ingested the erased ids would hold (the bounded
+# erase rebuild must restore it exactly, never drop an affected
+# node's re-probe or keep a dangling edge).
 ORACLE["q168_gdpr_erasure_report"] = """
     SELECT * FROM (
         SELECT 'ann' AS lane,
@@ -10100,6 +10135,16 @@ ORACLE["q168_gdpr_erasure_report"] = """
                (SELECT count(*) FROM (
                     SELECT DISTINCT event_type, CAST(ts AS DATE)
                     FROM events WHERE NOT (user_id % 10 = 3)
+               ))::BIGINT, 0::BIGINT
+        UNION ALL
+        SELECT 'knn',
+               (SELECT count(*) FROM embeddings
+                WHERE NOT (vec_id % 9 = 4))::BIGINT, 0::BIGINT
+        UNION ALL
+        SELECT 'knn_edges',
+               (SELECT n * least(10, n - 1) FROM (
+                    SELECT count(*)::BIGINT AS n FROM embeddings
+                    WHERE NOT (vec_id % 9 = 4)
                ))::BIGINT, 0::BIGINT
         UNION ALL
         SELECT 'sq',

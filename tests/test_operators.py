@@ -4264,6 +4264,27 @@ def test_gdpr_capstone_composed_pipeline(spark, tmp_path):
     served = {t[1] for t in got_ann}
     assert served and not served & erased_vec_ids
 
+    # knn-graph (the seventh lifecycle, composed into the capstone in
+    # round 11): serving the mutual graph off the erased index equals
+    # a from-scratch graph over the remaining corpus (erase ==
+    # never-ingested at full edge-set granularity), and no erased id
+    # survives on either end of any directed edge
+    from data_lake_project_spark.operators.knn_index import (
+        load_knn_edges,
+        mutual_knn_edges,
+    )
+    from data_lake_project_spark.operators.similarity import knn_graph
+
+    assert rows(mutual_knn_edges(load_knn_edges(spark, f"{root}/knn"))) == rows(
+        knn_graph(rem_emb, k=10, mutual=True)
+    )
+    edges = load_knn_edges(spark, f"{root}/knn")
+    leaked = edges.filter(
+        f"({_GDPR_VEC_PRED.replace('vec_id', 'src')}) OR "
+        f"({_GDPR_VEC_PRED.replace('vec_id', 'dst')})"
+    ).count()
+    assert leaked == 0
+
     # hll: touched-key rebuild == build-on-remaining (estimates equal)
     def est(r):
         return sorted(
@@ -4332,7 +4353,7 @@ def test_gdpr_capstone_partial_replay_crash(spark, tmp_path, monkeypatch):
     )
 
     for rel in ("dedup/bands", "dedup/sets", "bm25/tfs", "bm25/dl",
-                "sq/codes", "ann/codes"):
+                "sq/codes", "ann/codes", "knn/edges", "knn/vectors"):
         a = spark.read.parquet(f"{path}/{rel}")
         b = spark.read.parquet(f"{ref}/{rel}")
         assert sorted(map(tuple, a.collect())) == sorted(
