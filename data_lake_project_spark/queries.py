@@ -5545,6 +5545,114 @@ def q181_quality_calibration(spark, sf):
     ).orderBy("bin")
 
 
+# the printable-ASCII alphabet and its +1 "brightness shift" (0x7E
+# maps to 0x7F — still one UTF-8 byte), used to synthesize the q189
+# re-encoded twins
+_PRINTABLE = "".join(chr(c) for c in range(0x20, 0x7F))
+_SHIFTED = "".join(chr(c + 1) for c in range(0x20, 0x7F))
+
+
+def _phash_fingerprints(spark, sf):
+    """The shared q189/q190 head: every document rendered as a binary
+    raster and fingerprinted with the 64-bit average-hash
+    (``multimodal/phash.py``), plus a RE-ENCODED TWIN (id + 1000000)
+    for every third document — the same raster under a uniform +1
+    brightness shift, the transform class aHash is provably invariant
+    to ((v+1)*64 > tot+64 ⟺ v*64 > tot, pure integer math), standing
+    in for the re-exported/re-brightened copies an image corpus
+    accumulates. The near-dup stage must catch every (original, twin)
+    pair at Hamming 0 while distinct documents stay far apart (the
+    fixture's minimum cross-document distance is 5).
+
+    Under the package's no-codec convention the encoded bytes ARE the
+    raster, so the raster here is the UTF-8 encoding of the
+    printable-ASCII projection of the text — a deterministic stand-in
+    a DuckDB oracle can replay byte-for-byte (ASCII bytes ==
+    characters on both engines), while the OPERATOR consumes only the
+    binary column, exactly as it does on real page images (golden
+    composition test: ``test_document_pipeline.py::
+    test_phash_page_dedup_composition``). Empty rasters carry no
+    brightness signal and are excluded on both sides."""
+    from data_lake_project_spark.multimodal.phash import ahash64
+
+    d = load_table(spark, sf, "documents")
+    ascii_txt = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+    originals = d.select(
+        "doc_id", "source", F.encode(ascii_txt, "UTF-8").alias("image")
+    )
+    twins = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.encode(
+            F.translate(ascii_txt, _PRINTABLE, _SHIFTED), "UTF-8"
+        ).alias("image"),
+    )
+    pages = originals.unionByName(twins).filter(F.length("image") > 0)
+    return ahash64(pages, image_col="image")
+
+
+def q189_phash_neardup(spark, sf):
+    """Perceptual near-duplicate pairs over image rasters — the
+    multimodal x dedup composition (the image-dedup stage every
+    multimodal training pipeline runs on page/frame columns, here on
+    deterministic text-derived rasters so the fingerprint is
+    oracle-replayable): 64-bit average-hash per raster, 4x16-bit
+    Hamming banding for candidates (EXACT — recall 1 by pigeonhole at
+    max_hamming=3), ``bit_count(xor)`` verification. Never all-pairs:
+    the only shuffle is the band equi-join, the MinHash/SimHash shape
+    at corpus scale."""
+    from data_lake_project_spark.multimodal.phash import phash_neardup
+
+    fp = _phash_fingerprints(spark, sf)
+    return phash_neardup(fp, id_col="doc_id", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q190_phash_survivors(spark, sf):
+    """The perceptual-dedup gate applied: drop every raster with a
+    near-duplicate of smaller id (the one-pass anti-join rule — the
+    scalable ingest-gate shape; cluster-representative semantics live
+    in ``dedup.keep_cluster_representatives``), then report the
+    per-source survivor census a curation dashboard tracks: rasters
+    fingerprinted, survivors kept, and the band-0 fingerprint
+    diversity among survivors (distinct 16-bit low bands — a cheap
+    proxy for visual variety that the oracle re-derives exactly)."""
+    from data_lake_project_spark.multimodal.phash import (
+        phash_neardup,
+        phash_survivors,
+    )
+
+    # three consumers of the fingerprints (near-dup, survivor gate,
+    # census) — hash once, serve the narrow projection
+    fp = (
+        _phash_fingerprints(spark, sf)
+        .select("doc_id", "source", "pband0", "pband1", "pband2", "pband3")
+        .localCheckpoint(eager=True)
+    )
+    pairs = phash_neardup(fp, id_col="doc_id", max_hamming=3)
+    surv = phash_survivors(fp, pairs, id_col="doc_id")
+    n_all = fp.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_hashed")
+    )
+    n_surv = surv.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_survivors"),
+        F.countDistinct("pband0").cast("long").alias("n_band0_distinct"),
+    )
+    return (
+        n_all.join(n_surv, "source", "left_outer")
+        .select(
+            "source",
+            "n_hashed",
+            F.coalesce("n_survivors", F.lit(0)).alias("n_survivors"),
+            F.coalesce("n_band0_distinct", F.lit(0)).alias(
+                "n_band0_distinct"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5741,6 +5849,8 @@ QUERIES: dict[str, QueryFn] = {
     "q186_cdc_chunks": q186_cdc_chunks,
     "q187_knn_index_maintained": q187_knn_index_maintained,
     "q188_knn_index_erased": q188_knn_index_erased,
+    "q189_phash_neardup": q189_phash_neardup,
+    "q190_phash_survivors": q190_phash_survivors,
 }
 
 _SHINGLE_CTE = """
@@ -11171,4 +11281,104 @@ ORACLE["q187_knn_index_maintained"] = ORACLE["q180_mutual_knn_graph"]
 # request is the SQL-expressible modular predicate, q168 convention).
 ORACLE["q188_knn_index_erased"] = ORACLE["q180_mutual_knn_graph"].replace(
     "FROM embeddings", "FROM embeddings WHERE vec_id % 9 <> 4"
+)
+
+
+# q189/q190: the oracle replays the 64-bit average-hash byte-for-byte.
+# The raster is the printable-ASCII projection of the text (bytes ==
+# characters on both engines), sample j is the byte at position
+# floor(j*n/64) (0-based; 1-based substr), bit j is set iff
+# sample*64 > sum(samples) — pure integer math, no float tie
+# ambiguity. Bands are 16-bit slices (band b = bits 16b..16b+15);
+# candidates share at least one band (exact for hamming <= 3 by
+# pigeonhole over 4 bands) and verify with bit_count(xor). The // 64
+# below is DuckDB INTEGER division (both operands BIGINT — the
+# verify-skill rule about //'s true-division trap on doubles).
+_PHASH_BANDS_SQL = """
+    WITH a AS (
+        SELECT doc_id, source,
+               regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS t,
+               0 AS sh
+        FROM documents
+        UNION ALL
+        -- the re-encoded twin: the same raster under a uniform +1
+        -- brightness shift (positions unchanged, every sampled value
+        -- +1 — the aHash-invariant transform class)
+        SELECT doc_id + 1000000, source,
+               regexp_replace(text, '[^\\x20-\\x7E]', '', 'g'), 1
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    s AS (
+        SELECT doc_id, source,
+               list_transform(
+                   range(64),
+                   j -> (ord(substr(
+                       t,
+                       CAST((j * length(t)) // 64 AS INT) + 1, 1))
+                       + sh)::BIGINT
+               ) AS v
+        FROM a WHERE length(t) > 0
+    ),
+    f AS (
+        SELECT doc_id, source, v, list_sum(v)::BIGINT AS tot FROM s
+    ),
+    b AS (
+        SELECT doc_id, source,
+               list_sum(list_transform(range(16), i -> CASE
+                   WHEN v[CAST(i AS INT) + 1] * 64 > tot
+                   THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b0,
+               list_sum(list_transform(range(16), i -> CASE
+                   WHEN v[CAST(i AS INT) + 17] * 64 > tot
+                   THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b1,
+               list_sum(list_transform(range(16), i -> CASE
+                   WHEN v[CAST(i AS INT) + 33] * 64 > tot
+                   THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b2,
+               list_sum(list_transform(range(16), i -> CASE
+                   WHEN v[CAST(i AS INT) + 49] * 64 > tot
+                   THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b3
+        FROM f
+    ),
+    pairs AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+               (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                + bit_count(xor(x.b2, y.b2))
+                + bit_count(xor(x.b3, y.b3)))::BIGINT AS hamming
+        FROM b x JOIN b y
+          ON x.doc_id < y.doc_id
+         AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+    )
+"""
+
+ORACLE["q189_phash_neardup"] = (
+    _PHASH_BANDS_SQL
+    + """
+    SELECT id_a, id_b, hamming FROM pairs
+    WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+)
+
+ORACLE["q190_phash_survivors"] = (
+    _PHASH_BANDS_SQL
+    + """
+    , doomed AS (
+        SELECT DISTINCT id_b AS doc_id FROM pairs WHERE hamming <= 3
+    ),
+    surv AS (
+        SELECT b.* FROM b LEFT JOIN doomed d USING (doc_id)
+        WHERE d.doc_id IS NULL
+    )
+    SELECT b.source,
+           count(*)::BIGINT AS n_hashed,
+           coalesce(any_value(sv.n_survivors), 0)::BIGINT AS n_survivors,
+           coalesce(any_value(sv.n_band0_distinct), 0)::BIGINT
+               AS n_band0_distinct
+    FROM b
+    LEFT JOIN (
+        SELECT source, count(*)::BIGINT AS n_survivors,
+               count(DISTINCT b0)::BIGINT AS n_band0_distinct
+        FROM surv GROUP BY source
+    ) sv USING (source)
+    GROUP BY b.source
+    ORDER BY b.source
+"""
 )

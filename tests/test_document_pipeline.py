@@ -406,3 +406,138 @@ def test_audio_features_compose_with_pq_index(spark):
     for r in sorted(out, key=lambda r: (r.probe_id, -r.score, r.vec_id)):
         best.setdefault(r.probe_id, r.vec_id)
     assert best == {0: 0, 1: 1}
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash image dedup (multimodal/phash.py)
+# --------------------------------------------------------------------------
+
+
+def test_ahash64_hand_computed_and_null_contract(spark):
+    """The fingerprint on hand-derivable rasters: a half-dark /
+    half-bright step sets exactly the bright half's bits (bands 2-3 =
+    0xFFFF), a uniform raster hashes to 0 (nothing beats the mean),
+    and an EMPTY raster is NULL — never 0, so blank-vs-uniform can't
+    collide."""
+    from data_lake_project_spark.multimodal.phash import ahash64
+
+    df = spark.createDataFrame(
+        [
+            (1, bytes([0] * 32 + [255] * 32)),
+            (2, bytes([7] * 64)),
+            (3, b""),
+        ],
+        "doc_id long, image binary",
+    )
+    got = {
+        r.doc_id: (r.pband0, r.pband1, r.pband2, r.pband3, r.phash)
+        for r in ahash64(df).collect()
+    }
+    assert got[1] == (0, 0, 65535, 65535, "ffffffff00000000")
+    assert got[2] == (0, 0, 0, 0, "0000000000000000")
+    assert got[3] == (None, None, None, None, None)
+
+
+def test_ahash64_brightness_shift_invariance(spark):
+    """The aHash invariance class the q189 twins rely on: a uniform
+    +delta on every byte leaves the fingerprint bit-identical
+    ((v+d)*64 > tot+64d <=> v*64 > tot), while SWAPPING the darkest
+    and brightest bytes (sum unchanged, so the mean is fixed) flips
+    exactly those two bits (Hamming 2)."""
+    from data_lake_project_spark.multimodal.phash import (
+        ahash64,
+        hamming64,
+    )
+
+    base = bytes(range(10, 74))  # 64 distinct bytes, headroom for +5
+    brighter = bytes(b + 5 for b in base)
+    swapped = bytes([base[63]]) + base[1:63] + bytes([base[0]])
+    df = spark.createDataFrame(
+        [(1, base), (2, brighter), (3, swapped)],
+        "doc_id long, image binary",
+    )
+    fp = ahash64(df).collect()
+    by = {r.doc_id: r for r in fp}
+    assert [by[1][f"pband{b}"] for b in range(4)] == [
+        by[2][f"pband{b}"] for b in range(4)
+    ]
+    import pyspark.sql.functions as F_
+
+    a = ahash64(df.filter("doc_id = 1"), prefix="a_").select(
+        *[f"a_pband{b}" for b in range(4)]
+    )
+    c = ahash64(df.filter("doc_id = 3"), prefix="b_").select(
+        *[f"b_pband{b}" for b in range(4)]
+    )
+    d = a.crossJoin(c).select(hamming64("a_", "b_").alias("h"))
+    assert d.collect()[0].h == 2
+
+
+def test_phash_neardup_rejects_unguaranteed_threshold(spark):
+    """4 bands of 16 bits guarantee recall 1 only for max_hamming <=
+    3; a looser threshold must fail fast, not silently degrade to a
+    candidate generator."""
+    import pytest
+
+    from data_lake_project_spark.multimodal.phash import phash_neardup
+
+    df = spark.createDataFrame(
+        [(1, 0, 0, 0, 0)],
+        "doc_id long, pband0 long, pband1 long, pband2 long, pband3 long",
+    )
+    with pytest.raises(ValueError, match="exactness guarantee"):
+        phash_neardup(df, id_col="doc_id", max_hamming=4)
+
+
+def test_phash_page_dedup_composition(spark):
+    """The golden multimodal x dedup composition (round-10 verdict
+    item 7): binary documents -> explode_pages (fake rasterize) ->
+    ahash64 fingerprint -> Hamming-banded near-dup -> survivors. Two
+    byte-identical blobs under different paths produce page-for-page
+    duplicate rasters (Hamming 0); distinct blobs' md5-derived rasters
+    stay far apart; the survivor gate keeps exactly one copy of each
+    duplicated page plus everything unique."""
+    import pyspark.sql.functions as F_
+
+    from data_lake_project_spark.multimodal import (
+        explode_pages,
+        fake_rasterize,
+    )
+    from data_lake_project_spark.multimodal.phash import (
+        ahash64,
+        phash_neardup,
+        phash_survivors,
+    )
+
+    blob_dup = b"scanned-report-bytes"
+    docs = spark.createDataFrame(
+        [
+            ("a.pdf", blob_dup),
+            ("b.pdf", blob_dup),  # re-ingested copy of a.pdf
+            ("c.pdf", b"some-other-document"),
+        ],
+        "path string, content binary",
+    )
+    pages = explode_pages(docs, rasterize=fake_rasterize)
+    keyed = pages.withColumn(
+        "page_id",
+        F_.concat(F_.col("path"), F_.lit("#"), F_.col("page")),
+    )
+    fp = ahash64(keyed, image_col="image")
+    pairs = phash_neardup(fp, id_col="page_id", max_hamming=3)
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming) for r in pairs.collect()
+    )
+    n_dup_pages = len(fake_rasterize(blob_dup))
+    # every a-page pairs with its b twin at Hamming 0; nothing else
+    assert got == sorted(
+        (f"a.pdf#{p}", f"b.pdf#{p}", 0)
+        for p in range(1, n_dup_pages + 1)
+    )
+    surv = phash_survivors(fp, pairs, id_col="page_id")
+    surv_ids = sorted(r.page_id for r in surv.collect())
+    n_c = len(fake_rasterize(b"some-other-document"))
+    assert surv_ids == sorted(
+        [f"a.pdf#{p}" for p in range(1, n_dup_pages + 1)]
+        + [f"c.pdf#{p}" for p in range(1, n_c + 1)]
+    )
