@@ -1,0 +1,212 @@
+"""Persisted perceptual-fingerprint index: the image ingest gate.
+
+``phash.phash_neardup`` finds near-duplicates WITHIN a frame; a real
+multimodal pipeline also needs the other shape — gate each ingested
+image batch against the standing corpus WITHOUT refingerprinting the
+corpus (the ``operators/dedup_index.py`` argument applied to the
+image lane: at 100 TB the corpus-side pass is the dominant cost, so
+fingerprint once, persist, fold each batch in as an O(delta) append).
+
+The index is ONE narrow parquet table — ``codes`` (id, pband0..3,
+~40 bytes/row whatever the image size) — plus a params JSON (written
+last: a reader that sees params sees the table). Because a
+fingerprint is a pure per-row function of the raster bytes, the
+incremental fold is trivially EXACT (fold == rebuild is row-set
+equality, CI-pinned), and erasure is a plain anti-join rewrite —
+every lifecycle leg the heavier indexes earn with proofs, this one
+gets by construction.
+
+Serving: band-join the batch fingerprints against the stored codes
+(4x16-bit bands — exact recall for Hamming <= 3, the
+``phash.phash_neardup`` pigeonhole), verify with ``bit_count(xor)``.
+Join cost scales with the batch band count, never the corpus.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_project_spark import fs
+from data_lake_project_spark.multimodal.phash import (
+    N_BANDS,
+    _BAND_COLS,
+    ahash64,
+    hamming64,
+)
+
+_PARAMS = "params.json"
+
+
+@dataclass
+class PhashIndex:
+    """A loaded fingerprint index: params + the codes frame."""
+
+    params: dict
+    codes: DataFrame
+
+
+def build_phash_index(
+    images: DataFrame, image_col: str = "image", id_col: str = "doc_id"
+) -> PhashIndex:
+    """Fingerprint a corpus into the narrow codes frame (lazy). Empty
+    rasters are excluded — they carry no brightness signal and must
+    not match each other (the ``ahash64`` NULL contract)."""
+    codes = (
+        ahash64(images, image_col=image_col)
+        .select(id_col, *_BAND_COLS)
+        .filter(F.col(_BAND_COLS[0]).isNotNull())
+    )
+    return PhashIndex({"id_col": id_col}, codes)
+
+
+def save_phash_index(index: PhashIndex, path: str) -> None:
+    p = path.rstrip("/")
+    index.codes.write.mode("overwrite").parquet(f"{p}/codes")
+    fs.write_text(
+        index.codes.sparkSession,
+        f"{p}/{_PARAMS}",
+        json.dumps(index.params),
+    )
+
+
+def load_phash_index(spark: SparkSession, path: str) -> PhashIndex:
+    p = path.rstrip("/")
+    params = json.loads(fs.read_text(spark, f"{p}/{_PARAMS}"))
+    return PhashIndex(params, spark.read.parquet(f"{p}/codes"))
+
+
+def phash_index_apply(
+    spark: SparkSession,
+    path: str,
+    new_images: DataFrame,
+    image_col: str = "image",
+    assume_new_ids: bool = False,
+) -> PhashIndex:
+    """The O(delta) maintenance fold: fingerprint ONLY the new images
+    and append — the corpus is never rescanned. Same replay guard as
+    ``dedup_index_apply``: by default the delta anti-joins the stored
+    id set so an overlapping batch folds in as a no-op instead of
+    doubling an id's band rows; a pre-gated high-frequency ingest
+    passes ``assume_new_ids=True`` to stay strictly O(delta)."""
+    p = path.rstrip("/")
+    params = json.loads(fs.read_text(spark, f"{p}/{_PARAMS}"))
+    id_col = params["id_col"]
+    if not assume_new_ids:
+        existing = (
+            spark.read.parquet(f"{p}/codes").select(id_col).distinct()
+        )
+        new_images = new_images.join(existing, id_col, "left_anti")
+    delta = build_phash_index(
+        new_images, image_col=image_col, id_col=id_col
+    )
+    delta.codes.write.mode("append").parquet(f"{p}/codes")
+    return load_phash_index(spark, p)
+
+
+def erase_phash_index(
+    spark: SparkSession, path: str, ids: DataFrame
+) -> int:
+    """Right-to-be-forgotten for the fingerprint lane: codes is one
+    row per id, so erasure is the plain anti-join rewrite (returns
+    distinct ids erased — the uniform ``erase_*`` unit). Post-erase
+    state trivially equals never-ingested: fingerprints are per-row,
+    no cross-record statistics exist to rebuild."""
+    from data_lake_project_spark.operators.erasure import _erase_rows
+
+    p = path.rstrip("/")
+    params = json.loads(fs.read_text(spark, f"{p}/{_PARAMS}"))
+    return _erase_rows(spark, f"{p}/codes", params["id_col"], ids)
+
+
+def _band_rows(codes: DataFrame, id_col: str, out_id: str) -> DataFrame:
+    """(id, pband0..3) -> (out_id, band, val) — one row per band, the
+    LSH-candidate join key shape."""
+    return codes.select(
+        F.col(id_col).alias(out_id),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"pband{b}").alias("val"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(out_id, "bk.band", "bk.val")
+
+
+def phash_index_matches(
+    index: PhashIndex,
+    batch: DataFrame,
+    image_col: str = "image",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Every (batch id, stored id, hamming) pair within
+    ``max_hamming`` — the audit view of the gate (who matched whom).
+    The batch is fingerprinted inline (it is the delta — small by
+    contract); the corpus side is the prebuilt codes. Exactness: same
+    4-band pigeonhole as ``phash_neardup``, same threshold guard.
+
+    Output: (id, dup_of, hamming) where ``id`` is the batch id column
+    name from the index params."""
+    if max_hamming > N_BANDS - 1:
+        raise ValueError(
+            f"phash_index_matches: max_hamming={max_hamming} breaks "
+            f"the {N_BANDS}-band exactness guarantee (recall 1 only "
+            f"for max_hamming <= {N_BANDS - 1})"
+        )
+    id_col = index.params["id_col"]
+    bfp = (
+        build_phash_index(batch, image_col=image_col, id_col=id_col)
+        .codes.localCheckpoint(eager=True)
+    )
+    cand = (
+        _band_rows(bfp, id_col, "__bid")
+        .join(_band_rows(index.codes, id_col, "__cid"), ["band", "val"])
+        .select("__bid", "__cid")
+        .distinct()
+    )
+    a = bfp.select(
+        F.col(id_col).alias("__bid"),
+        *[F.col(c).alias(f"a_{c}") for c in _BAND_COLS],
+    )
+    b = index.codes.select(
+        F.col(id_col).alias("__cid"),
+        *[F.col(c).alias(f"b_{c}") for c in _BAND_COLS],
+    )
+    return (
+        cand.join(a, "__bid")
+        .join(b, "__cid")
+        .withColumn("hamming", hamming64("a_", "b_"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("__bid").alias(id_col),
+            F.col("__cid").alias("dup_of"),
+            "hamming",
+        )
+    )
+
+
+def gate_against_phash_index(
+    index: PhashIndex,
+    batch: DataFrame,
+    image_col: str = "image",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """The ingest gate: batch rows that are NOT perceptual duplicates
+    of any indexed image (one anti-join over the match set) — the
+    ``dedup_against_index`` shape for the image lane. Rows with empty
+    rasters pass through (nothing to match), mirroring the build-side
+    exclusion."""
+    dup = (
+        phash_index_matches(index, batch, image_col, max_hamming)
+        .select(index.params["id_col"])
+        .distinct()
+    )
+    return batch.join(dup, index.params["id_col"], "left_anti")

@@ -5653,6 +5653,83 @@ def q190_phash_survivors(spark, sf):
     )
 
 
+def q191_phash_index_gate(spark, sf):
+    """The persisted perceptual-fingerprint index under its full
+    lifecycle (``multimodal/phash_index.py`` — the image ingest gate):
+    the index is BUILT from half the corpus rasters (doc_id % 4 in
+    (0, 2)), the other stored quarter (doc_id % 4 == 3) FOLDS in
+    through the O(delta) append (``phash_index_apply`` — the corpus
+    is never refingerprinted), both inside one publish-if-absent step
+    (the artifact IS the post-fold state, q168 pattern). The serving
+    batch mixes held-out originals (doc_id % 4 == 1 — novel to the
+    index) with the q189 re-encoded twins (brightness-shifted copies
+    of every third doc — perceptual duplicates of stored rasters iff
+    their base is stored), and the report audits the gate's match
+    set per batch row: matched?, match count, closest Hamming
+    distance, smallest matching stored id. The oracle re-derives
+    index membership, every fingerprint, and the band-join + verify
+    from the source table — a fold that dropped rows, a gate that
+    missed a twin, or banding that lost recall all hash-mismatch."""
+    import os as _os
+
+    from data_lake_project_spark.multimodal.phash_index import (
+        build_phash_index,
+        load_phash_index,
+        phash_index_apply,
+        phash_index_matches,
+        save_phash_index,
+    )
+
+    st = _os.stat(f"{sf.rstrip('/')}/documents.parquet")
+    path = (
+        f"/tmp/spark_graft_phash_idx_{st.st_size}_{int(st.st_mtime)}"
+    )
+
+    d = load_table(spark, sf, "documents")
+    ascii_txt = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+    originals = d.select(
+        "doc_id", F.encode(ascii_txt, "UTF-8").alias("image")
+    ).filter(F.length("image") > 0)
+
+    def _build(tmp):
+        save_phash_index(
+            build_phash_index(
+                originals.filter(F.col("doc_id") % 4 == 0)
+                .unionByName(originals.filter(F.col("doc_id") % 4 == 2))
+            ),
+            tmp,
+        )
+        phash_index_apply(
+            spark, tmp, originals.filter(F.col("doc_id") % 4 == 3)
+        )
+
+    _publish_if_absent(spark, path, _build)
+    idx = load_phash_index(spark, path)
+
+    held_out = originals.filter(F.col("doc_id") % 4 == 1)
+    twins = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.encode(
+            F.translate(ascii_txt, _PRINTABLE, _SHIFTED), "UTF-8"
+        ).alias("image"),
+    ).filter(F.length("image") > 0)
+    batch = held_out.unionByName(twins)
+
+    matches = phash_index_matches(idx, batch, max_hamming=3)
+    return (
+        batch.select("doc_id")
+        .join(matches, "doc_id", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            (F.count("dup_of") > 0).alias("is_dup"),
+            F.count("dup_of").cast("long").alias("n_matches"),
+            F.min("hamming").cast("long").alias("min_hamming"),
+            F.min("dup_of").cast("long").alias("first_dup_of"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -5851,6 +5928,7 @@ QUERIES: dict[str, QueryFn] = {
     "q188_knn_index_erased": q188_knn_index_erased,
     "q189_phash_neardup": q189_phash_neardup,
     "q190_phash_survivors": q190_phash_survivors,
+    "q191_phash_index_gate": q191_phash_index_gate,
 }
 
 _SHINGLE_CTE = """
@@ -11354,6 +11432,44 @@ ORACLE["q189_phash_neardup"] = (
     + """
     SELECT id_a, id_b, hamming FROM pairs
     WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+)
+
+# q191: index membership (doc_id % 4 <> 1 originals — built half,
+# folded quarter; fold == rebuild because fingerprints are per-row),
+# batch = held-out originals + the re-encoded twins; the same
+# band-join + bit_count(xor) verify as q189, across the two
+# populations instead of within one. The report aggregates the match
+# set per batch row (empty group -> is_dup false, NULL distances).
+ORACLE["q191_phash_index_gate"] = (
+    _PHASH_BANDS_SQL
+    + """
+    , stored AS (
+        SELECT * FROM b WHERE doc_id < 1000000 AND doc_id % 4 <> 1
+    ),
+    batch AS (
+        SELECT * FROM b
+        WHERE (doc_id < 1000000 AND doc_id % 4 = 1)
+           OR doc_id >= 1000000
+    ),
+    m AS (
+        SELECT x.doc_id, y.doc_id AS dup_of,
+               (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+                + bit_count(xor(x.b2, y.b2))
+                + bit_count(xor(x.b3, y.b3))) AS h
+        FROM batch x JOIN stored y
+          ON (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+        WHERE (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2))
+               + bit_count(xor(x.b3, y.b3))) <= 3
+    )
+    SELECT t.doc_id,
+           count(m.dup_of) > 0 AS is_dup,
+           count(m.dup_of)::BIGINT AS n_matches,
+           min(m.h)::BIGINT AS min_hamming,
+           min(m.dup_of)::BIGINT AS first_dup_of
+    FROM batch t LEFT JOIN m USING (doc_id)
+    GROUP BY t.doc_id ORDER BY t.doc_id
 """
 )
 

@@ -541,3 +541,91 @@ def test_phash_page_dedup_composition(spark):
         [f"a.pdf#{p}" for p in range(1, n_dup_pages + 1)]
         + [f"c.pdf#{p}" for p in range(1, n_c + 1)]
     )
+
+
+def test_phash_index_lifecycle(spark, tmp_path):
+    """The persisted fingerprint index, all four legs: build/save/
+    load round-trip; O(delta) fold == from-scratch rebuild (row-set
+    equality — fingerprints are per-row); replayed fold is a no-op
+    (the id guard); the gate passes novel images and blocks
+    perceptual duplicates (a brightness-shifted re-encode); erase ==
+    never-ingested for the served gate."""
+    import pyspark.sql.functions as F_
+
+    from data_lake_project_spark.multimodal.phash_index import (
+        build_phash_index,
+        erase_phash_index,
+        gate_against_phash_index,
+        load_phash_index,
+        phash_index_apply,
+        phash_index_matches,
+        save_phash_index,
+    )
+
+    def img(seed, n=96):
+        # md5-derived rasters: distinct seeds give uncorrelated bit
+        # patterns (an affine byte ramp would be aHash-invariant
+        # between seeds — exactly the transform class the gate is
+        # SUPPOSED to match)
+        import hashlib
+
+        out = b""
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}:{i}".encode()).digest()
+            i += 1
+        return out[:n]
+
+    corpus = spark.createDataFrame(
+        [(i, img(i)) for i in range(20)], "doc_id long, image binary"
+    )
+    path = str(tmp_path / "phash_idx")
+    save_phash_index(
+        build_phash_index(corpus.filter("doc_id < 12")), path
+    )
+    phash_index_apply(spark, path, corpus.filter("doc_id >= 12"))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    folded = load_phash_index(spark, path)
+    rebuilt = build_phash_index(corpus)
+    assert rows(folded.codes) == rows(rebuilt.codes)
+
+    # replayed fold: overlapping batch is a no-op, not a double-index
+    phash_index_apply(spark, path, corpus.filter("doc_id >= 12"))
+    assert rows(load_phash_index(spark, path).codes) == rows(
+        rebuilt.codes
+    )
+
+    # the gate: a +1 brightness re-encode of doc 3 is caught (aHash
+    # invariance => Hamming 0); a genuinely new image passes
+    dup = bytes(b + 1 for b in img(3))
+    batch = spark.createDataFrame(
+        [(100, dup), (101, img(77))], "doc_id long, image binary"
+    )
+    idx = load_phash_index(spark, path)
+    m = {
+        (r.doc_id, r.dup_of): r.hamming
+        for r in phash_index_matches(idx, batch).collect()
+    }
+    assert m.get((100, 3)) == 0
+    assert all(i != 101 for i, _ in m)
+    gated = sorted(
+        r.doc_id for r in gate_against_phash_index(idx, batch).collect()
+    )
+    assert gated == [101]
+
+    # erase == never-ingested: after erasing doc 3, its re-encode
+    # gates through like a new image
+    erased = spark.createDataFrame([(3,)], "doc_id long")
+    assert erase_phash_index(spark, path, erased) == 1
+    idx2 = load_phash_index(spark, path)
+    assert idx2.codes.filter("doc_id = 3").count() == 0
+    twin_rows = rows(
+        gate_against_phash_index(idx2, batch).select("doc_id")
+    )
+    never = build_phash_index(corpus.filter("doc_id <> 3"))
+    assert twin_rows == rows(
+        gate_against_phash_index(never, batch).select("doc_id")
+    )
