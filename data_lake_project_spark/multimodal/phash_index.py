@@ -54,12 +54,16 @@ def build_phash_index(
 ) -> PhashIndex:
     """Fingerprint a corpus into the narrow codes frame (lazy). Empty
     rasters are excluded — they carry no brightness signal and must
-    not match each other (the ``ahash64`` NULL contract)."""
-    codes = (
-        ahash64(images, image_col=image_col)
-        .select(id_col, *_BAND_COLS)
-        .filter(F.col(_BAND_COLS[0]).isNotNull())
-    )
+    not match each other (the ``ahash64`` NULL contract). The
+    exclusion filters the INPUT (``length > 0`` — exactly the NULL
+    condition), never the band columns: a ``pband0 IS NOT NULL``
+    filter gets predicate-pushed below the hash's Project, inlining
+    the hex buffer into the filter tree 64x per row (measured 80x
+    slower at sf0.1)."""
+    codes = ahash64(
+        images.filter(F.length(F.col(image_col)) > 0),
+        image_col=image_col,
+    ).select(id_col, *_BAND_COLS)
     return PhashIndex({"id_col": id_col}, codes)
 
 
