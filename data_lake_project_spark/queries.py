@@ -5653,30 +5653,18 @@ def q190_phash_survivors(spark, sf):
     )
 
 
-def q191_phash_index_gate(spark, sf):
-    """The persisted perceptual-fingerprint index under its full
-    lifecycle (``multimodal/phash_index.py`` — the image ingest gate):
-    the index is BUILT from half the corpus rasters (doc_id % 4 in
-    (0, 2)), the other stored quarter (doc_id % 4 == 3) FOLDS in
-    through the O(delta) append (``phash_index_apply`` — the corpus
-    is never refingerprinted), both inside one publish-if-absent step
-    (the artifact IS the post-fold state, q168 pattern). The serving
-    batch mixes held-out originals (doc_id % 4 == 1 — novel to the
-    index) with the q189 re-encoded twins (brightness-shifted copies
-    of every third doc — perceptual duplicates of stored rasters iff
-    their base is stored), and the report audits the gate's match
-    set per batch row: matched?, match count, closest Hamming
-    distance, smallest matching stored id. The oracle re-derives
-    index membership, every fingerprint, and the band-join + verify
-    from the source table — a fold that dropped rows, a gate that
-    missed a twin, or banding that lost recall all hash-mismatch."""
+def _published_phash_index(spark, sf) -> str:
+    """The q191/q192 artifact: the fingerprint index BUILT from half
+    the corpus rasters (doc_id % 4 in (0, 2)) with the other stored
+    quarter (doc_id % 4 == 3) FOLDED in through the O(delta) append
+    (``phash_index_apply`` — the corpus is never refingerprinted),
+    inside one publish-if-absent step (the artifact IS the post-fold
+    state, q168 pattern)."""
     import os as _os
 
     from data_lake_project_spark.multimodal.phash_index import (
         build_phash_index,
-        load_phash_index,
         phash_index_apply,
-        phash_index_matches,
         save_phash_index,
     )
 
@@ -5684,7 +5672,6 @@ def q191_phash_index_gate(spark, sf):
     path = (
         f"/tmp/spark_graft_phash_idx_{st.st_size}_{int(st.st_mtime)}"
     )
-
     d = load_table(spark, sf, "documents")
     ascii_txt = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
     originals = d.select(
@@ -5704,17 +5691,49 @@ def q191_phash_index_gate(spark, sf):
         )
 
     _publish_if_absent(spark, path, _build)
-    idx = load_phash_index(spark, path)
+    return path
 
-    held_out = originals.filter(F.col("doc_id") % 4 == 1)
+
+def _phash_gate_batch(spark, sf):
+    """The q191/q192 serving batch: held-out originals (doc_id % 4 ==
+    1 — novel to the index) plus the q189 re-encoded twins
+    (brightness-shifted copies of every third doc — perceptual
+    duplicates of stored rasters iff their base is stored)."""
+    d = load_table(spark, sf, "documents")
+    ascii_txt = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+    held_out = d.select(
+        "doc_id", F.encode(ascii_txt, "UTF-8").alias("image")
+    ).filter(
+        (F.length("image") > 0) & (F.col("doc_id") % 4 == 1)
+    )
     twins = d.filter(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.encode(
             F.translate(ascii_txt, _PRINTABLE, _SHIFTED), "UTF-8"
         ).alias("image"),
     ).filter(F.length("image") > 0)
-    batch = held_out.unionByName(twins)
+    return held_out.unionByName(twins)
 
+
+def q191_phash_index_gate(spark, sf):
+    """The persisted perceptual-fingerprint index under its full
+    lifecycle (``multimodal/phash_index.py`` — the image ingest gate):
+    build half, fold a quarter (O(delta)), publish once
+    (``_published_phash_index``), then audit the gate's match set per
+    batch row — matched?, match count, closest Hamming distance,
+    smallest matching stored id — over a batch mixing held-out
+    originals (novel) with re-encoded twins (perceptual duplicates of
+    stored rasters iff their base is stored). The oracle re-derives
+    index membership, every fingerprint, and the band-join + verify
+    from the source table — a fold that dropped rows, a gate that
+    missed a twin, or banding that lost recall all hash-mismatch."""
+    from data_lake_project_spark.multimodal.phash_index import (
+        load_phash_index,
+        phash_index_matches,
+    )
+
+    idx = load_phash_index(spark, _published_phash_index(spark, sf))
+    batch = _phash_gate_batch(spark, sf)
     matches = phash_index_matches(idx, batch, max_hamming=3)
     return (
         batch.select("doc_id")
@@ -5728,6 +5747,81 @@ def q191_phash_index_gate(spark, sf):
         )
         .orderBy("doc_id")
     )
+
+
+def q192_stream_phash_gate(spark, sf):
+    """The perceptual ingest gate executed as a REAL STREAM — the
+    fifth streaming family run through the engine (after q177 funnel
+    state, q182 window state, q185 dedup state: here a stream-side
+    SERVE against a persisted index): the q191 batch population
+    arrives as a Structured Streaming file source (each document
+    explodes in-stream into its batch roles — held-out original,
+    re-encoded twin, or neither), and every micro-batch is gated
+    against the published fingerprint index inside ``foreachBatch``
+    (``gate_against_phash_index`` — batch-sized band-join + verify,
+    the streaming/pipeline.py micro-batch-sink shape), survivors
+    landing in a per-call parquet sink. The oracle is the q191
+    derivation projected to the surviving ids: streaming the corpus
+    through the gate must admit exactly the rows a batch gate admits
+    — micro-batch boundaries cannot change a per-row decision against
+    a static index."""
+    import tempfile as _tempfile
+
+    from data_lake_project_spark.multimodal.phash_index import (
+        gate_against_phash_index,
+        load_phash_index,
+    )
+
+    idx = load_phash_index(spark, _published_phash_index(spark, sf))
+
+    stream = _stream_table_source(spark, sf, "documents")
+    ascii_txt = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+    roles = (
+        stream.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_id").alias("doc_id"),
+                        F.encode(ascii_txt, "UTF-8").alias("image"),
+                        (F.col("doc_id") % 4 == 1).alias("keep"),
+                    ),
+                    F.struct(
+                        (F.col("doc_id") + 1000000).alias("doc_id"),
+                        F.encode(
+                            F.translate(ascii_txt, _PRINTABLE, _SHIFTED),
+                            "UTF-8",
+                        ).alias("image"),
+                        (F.col("doc_id") % 3 == 0).alias("keep"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .filter(F.col("keep") & (F.length("image") > 0))
+        .drop("keep")
+    )
+
+    out = _tempfile.mkdtemp(prefix="spark_graft_q192_out_")
+
+    def gate_batch(bdf, batch_id):
+        (
+            gate_against_phash_index(idx, bdf)
+            .select("doc_id")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        roles.writeStream.foreachBatch(gate_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            _tempfile.mkdtemp(prefix="spark_graft_q192_ckpt_"),
+        )
+        .start()
+    )
+    _await_stream(q)
+    return spark.read.parquet(out).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -5929,6 +6023,7 @@ QUERIES: dict[str, QueryFn] = {
     "q189_phash_neardup": q189_phash_neardup,
     "q190_phash_survivors": q190_phash_survivors,
     "q191_phash_index_gate": q191_phash_index_gate,
+    "q192_stream_phash_gate": q192_stream_phash_gate,
 }
 
 _SHINGLE_CTE = """
@@ -11470,6 +11565,34 @@ ORACLE["q191_phash_index_gate"] = (
            min(m.dup_of)::BIGINT AS first_dup_of
     FROM batch t LEFT JOIN m USING (doc_id)
     GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+)
+
+# q192: the q191 derivation projected to the surviving ids —
+# streaming the corpus through the gate must admit exactly what a
+# batch gate admits (per-row decisions against a static index are
+# micro-batch-invariant).
+ORACLE["q192_stream_phash_gate"] = (
+    _PHASH_BANDS_SQL
+    + """
+    , stored AS (
+        SELECT * FROM b WHERE doc_id < 1000000 AND doc_id % 4 <> 1
+    ),
+    batch AS (
+        SELECT * FROM b
+        WHERE (doc_id < 1000000 AND doc_id % 4 = 1)
+           OR doc_id >= 1000000
+    ),
+    m AS (
+        SELECT DISTINCT x.doc_id
+        FROM batch x JOIN stored y
+          ON (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+        WHERE (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2))
+               + bit_count(xor(x.b3, y.b3))) <= 3
+    )
+    SELECT t.doc_id FROM batch t LEFT JOIN m USING (doc_id)
+    WHERE m.doc_id IS NULL ORDER BY t.doc_id
 """
 )
 
