@@ -4435,7 +4435,7 @@ _GDPR_USER_PRED = "user_id % 10 = 3"
 
 
 def _gdpr_build_fn(spark, sf):
-    """The q168 build closure: all six lanes built + the fixed
+    """The q168 build closure: all seven lanes built + the fixed
     deletion request erased through every one, into the directory the
     closure receives. Exposed separately from the publish step so the
     partial-replay crash test can drive ``_publish_if_absent`` with
@@ -4451,6 +4451,7 @@ def _gdpr_build_fn(spark, sf):
     )
     from data_lake_project_spark.operators import erasure as _er
     from data_lake_project_spark.operators import knn_index as _knn
+    from data_lake_project_spark.multimodal import phash_index as _ph
     from data_lake_project_spark.operators.retrieval import (
         build_bm25_index,
         save_bm25_index,
@@ -4486,6 +4487,17 @@ def _gdpr_build_fn(spark, sf):
             lg_k=14,
         )
         _knn.save_knn_index(emb, f"{tmp}/knn", k=10)
+        # the multimodal lane: the documents' rasters fingerprinted
+        # into the pHash index (the q189/q191 ASCII-raster
+        # convention), erased under the same doc deletion request
+        rasters = docs.select(
+            "doc_id",
+            F.encode(
+                F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", ""),
+                "UTF-8",
+            ).alias("image"),
+        )
+        _ph.save_phash_index(_ph.build_phash_index(rasters), f"{tmp}/phash")
         # the deletion request, propagated through every lane (module
         # attribute lookups, not from-imports, so the crash test can
         # inject a failure at any single lane boundary)
@@ -4494,6 +4506,7 @@ def _gdpr_build_fn(spark, sf):
         _er.erase_sq_index(spark, f"{tmp}/sq", erased_vecs)
         _er.erase_ann_index(spark, f"{tmp}/ann", erased_vecs)
         _knn.erase_knn_index(spark, f"{tmp}/knn", erased_vecs)
+        _ph.erase_phash_index(spark, f"{tmp}/phash", erased_docs)
         remaining = ev.filter(f"NOT ({_GDPR_USER_PRED})")
         touched = ev.filter(_GDPR_USER_PRED).select("event_type", "day")
         _er.rebuild_hll_keys(
@@ -4505,9 +4518,10 @@ def _gdpr_build_fn(spark, sf):
 
 
 def _published_gdpr_lanes(spark, sf) -> str:
-    """The q168 artifact: ALL SIX persisted lanes (dedup, BM25, SQ
-    with the id-bucket erase layout, IVF ANN, HLL rollup, kNN-graph —
-    the seventh lifecycle's erase leg composed in since round 11)
+    """The q168 artifact: ALL SEVEN persisted lanes (dedup, BM25, SQ
+    with the id-bucket erase layout, IVF ANN, HLL rollup, kNN-graph,
+    and the pHash fingerprint index — the round-11 lifecycles' erase
+    legs composed in)
     built from the lake, then a fixed deletion request erased through
     every one — inside ONE publish-if-absent step, so the published
     directory IS the post-erasure state (replays never re-build or
@@ -4518,7 +4532,7 @@ def _published_gdpr_lanes(spark, sf) -> str:
         _dataset_fingerprint(sf, t)
         for t in ("documents", "embeddings", "events")
     )
-    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_gdpr9"
+    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_gdpr10"
     _publish_if_absent(spark, path, _gdpr_build_fn(spark, sf))
     return path
 
@@ -4526,11 +4540,13 @@ def _published_gdpr_lanes(spark, sf) -> str:
 def q168_gdpr_erasure_report(spark, sf):
     """GDPR capstone (the q141 composition pattern for DELETION):
     every persisted lane is built from the lake and a fixed deletion
-    request erased through all six — dedup bands/sets, BM25
+    request erased through all seven — dedup bands/sets, BM25
     postings/dl, id-bucketed SQ codes, bucket-partitioned IVF codes,
     HLL rollup (non-invertible → touched-key rebuild), and the
     kNN-graph index (bounded rebuild: only nodes that lost a neighbor
-    re-probe — ``knn_index.erase_knn_index``) — then this report
+    re-probe — ``knn_index.erase_knn_index``), and the pHash
+    fingerprint index over the documents' rasters (the multimodal
+    lane — a per-row anti-join rewrite) — then this report
     audits the post-erasure state per lane: rows remaining and erased
     ids still visible (must be 0). The kNN lane contributes TWO rows:
     its corpus vectors (the uniform per-id unit) and its directed
@@ -4597,6 +4613,11 @@ def q168_gdpr_erasure_report(spark, sf):
     knn_e = lane(
         "knn_edges", load_knn_edges(spark, f"{root}/knn"), edge_pred
     )
+    ph = lane(
+        "phash",
+        spark.read.parquet(f"{root}/phash/codes"),
+        _GDPR_DOC_PRED,
+    )
     # HLL rows are keyed by (event_type, day), not user — "visible"
     # here means a key that would not exist had the erased users never
     # ingested (i.e. a key with no remaining-user events survived the
@@ -4633,6 +4654,7 @@ def q168_gdpr_erasure_report(spark, sf):
         .unionByName(ann)
         .unionByName(knn)
         .unionByName(knn_e)
+        .unionByName(ph)
         .unionByName(hll)
         .orderBy("lane")
     )
@@ -10429,6 +10451,13 @@ ORACLE["q168_gdpr_erasure_report"] = """
                     SELECT count(*)::BIGINT AS n FROM embeddings
                     WHERE NOT (vec_id % 9 = 4)
                ))::BIGINT, 0::BIGINT
+        UNION ALL
+        SELECT 'phash',
+               (SELECT count(*) FROM documents
+                WHERE NOT (doc_id % 7 = 3)
+                  AND length(regexp_replace(
+                      text, '[^\\x20-\\x7E]', '', 'g')) > 0
+               )::BIGINT, 0::BIGINT
         UNION ALL
         SELECT 'sq',
                (SELECT count(*) FROM embeddings

@@ -4285,6 +4285,44 @@ def test_gdpr_capstone_composed_pipeline(spark, tmp_path):
     ).count()
     assert leaked == 0
 
+    # phash (the multimodal lane): gating a replay batch against the
+    # erased fingerprint index equals gating against an index built
+    # on the remaining docs' rasters, and no erased id survives
+    from pyspark.sql import functions as F__
+    from data_lake_project_spark.multimodal.phash_index import (
+        build_phash_index,
+        gate_against_phash_index,
+        load_phash_index,
+    )
+
+    def rasters(frame):
+        return frame.select(
+            "doc_id",
+            F__.encode(
+                F__.regexp_replace(
+                    F__.col("text"), r"[^\x20-\x7E]", ""
+                ),
+                "UTF-8",
+            ).alias("image"),
+        )
+
+    replay = rasters(
+        docs.limit(15).select(
+            (F__.col("doc_id") + 700000).alias("doc_id"), "text"
+        )
+    )
+    idx_ph = load_phash_index(spark, f"{root}/phash")
+    assert rows(
+        gate_against_phash_index(idx_ph, replay).select("doc_id")
+    ) == rows(
+        gate_against_phash_index(
+            build_phash_index(rasters(rem_docs)), replay
+        ).select("doc_id")
+    )
+    assert (
+        idx_ph.codes.filter(_GDPR_DOC_PRED).count() == 0
+    )
+
     # hll: touched-key rebuild == build-on-remaining (estimates equal)
     def est(r):
         return sorted(
@@ -4353,7 +4391,8 @@ def test_gdpr_capstone_partial_replay_crash(spark, tmp_path, monkeypatch):
     )
 
     for rel in ("dedup/bands", "dedup/sets", "bm25/tfs", "bm25/dl",
-                "sq/codes", "ann/codes", "knn/edges", "knn/vectors"):
+                "sq/codes", "ann/codes", "knn/edges", "knn/vectors",
+                "phash/codes"):
         a = spark.read.parquet(f"{path}/{rel}")
         b = spark.read.parquet(f"{ref}/{rel}")
         assert sorted(map(tuple, a.collect())) == sorted(
