@@ -4030,7 +4030,11 @@ def q160_golden_record(spark, sf):
     ).select(
         F.col("left_id").alias("id_a"), F.col("right_id").alias("id_b")
     )
-    comp = D.connected_components(pairs).select(
+    # fuzzy-match graphs are chain-shaped (measured diameter ~14 —
+    # min-label would scan the edge set 14x); large/small-star
+    # converges in 5 rounds with the identical labeling (parity
+    # CI-pinned)
+    comp = D.connected_components(pairs, algo="star").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
     labeled = (

@@ -4950,3 +4950,40 @@ def test_embedding_neardup_arrow_boundary_guard(spark):
     )
     rows = D.embedding_neardup(df3, threshold=0.3, impl="arrow").collect()
     assert [(r.id_a, r.id_b, r.cosine) for r in rows] == [(1, 2, 0.7071)]
+
+
+def test_connected_components_star_parity_and_rounds(spark):
+    """algo='star' (alternating large/small-star) must produce the
+    IDENTICAL (id, cluster_id, cluster_size) labeling as converged
+    min-label propagation, in O(log) edge-set rounds — on a deep
+    chain the label default (max_iter=25) cannot even converge, the
+    exact failure class star exists for."""
+    from data_lake_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "id_a long, id_b long"
+    )
+    shuffled = spark.createDataFrame(
+        [(37 * i % 101, 37 * (i + 1) % 101) for i in range(40)]
+        + [(500, 500), (600, 601)],  # self-pair + 2-clique
+        "id_a long, id_b long",
+    )
+    for g in (chain, shuffled):
+        stats = {}
+        star = rows(connected_components(g, algo="star", stats=stats))
+        assert stats["converged"] and stats["rounds"] <= 8
+        assert star == rows(connected_components(g, max_iter=100))
+
+    # label default hits max_iter on the 29-hop chain; star converges
+    trunc = {}
+    connected_components(chain, stats=trunc).count()
+    assert trunc["converged"] is False
+
+    # empty graph
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty, algo="star").count() == 0
