@@ -169,3 +169,52 @@ def audio_features(
     return audios.select(path_col, content_col).mapInPandas(
         gen, AUDIO_FEATURE_SCHEMA
     )
+
+
+def frame_scene_report(
+    frames: DataFrame,
+    path_col: str = "path",
+    frame_col: str = "frame",
+    image_col: str = "image",
+    threshold: int = 8,
+) -> DataFrame:
+    """Per-clip perceptual change detection — the shot-boundary /
+    keyframe-selection primitive of a video training pipeline, built
+    from the same ``ahash64`` fingerprint the image dedup family uses
+    (`multimodal/phash.py`): every frame is fingerprinted (narrow JVM
+    map), then ONE clip-keyed window compares each frame's hash to
+    its predecessor's via the exact Hamming distance. A frame opens a
+    new scene when it is the clip's first frame or its distance to
+    the previous frame exceeds ``threshold`` (aHash is invariant to
+    uniform brightness drift, so exposure flicker does not trigger
+    cuts; content changes do).
+
+    Output: the input keys + ``hamming_prev`` (NULL for each clip's
+    first frame) + ``is_scene_change``. Change-point semantics are
+    per ADJACENT frame (window-expressible, one shuffle on the clip
+    key) — not greedy distance-to-last-keyframe, which is inherently
+    sequential; downstream samplers keep ``is_scene_change`` frames
+    as keyframes. Scale: fingerprint is per-row; the only shuffle is
+    the clip-keyed window, and a clip's frame count bounds each
+    partition's state."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_lake_project_spark.multimodal.phash import (
+        _BAND_COLS,
+        ahash64,
+        hamming64,
+    )
+
+    fp = ahash64(frames, image_col=image_col)
+    w = Window.partitionBy(path_col).orderBy(frame_col)
+    for c in _BAND_COLS:
+        fp = fp.withColumn(f"__prev_{c}", F.lag(c).over(w))
+    out = fp.withColumn(
+        "hamming_prev", hamming64("", "__prev_")
+    ).withColumn(
+        "is_scene_change",
+        F.col("hamming_prev").isNull()
+        | (F.col("hamming_prev") > threshold),
+    )
+    return out.drop(*[f"__prev_{c}" for c in _BAND_COLS])

@@ -629,3 +629,51 @@ def test_phash_index_lifecycle(spark, tmp_path):
     assert twin_rows == rows(
         gate_against_phash_index(never, batch).select("doc_id")
     )
+
+
+def test_frame_scene_report(spark):
+    """Shot-boundary detection over frame rows: a static clip opens
+    one scene (Hamming 0 everywhere after frame 1), an alternating
+    clip cuts on every frame, a brightness-drifting clip never cuts
+    (aHash invariance), and the change-point flags follow the
+    frame-order window per clip."""
+    import hashlib
+
+    from data_lake_project_spark.multimodal.av import frame_scene_report
+
+    def img(seed, n=96):
+        out = b""
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}:{i}".encode()).digest()
+            i += 1
+        return out[:n]
+
+    a, b = img(1), img(2)
+    drift_base = bytes(range(10, 106))  # headroom for +4 shifts
+    rows = (
+        [("static", i, bytes(a)) for i in range(5)]
+        + [("cuts", i, bytes(a if i % 2 == 0 else b)) for i in range(4)]
+        + [
+            ("drift", i, bytes(x + i for x in drift_base))
+            for i in range(4)
+        ]
+    )
+    frames = spark.createDataFrame(
+        rows, "path string, frame int, image binary"
+    )
+    got = {
+        (r.path, r.frame): (r.hamming_prev, r.is_scene_change)
+        for r in frame_scene_report(frames).collect()
+    }
+    # static: first frame opens, rest identical
+    assert got[("static", 0)] == (None, True)
+    assert all(got[("static", i)] == (0, False) for i in range(1, 5))
+    # alternating: every frame is a cut (md5 rasters are far apart)
+    assert got[("cuts", 0)] == (None, True)
+    for i in range(1, 4):
+        h, cut = got[("cuts", i)]
+        assert h > 8 and cut
+    # uniform +1 brightness drift never cuts
+    assert got[("drift", 0)] == (None, True)
+    assert all(got[("drift", i)] == (0, False) for i in range(1, 4))
