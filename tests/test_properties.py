@@ -1457,3 +1457,62 @@ def test_id_bucket_expr_stable_across_integer_widths(spark, ids):
     for i, b in bi.items():
         assert bl[i] == b
     assert all(0 <= b < 8 for b in bl.values())
+
+
+# --------------------------------------------------------------------------
+# perceptual hash: python reference vs the Spark expression lane
+# --------------------------------------------------------------------------
+
+
+def _ahash64_ref(buf: bytes):
+    """Pure-python reference of multimodal/phash.ahash64: 64 evenly
+    spaced byte samples, bit j set iff sample*64 > sum(samples),
+    bands = 16-bit little slices."""
+    n = len(buf)
+    if n == 0:
+        return None
+    v = [buf[(j * n) // 64] for j in range(64)]
+    tot = sum(v)
+    bits = [1 if x * 64 > tot else 0 for x in v]
+    return [
+        sum(bits[16 * b + i] << i for i in range(16)) for b in range(4)
+    ]
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=30, deadline=None)
+def test_ahash64_matches_python_reference(spark, buf):
+    from data_lake_project_spark.multimodal.phash import ahash64
+
+    df = spark.createDataFrame([(1, bytes(buf))], "doc_id long, image binary")
+    r = ahash64(df).collect()[0]
+    got = (
+        None
+        if r.pband0 is None
+        else [r.pband0, r.pband1, r.pband2, r.pband3]
+    )
+    assert got == _ahash64_ref(bytes(buf))
+
+
+@given(
+    st.binary(min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=25, deadline=None)
+def test_ahash64_uniform_shift_invariance_property(spark, buf, delta):
+    """(v+d)*64 > tot+64d <=> v*64 > tot — the aHash invariance the
+    q189/q191/q192 twins rely on, for ANY raster and shift that does
+    not overflow a byte."""
+    from data_lake_project_spark.multimodal.phash import ahash64
+
+    shifted = bytes(min(b + delta, 255) for b in buf)
+    if any(b + delta > 255 for b in buf):
+        return  # clamping breaks uniformity; invariance only without overflow
+    df = spark.createDataFrame(
+        [(1, bytes(buf)), (2, shifted)], "doc_id long, image binary"
+    )
+    got = {
+        r.doc_id: (r.pband0, r.pband1, r.pband2, r.pband3)
+        for r in ahash64(df).collect()
+    }
+    assert got[1] == got[2]
