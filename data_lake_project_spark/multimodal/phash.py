@@ -155,7 +155,10 @@ def hamming64(a_prefix: str, b_prefix: str):
 
 
 def phash_neardup(
-    fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs among banded fingerprints (the
     ``ahash64`` output columns): band-join candidates, verify with
@@ -168,6 +171,17 @@ def phash_neardup(
     Output: ``(id_a, id_b, hamming)`` with ``id_a < id_b``. NULL
     fingerprints (empty buffers) are dropped — an empty raster is not
     a near-duplicate of anything, including another empty raster.
+
+    ``n_salts``: opt-in skew handling for the module-docstring risk —
+    a degenerate corpus (e.g. millions of near-identical form pages)
+    concentrating one band value into a straggler partition of the
+    band self-join. With salting, one side's rows spread across
+    ``n_salts`` shuffle partitions per (band, value) key and the
+    other side replicates (``operators/skew.salted_join`` — the
+    ``embedding_neardup`` pattern); the pair set is identical (inner
+    join, result-parity CI-pinned on a hot-band fixture). The hot
+    bucket still pairs quadratically — that is real duplication the
+    gate WANTS — salting spreads the work instead of serializing it.
     """
     if max_hamming > N_BANDS - 1:
         raise ValueError(
@@ -200,19 +214,39 @@ def phash_neardup(
             )
         ).alias("bk"),
     ).select("__id", "bk.band", "bk.val")
-    cand = (
-        keyed.alias("x")
-        .join(
-            keyed.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.val") == F.col("y.val"))
-            & (F.col("x.__id") < F.col("y.__id")),
+    if n_salts:
+        from data_lake_project_spark.operators.skew import salted_join
+
+        a_side = keyed.select(
+            F.col("__id").alias("__xid"), "band", "val"
         )
-        .select(
-            F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b")
+        b_side = keyed.select(
+            F.col("__id").alias("__yid"), "band", "val"
         )
-        .distinct()
-    )
+        cand = (
+            salted_join(a_side, b_side, ["band", "val"], n_salts=n_salts)
+            .filter(F.col("__xid") < F.col("__yid"))
+            .select(
+                F.col("__xid").alias("id_a"),
+                F.col("__yid").alias("id_b"),
+            )
+            .distinct()
+        )
+    else:
+        cand = (
+            keyed.alias("x")
+            .join(
+                keyed.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.val") == F.col("y.val"))
+                & (F.col("x.__id") < F.col("y.__id")),
+            )
+            .select(
+                F.col("x.__id").alias("id_a"),
+                F.col("y.__id").alias("id_b"),
+            )
+            .distinct()
+        )
     a = f.select(
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"a_{c}") for c in _BAND_COLS],

@@ -677,3 +677,35 @@ def test_frame_scene_report(spark):
     # uniform +1 brightness drift never cuts
     assert got[("drift", 0)] == (None, True)
     assert all(got[("drift", i)] == (0, False) for i in range(1, 4))
+
+
+def test_phash_neardup_salted_parity_on_hot_band(spark):
+    """The skew escape hatch: a fixture where one band value is hot
+    (many near-identical rasters) must produce the IDENTICAL pair set
+    with and without salting."""
+    import hashlib
+
+    from data_lake_project_spark.multimodal.phash import (
+        ahash64,
+        phash_neardup,
+    )
+
+    base = bytes(range(10, 74))
+    rows = [(i, bytes(b + (i % 3) for b in base)) for i in range(30)]
+    rows += [
+        (100 + i, hashlib.md5(f"uniq{i}".encode()).digest() * 6)
+        for i in range(10)
+    ]
+    fp = ahash64(
+        spark.createDataFrame(rows, "doc_id long, image binary")
+    )
+
+    def pairs(df):
+        return sorted((r.id_a, r.id_b, r.hamming) for r in df.collect())
+
+    plain = pairs(phash_neardup(fp, id_col="doc_id"))
+    salted = pairs(phash_neardup(fp, id_col="doc_id", n_salts=4))
+    assert plain == salted
+    # the hot family really is hot: all 30 shifted rasters share a
+    # fingerprint (brightness invariance), i.e. C(30,2) pairs
+    assert len([p for p in plain if p[0] < 100]) == 30 * 29 // 2
