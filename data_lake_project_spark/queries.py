@@ -5850,6 +5850,66 @@ def q192_stream_phash_gate(spark, sf):
     return spark.read.parquet(out).orderBy("doc_id")
 
 
+def q193_perceptual_waterfall(spark, sf):
+    """The curation waterfall with PERCEPTUAL DEDUP as its first
+    stage — the image-corpus build ladder (q184's one-pass
+    cumulative-AND report over a different, multimodal ladder): the
+    q189 raster population (originals + re-encoded twins) flows
+    through [perceptual dedup (the q190 keep-lowest-id gate — every
+    twin dies here, attributed HERE and not to a later stage), token
+    floor (a twin's shifted raster has no spaces left, so the stage
+    is also what catches mojibake re-encodes that slip past dedup),
+    per-source quota of the 25 longest rasters]. One corpus pass
+    computes every flag; the report is ONE aggregation
+    (``dataset.waterfall_report``). The oracle replays fingerprints,
+    banding, the survivor rule, and both gates from the source
+    table."""
+    from data_lake_project_spark.multimodal.phash import phash_neardup
+    from data_lake_project_spark.operators.dataset import (
+        waterfall_report,
+    )
+
+    fp = (
+        _phash_fingerprints(spark, sf)
+        .select(
+            "doc_id", "source", "image",
+            "pband0", "pband1", "pband2", "pband3",
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = phash_neardup(fp, id_col="doc_id", max_hamming=3)
+    doomed = (
+        pairs.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__doomed", F.lit(True))
+    )
+    rtext = F.decode(F.col("image"), "UTF-8")
+    flagged = (
+        fp.join(doomed, "doc_id", "left")
+        .withColumn("f_phash", F.col("__doomed").isNull())
+        .withColumn("__n_chars", F.length("image").cast("long"))
+        .withColumn(
+            "__n_tokens", F.size(F.split(F.trim(rtext), r"\s+"))
+        )
+        .withColumn("f_tokens", F.col("__n_tokens") >= 20)
+    )
+    prior = F.col("f_phash") & F.col("f_tokens")
+    wq = Window.partitionBy("source").orderBy(
+        prior.desc(), F.col("__n_chars").desc(), F.col("doc_id")
+    )
+    flagged = flagged.withColumn(
+        "f_quota", prior & (F.row_number().over(wq) <= 25)
+    )
+    return waterfall_report(
+        flagged,
+        [
+            ("phash_dedup", "f_phash"),
+            ("min_tokens", "f_tokens"),
+            ("source_quota", "f_quota"),
+        ],
+    ).orderBy("stage")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6050,6 +6110,7 @@ QUERIES: dict[str, QueryFn] = {
     "q190_phash_survivors": q190_phash_survivors,
     "q191_phash_index_gate": q191_phash_index_gate,
     "q192_stream_phash_gate": q192_stream_phash_gate,
+    "q193_perceptual_waterfall": q193_perceptual_waterfall,
 }
 
 _SHINGLE_CTE = """
@@ -11626,6 +11687,59 @@ ORACLE["q192_stream_phash_gate"] = (
     )
     SELECT t.doc_id FROM batch t LEFT JOIN m USING (doc_id)
     WHERE m.doc_id IS NULL ORDER BY t.doc_id
+"""
+)
+
+# q193: the multimodal curation ladder replayed — fingerprints and
+# the survivor rule from the shared bands SQL, the token floor (a
+# shifted twin raster has no 0x20 left: +1 maps nothing INTO space,
+# so its token count is exactly 1), and the quota rank with the same
+# (prior, n_chars desc, doc_id) key on both engines.
+ORACLE["q193_perceptual_waterfall"] = (
+    _PHASH_BANDS_SQL
+    + """
+    , pop AS (
+        SELECT doc_id, source, length(t) AS n_chars,
+               CASE WHEN sh = 1 THEN 1
+                    ELSE len(regexp_split_to_array(trim(t), '\\s+'))
+               END AS n_tokens
+        FROM a WHERE length(t) > 0
+    ),
+    doomed AS (
+        SELECT DISTINCT id_b AS doc_id FROM pairs WHERE hamming <= 3
+    ),
+    flg AS (
+        SELECT p.doc_id, p.source, p.n_chars, p.n_tokens,
+               (d.doc_id IS NULL) AS f1
+        FROM pop p LEFT JOIN doomed d USING (doc_id)
+    ),
+    flg2 AS (
+        SELECT *, (f1 AND n_tokens >= 20) AS prior,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY CASE WHEN f1 AND n_tokens >= 20 THEN 0
+                            ELSE 1 END, n_chars DESC, doc_id) AS rnq
+        FROM flg
+    ),
+    agg AS (
+        SELECT count(*)::BIGINT AS n0,
+               sum(CASE WHEN f1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN f1 AND n_tokens >= 20 THEN 1 ELSE 0
+                   END)::BIGINT AS n2,
+               sum(CASE WHEN prior AND rnq <= 25 THEN 1 ELSE 0
+                   END)::BIGINT AS n3
+        FROM flg2
+    )
+    SELECT * FROM (
+        SELECT 1::BIGINT AS stage, 'phash_dedup' AS stage_name,
+               n0 AS n_in, n1 AS n_kept, (n0 - n1)::BIGINT AS n_removed
+        FROM agg
+        UNION ALL
+        SELECT 2::BIGINT, 'min_tokens', n1, n2, (n1 - n2)::BIGINT
+        FROM agg
+        UNION ALL
+        SELECT 3::BIGINT, 'source_quota', n2, n3, (n2 - n3)::BIGINT
+        FROM agg
+    ) ORDER BY stage
 """
 )
 
