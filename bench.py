@@ -62,7 +62,11 @@ def compact_payload(
             os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
         ),
     }
-    for k in ("loadavg_start", "loadavg_end"):
+    # contention metadata rides into the compact line too: a reader of
+    # the driver artifact alone must be able to tell a contended sweep
+    # (loadavg) and a single-run reading (runs=1, noisier than a
+    # median-of-3) from the payload itself
+    for k in ("loadavg_start", "loadavg_end", "runs"):
         if k in payload:
             out[k] = payload[k]
     return out
@@ -177,6 +181,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "runs": runs,
         "loadavg_start": load_start,
         "loadavg_end": round(os.getloadavg()[0], 2),
     }

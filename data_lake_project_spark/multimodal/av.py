@@ -196,7 +196,15 @@ def frame_scene_report(
     sequential; downstream samplers keep ``is_scene_change`` frames
     as keyframes. Scale: fingerprint is per-row; the only shuffle is
     the clip-keyed window, and a clip's frame count bounds each
-    partition's state."""
+    partition's state.
+
+    Zero-length frames (decoder glitches) are EXCLUDED before the lag
+    window, not fingerprinted: an empty raster hashes to NULL bands
+    (the ``ahash64`` contract), which would make ``hamming_prev``
+    NULL for the glitch AND its successor — two injected cuts per
+    glitch. Dropping them keeps the ``hamming_prev IS NULL <=>
+    clip's first frame`` contract exact and compares each real frame
+    against the previous REAL frame across the glitch."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -206,7 +214,10 @@ def frame_scene_report(
         hamming64,
     )
 
-    fp = ahash64(frames, image_col=image_col)
+    fp = ahash64(
+        frames.filter(F.length(F.col(image_col)) > 0),
+        image_col=image_col,
+    )
     w = Window.partitionBy(path_col).orderBy(frame_col)
     for c in _BAND_COLS:
         fp = fp.withColumn(f"__prev_{c}", F.lag(c).over(w))

@@ -859,6 +859,14 @@ def connected_components(
     the label pointer graph is not chain-aligned, so compression
     stalls).
     """
+    if algo not in ("label", "star"):
+        # loud, not a silent fall-through: a typo ("stars") must not
+        # quietly run O(diameter) label propagation when the caller
+        # believes they opted into the O(log^2) star algorithm
+        raise ValueError(
+            f"connected_components: unknown algo {algo!r} "
+            "(expected 'label' or 'star')"
+        )
     if algo == "star":
         return _star_components(pairs, left, right, max_iter, stats)
     edges = pairs.select(

@@ -5685,19 +5685,19 @@ def _published_phash_index(spark, sf) -> str:
     quarter (doc_id % 4 == 3) FOLDED in through the O(delta) append
     (``phash_index_apply`` — the corpus is never refingerprinted),
     inside one publish-if-absent step (the artifact IS the post-fold
-    state, q168 pattern)."""
-    import os as _os
-
+    state, q168 pattern). Keyed on the CONTENT fingerprint like every
+    other ``_published_*`` artifact — size+mtime alone misses an
+    in-place fixture regeneration inside the same mtime second
+    (round-5 lesson), and a stale hit here would serve q191/q192
+    fingerprints from a previous corpus."""
     from data_lake_project_spark.multimodal.phash_index import (
         build_phash_index,
         phash_index_apply,
         save_phash_index,
     )
 
-    st = _os.stat(f"{sf.rstrip('/')}/documents.parquet")
-    path = (
-        f"/tmp/spark_graft_phash_idx_{st.st_size}_{int(st.st_mtime)}"
-    )
+    fp = _dataset_fingerprint(sf, "documents")
+    path = f"/tmp/spark_graft_phash_idx_{fp}"
     d = load_table(spark, sf, "documents")
     ascii_txt = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
     originals = d.select(
@@ -5830,11 +5830,15 @@ def q192_stream_phash_gate(spark, sf):
     out = _tempfile.mkdtemp(prefix="spark_graft_q192_out_")
 
     def gate_batch(bdf, batch_id):
+        # per-batch dir + overwrite (the write_idempotent_foreach_batch
+        # sink shape): foreachBatch is at-least-once, so a retried
+        # micro-batch must REWRITE its own directory, never append
+        # duplicates to a flat one
         (
             gate_against_phash_index(idx, bdf)
             .select("doc_id")
-            .write.mode("append")
-            .parquet(out)
+            .write.mode("overwrite")
+            .parquet(f"{out}/data/__batch={batch_id}")
         )
 
     q = (
@@ -5847,7 +5851,9 @@ def q192_stream_phash_gate(spark, sf):
         .start()
     )
     _await_stream(q)
-    return spark.read.parquet(out).orderBy("doc_id")
+    from data_lake_project_spark.streaming.pipeline import read_sink
+
+    return read_sink(spark, out).orderBy("doc_id")
 
 
 def q193_perceptual_waterfall(spark, sf):

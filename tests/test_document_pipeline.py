@@ -679,6 +679,32 @@ def test_frame_scene_report(spark):
     assert all(got[("drift", i)] == (0, False) for i in range(1, 4))
 
 
+def test_frame_scene_report_empty_frame_excluded(spark):
+    """A zero-length raster mid-clip (decoder glitch) must be DROPPED
+    before the lag window — its NULL fingerprint would otherwise make
+    hamming_prev NULL for itself and its successor, injecting two
+    phantom cuts. The frames around the glitch compare against each
+    other instead."""
+    import hashlib
+
+    from data_lake_project_spark.multimodal.av import frame_scene_report
+
+    a = (hashlib.md5(b"one").digest() * 6)[:96]
+    frames = spark.createDataFrame(
+        [("glitch", 0, a), ("glitch", 1, b""), ("glitch", 2, a)],
+        "path string, frame int, image binary",
+    )
+    got = {
+        (r.path, r.frame): (r.hamming_prev, r.is_scene_change)
+        for r in frame_scene_report(frames).collect()
+    }
+    assert ("glitch", 1) not in got  # glitch excluded, not flagged
+    assert got[("glitch", 0)] == (None, True)
+    # frame 2 compares against frame 0 across the glitch: identical
+    # raster, no phantom cut
+    assert got[("glitch", 2)] == (0, False)
+
+
 def test_phash_neardup_salted_parity_on_hot_band(spark):
     """The skew escape hatch: a fixture where one band value is hot
     (many near-identical rasters) must produce the IDENTICAL pair set

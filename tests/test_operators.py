@@ -4987,3 +4987,10 @@ def test_connected_components_star_parity_and_rounds(spark):
     # empty graph
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty, algo="star").count() == 0
+
+    # a typo must raise, not silently run label propagation (a caller
+    # believing they opted into O(log^2) would get O(diameter))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown algo"):
+        connected_components(chain, algo="stars")
