@@ -16,8 +16,6 @@ compose with the image operators since a frame row has the exact
 
 from __future__ import annotations
 
-import hashlib
-import struct
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -45,21 +43,39 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def fake_decode_frames(
-    content: bytes, every_ms: int = 1000
-) -> list[tuple[int, int, bytes, int, int]]:
-    """Deterministic stand-in for an ffmpeg frame sampler: clip
-    duration and frame pixels derive from the blob hash. Returns
-    [(frame_idx, ts_ms, jpeg_bytes, width, height)] at ``every_ms``
-    spacing."""
-    h = hashlib.md5(content).digest()
-    duration_ms = 1000 * (1 + h[0] % 8)
-    w, hgt = 160 + h[1] % 64, 90 + h[2] % 64
-    frames = []
-    for i, ts in enumerate(range(0, duration_ms, every_ms)):
-        pix = hashlib.md5(content + struct.pack("<q", ts)).digest() * 4
-        frames.append((i, ts, pix, w, hgt))
-    return frames
+def make_fake_frame_decoder() -> Callable[[bytes, int], list]:
+    """Factory for the deterministic ffmpeg stand-in. Returns a
+    SELF-CONTAINED closure (stdlib imports inside, zero references to
+    this package) so a ``sample_frames`` plan pickles it BY VALUE —
+    a module-level ``def`` pickles by reference and dies with
+    ModuleNotFoundError on executors that can't import this repo
+    (the driver-seam closure rule: capture only plain values)."""
+
+    def decode(
+        content: bytes, every_ms: int = 1000
+    ) -> list[tuple[int, int, bytes, int, int]]:
+        """Deterministic stand-in for an ffmpeg frame sampler: clip
+        duration and frame pixels derive from the blob hash. Returns
+        [(frame_idx, ts_ms, jpeg_bytes, width, height)] at
+        ``every_ms`` spacing."""
+        import hashlib
+        import struct
+
+        h = hashlib.md5(content).digest()
+        duration_ms = 1000 * (1 + h[0] % 8)
+        w, hgt = 160 + h[1] % 64, 90 + h[2] % 64
+        frames = []
+        for i, ts in enumerate(range(0, duration_ms, every_ms)):
+            pix = hashlib.md5(content + struct.pack("<q", ts)).digest() * 4
+            frames.append((i, ts, pix, w, hgt))
+        return frames
+
+    return decode
+
+
+#: the default decoder instance — a by-value-picklable closure, same
+#: (content, every_ms) signature the real decoder has
+fake_decode_frames = make_fake_frame_decoder()
 
 
 def real_decode_frames(
@@ -115,18 +131,44 @@ AUDIO_FEATURE_SCHEMA = StructType(
 )
 
 
-def fake_audio_features(content: bytes, n_mels: int = 16) -> tuple[int, list[float]]:
-    """Deterministic stand-in for a mel-spectrogram summary (librosa):
-    (duration_ms, n_mels-dim feature vector) from the blob hash."""
-    h = hashlib.md5(content).digest()
-    duration_ms = 500 * (1 + h[0] % 20)
-    feats = [
-        round(int.from_bytes(
-            hashlib.md5(content + struct.pack("<i", i)).digest()[:4], "big"
-        ) / 2**32, 6)
-        for i in range(n_mels)
-    ]
-    return duration_ms, feats
+def make_fake_audio_extractor() -> Callable[[bytes], tuple]:
+    """Factory for the deterministic librosa stand-in — a
+    self-contained by-value-picklable closure, same rationale as
+    ``make_fake_frame_decoder``."""
+
+    def extract(content: bytes, n_mels: int = 16) -> tuple[int, list[float]]:
+        """Deterministic stand-in for a mel-spectrogram summary
+        (librosa): (duration_ms, n_mels-dim feature vector) from the
+        blob hash. Features round through the package's portable
+        formula (floor(x*10^6 + 0.5)/10^6 — ``functions.pround``):
+        Python's bare round() is banker's, which an oracle replay in
+        another engine cannot reproduce at ties."""
+        import hashlib
+        import math
+        import struct
+
+        h = hashlib.md5(content).digest()
+        duration_ms = 500 * (1 + h[0] % 20)
+        feats = [
+            math.floor(
+                int.from_bytes(
+                    hashlib.md5(content + struct.pack("<i", i)).digest()[:4],
+                    "big",
+                )
+                / 4294967296.0
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+            for i in range(n_mels)
+        ]
+        return duration_ms, feats
+
+    return extract
+
+
+#: the default extractor instance (by-value-picklable closure)
+fake_audio_features = make_fake_audio_extractor()
 
 
 def real_audio_features(

@@ -214,3 +214,101 @@ def gate_against_phash_index(
         .distinct()
     )
     return batch.join(dup, index.params["id_col"], "left_anti")
+
+
+def gate_and_fold_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_dir: str,
+    image_col: str = "image",
+    max_hamming: int = 3,
+) -> None:
+    """One micro-batch of the streaming ingest-AND-fold loop: gate the
+    batch against the CURRENT index state, land survivors in the
+    batch's own sink directory, fold them into the index, then mark
+    the batch committed. Module-level (not a closure) so the replay
+    window can be pinned directly in tests.
+
+    Exactly-once under foreachBatch's at-least-once contract, by
+    construction across every crash window:
+
+    - committed marker present -> pure no-op (fast replay skip);
+    - the gate runs against the index state EXCLUDING this batch's own
+      ids (one anti-join on the codes) — a replay after the fold
+      landed but before the marker re-derives the IDENTICAL survivor
+      set instead of rejecting every survivor as a duplicate of its
+      own folded fingerprint (silent data loss, the window a naive
+      gate-then-fold leaves open);
+    - the sink write is per-batch-directory overwrite
+      (``write_idempotent_foreach_batch`` layout, read via
+      ``read_sink``), so a replayed write rewrites, never appends;
+    - the fold itself replays as a no-op through
+      ``phash_index_apply``'s stored-id anti-join guard.
+
+    Survivors are eagerly checkpointed before use: they feed BOTH the
+    sink write and the fold, and cutting lineage keeps the fold's
+    append from re-deriving a plan that re-scans the codes directory
+    it is appending to.
+    """
+    spark = batch.sparkSession
+    commits_dir = f"{out_dir.rstrip('/')}/_committed_batches"
+    marker = f"{commits_dir}/{batch_id}"
+    if fs.exists(spark, marker):
+        return
+    idx = load_phash_index(spark, index_path)
+    id_col = idx.params["id_col"]
+    prior = PhashIndex(
+        idx.params,
+        idx.codes.join(batch.select(id_col), id_col, "left_anti"),
+    )
+    survivors = gate_against_phash_index(
+        prior, batch, image_col, max_hamming
+    ).localCheckpoint(eager=True)
+    survivors.write.mode("overwrite").parquet(
+        f"{out_dir.rstrip('/')}/data/__batch={batch_id}"
+    )
+    phash_index_apply(spark, index_path, survivors, image_col=image_col)
+    fs.write_text(spark, marker, "committed")
+
+
+def stream_ingest_with_phash_gate(
+    stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    image_col: str = "image",
+    max_hamming: int = 3,
+    available_now: bool = False,
+):
+    """The production image-ingest loop (what q192's static-index gate
+    demos, closed into a cycle like the dedup/BM25 serve-before-ingest
+    loops): every micro-batch is gated against the index state built
+    by ALL PRIOR batches, and its survivors are folded in before the
+    next batch arrives — batch N+1's duplicates of batch N's survivors
+    are rejected. Micro-batch work is batch-sized (band-join + verify
+    + O(delta) fold); the corpus is never refingerprinted.
+
+    Returns the started StreamingQuery; read admitted rows back with
+    ``streaming.pipeline.read_sink(spark, out_dir)``.
+
+    ``available_now=True`` drains the backlog and TERMINATES
+    (Trigger.AvailableNow — still honoring source rate limits like
+    maxFilesPerTrigger, so the backlog is processed in multiple
+    sequential gated-and-folded batches); the default runs the
+    continuous micro-batch trigger an always-on ingest wants.
+    """
+
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        gate_and_fold_batch(
+            batch_df, batch_id, index_path, out_dir, image_col, max_hamming
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

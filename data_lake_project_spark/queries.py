@@ -5916,6 +5916,101 @@ def q193_perceptual_waterfall(spark, sf):
     ).orderBy("stage")
 
 
+def q194_stream_phash_ingest_fold(spark, sf):
+    """The pHash ingest loop CLOSED: gate AND fold per micro-batch
+    (``multimodal/phash_index.stream_ingest_with_phash_gate``) — where
+    q192 serves every batch against a STATIC index, a production
+    ingest pipeline admits each batch's survivors INTO the index
+    before the next batch arrives, so batch N+1's perceptual
+    duplicates of batch N's survivors are rejected (the
+    serve-before-ingest cycle the dedup/BM25 lanes already run). Two
+    deterministic micro-batches (one file each, mtime-ordered +
+    maxFilesPerTrigger=1): batch 0 = originals with doc_id % 4 in
+    (1, 2); batch 1 = originals with doc_id % 4 == 3 plus the q189
+    re-encoded twins. The index starts from the doc_id % 4 == 0
+    originals (copied fresh per call — the loop MUTATES it, so it can
+    never be the shared published artifact). A twin whose base
+    survived batch 0 is the order-dependent case: it carries the
+    IDENTICAL fingerprint (aHash brightness invariance) and must be
+    rejected BY THE FOLD, not the base corpus. The oracle replays the
+    sequential admission: s1 = batch-0 rows with no stored match,
+    s2 = batch-1 rows with no match in (stored ∪ s1)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from data_lake_project_spark.multimodal.phash_index import (
+        build_phash_index,
+        save_phash_index,
+        stream_ingest_with_phash_gate,
+    )
+    from data_lake_project_spark.streaming.pipeline import read_sink
+
+    # base index artifact: fingerprints of the doc_id % 4 == 0
+    # originals, published once per corpus content fingerprint
+    base_path = (
+        f"/tmp/spark_graft_phash_base_{_dataset_fingerprint(sf, 'documents')}"
+    )
+    d = load_table(spark, sf, "documents")
+    ascii_txt = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+    originals = d.select(
+        "doc_id", F.encode(ascii_txt, "UTF-8").alias("image")
+    ).filter(F.length("image") > 0)
+    _publish_if_absent(
+        spark,
+        base_path,
+        lambda tmp: save_phash_index(
+            build_phash_index(originals.filter(F.col("doc_id") % 4 == 0)),
+            tmp,
+        ),
+    )
+    # fresh mutable copy per call — codes is ~40 B/row
+    idx_path = _tempfile.mkdtemp(prefix="spark_graft_q194_idx_")
+    _shutil.rmtree(idx_path)
+    _shutil.copytree(base_path, idx_path)
+
+    twins = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.encode(
+            F.translate(ascii_txt, _PRINTABLE, _SHIFTED), "UTF-8"
+        ).alias("image"),
+    ).filter(F.length("image") > 0)
+    batches = [
+        originals.filter((F.col("doc_id") % 4).isin(1, 2)),
+        originals.filter(F.col("doc_id") % 4 == 3).unionByName(twins),
+    ]
+    # one file per micro-batch, distinct ascending mtimes: the file
+    # source orders pickup by modification time (funnel-test lesson)
+    src = _tempfile.mkdtemp(prefix="spark_graft_q194_src_")
+    stage = _tempfile.mkdtemp(prefix="spark_graft_q194_stage_")
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
+        part = sorted(_glob.glob(f"{stage}/b{i}/part-*.parquet"))[0]
+        dst = _os.path.join(src, f"{i:02d}.parquet")
+        _shutil.copy(part, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, image binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _tempfile.mkdtemp(prefix="spark_graft_q194_out_")
+    q = stream_ingest_with_phash_gate(
+        stream,
+        idx_path,
+        out,
+        _tempfile.mkdtemp(prefix="spark_graft_q194_ckpt_"),
+        available_now=True,
+    )
+    _await_stream(q)
+    admitted = spark.read.parquet(f"{out}/data").select(
+        "doc_id", F.col("__batch").cast("long").alias("admitted_in_batch")
+    )
+    return admitted.orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6117,6 +6212,7 @@ QUERIES: dict[str, QueryFn] = {
     "q191_phash_index_gate": q191_phash_index_gate,
     "q192_stream_phash_gate": q192_stream_phash_gate,
     "q193_perceptual_waterfall": q193_perceptual_waterfall,
+    "q194_stream_phash_ingest_fold": q194_stream_phash_ingest_fold,
 }
 
 _SHINGLE_CTE = """
@@ -11772,5 +11868,61 @@ ORACLE["q190_phash_survivors"] = (
     ) sv USING (source)
     GROUP BY b.source
     ORDER BY b.source
+"""
+)
+
+# q194: the SEQUENTIAL admission replayed — batch 0 (originals with
+# doc_id % 4 in (1, 2)) is gated against the stored fingerprints
+# (doc_id % 4 == 0 originals); batch 1 (doc_id % 4 == 3 originals +
+# re-encoded twins) is gated against stored UNION batch-0 survivors,
+# because the stream folds each batch's survivors into the index
+# before the next batch. Match = shared band + bit_count(xor) <= 3,
+# identical to the q191 gate.
+ORACLE["q194_stream_phash_ingest_fold"] = (
+    _PHASH_BANDS_SQL
+    + """
+    , stored0 AS (
+        SELECT * FROM b WHERE doc_id < 1000000 AND doc_id % 4 = 0
+    ),
+    b1 AS (
+        SELECT * FROM b
+        WHERE doc_id < 1000000 AND doc_id % 4 IN (1, 2)
+    ),
+    s1 AS (
+        SELECT x.* FROM b1 x
+        WHERE NOT EXISTS (
+            SELECT 1 FROM stored0 y
+            WHERE (x.b0 = y.b0 OR x.b1 = y.b1
+                   OR x.b2 = y.b2 OR x.b3 = y.b3)
+              AND (bit_count(xor(x.b0, y.b0))
+                   + bit_count(xor(x.b1, y.b1))
+                   + bit_count(xor(x.b2, y.b2))
+                   + bit_count(xor(x.b3, y.b3))) <= 3
+        )
+    ),
+    stored1 AS (
+        SELECT * FROM stored0 UNION ALL SELECT * FROM s1
+    ),
+    b2 AS (
+        SELECT * FROM b
+        WHERE doc_id >= 1000000
+           OR (doc_id < 1000000 AND doc_id % 4 = 3)
+    ),
+    s2 AS (
+        SELECT x.* FROM b2 x
+        WHERE NOT EXISTS (
+            SELECT 1 FROM stored1 y
+            WHERE (x.b0 = y.b0 OR x.b1 = y.b1
+                   OR x.b2 = y.b2 OR x.b3 = y.b3)
+              AND (bit_count(xor(x.b0, y.b0))
+                   + bit_count(xor(x.b1, y.b1))
+                   + bit_count(xor(x.b2, y.b2))
+                   + bit_count(xor(x.b3, y.b3))) <= 3
+        )
+    )
+    SELECT doc_id, 0::BIGINT AS admitted_in_batch FROM s1
+    UNION ALL
+    SELECT doc_id, 1::BIGINT FROM s2
+    ORDER BY doc_id
 """
 )

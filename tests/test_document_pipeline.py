@@ -735,3 +735,118 @@ def test_phash_neardup_salted_parity_on_hot_band(spark):
     # the hot family really is hot: all 30 shifted rasters share a
     # fingerprint (brightness invariance), i.e. C(30,2) pairs
     assert len([p for p in plain if p[0] < 100]) == 30 * 29 // 2
+
+
+def test_stream_phash_ingest_fold_equals_sequential(spark, tmp_path):
+    """The streaming gate-AND-fold loop: batch 1's duplicates of batch
+    0's SURVIVORS must be rejected (the fold, not the base corpus,
+    supplies the match), the stream must equal a sequential per-batch
+    replay, and the crash window 'fold landed, marker lost' must
+    replay without losing survivors."""
+    import hashlib
+    import os
+    import shutil
+
+    from data_lake_project_spark.multimodal.phash_index import (
+        build_phash_index,
+        gate_and_fold_batch,
+        load_phash_index,
+        save_phash_index,
+        stream_ingest_with_phash_gate,
+    )
+    from data_lake_project_spark.streaming.pipeline import read_sink
+
+    def img(seed, n=96):
+        out, i = b"", 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}:{i}".encode()).digest()
+            i += 1
+        return out[:n]
+
+    r1, r2, r3 = img(1), img(2), img(3)
+    base = str(tmp_path / "base_idx")
+    save_phash_index(
+        build_phash_index(
+            spark.createDataFrame([(1, r1)], "doc_id long, image binary")
+        ),
+        base,
+    )
+    # batch 0: 10 novel (survives), 11 dup of indexed 1 (rejected)
+    # batch 1: 20 dup of SURVIVOR 10 (rejected only if the fold ran),
+    #          21 dup of indexed 1 (rejected), 22 novel (survives)
+    b0 = [(10, r2), (11, bytes(x if x == 255 else x + 1 for x in r1))]
+    b1 = [(20, bytes(x if x == 255 else x + 1 for x in r2)),
+          (21, r1), (22, r3)]
+
+    # streaming run: one file per batch, pinned ascending mtimes
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows_ in enumerate([b0, b1]):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(
+            rows_, "doc_id long, image binary"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        import glob
+
+        part = sorted(glob.glob(f"{stage}/part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    idx_stream = str(tmp_path / "idx_stream")
+    shutil.copytree(base, idx_stream)
+    out_stream = str(tmp_path / "out_stream")
+    q = stream_ingest_with_phash_gate(
+        spark.readStream.schema("doc_id long, image binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        idx_stream,
+        out_stream,
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    admitted = sorted(
+        r.doc_id for r in read_sink(spark, out_stream).collect()
+    )
+    assert admitted == [10, 22]  # 20 rejected BY THE FOLD
+
+    # sequential per-batch replay must produce the identical sink +
+    # identical post-fold index
+    idx_seq = str(tmp_path / "idx_seq")
+    shutil.copytree(base, idx_seq)
+    out_seq = str(tmp_path / "out_seq")
+    for i, rows_ in enumerate([b0, b1]):
+        gate_and_fold_batch(
+            spark.createDataFrame(rows_, "doc_id long, image binary"),
+            i,
+            idx_seq,
+            out_seq,
+        )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(read_sink(spark, out_seq).select("doc_id")) == rows(
+        read_sink(spark, out_stream).select("doc_id")
+    )
+    assert rows(load_phash_index(spark, idx_seq).codes) == rows(
+        load_phash_index(spark, idx_stream).codes
+    )
+
+    # crash window: batch 1's fold landed but its marker was lost —
+    # the replay must re-derive the SAME survivors (not reject them as
+    # duplicates of their own folded fingerprints) and the fold guard
+    # must keep the codes duplicate-free
+    os.remove(os.path.join(out_seq, "_committed_batches", "1"))
+    gate_and_fold_batch(
+        spark.createDataFrame(b1, "doc_id long, image binary"),
+        1,
+        idx_seq,
+        out_seq,
+    )
+    assert rows(read_sink(spark, out_seq).select("doc_id")) == rows(
+        read_sink(spark, out_stream).select("doc_id")
+    )
+    codes = load_phash_index(spark, idx_seq).codes
+    assert codes.count() == codes.select("doc_id").distinct().count()
