@@ -6011,6 +6011,74 @@ def q194_stream_phash_ingest_fold(spark, sf):
     return admitted.orderBy("doc_id")
 
 
+def q195_video_scene_ladder(spark, sf):
+    """The video lane run END-TO-END as an oracle-checked query — the
+    full ladder ``clips → sample_frames (mapInPandas UDTF through the
+    pluggable decoder seam, ``av.py``) → frame_scene_report (ahash64
+    fingerprint + clip-keyed lag window) → per-clip scene census``.
+    Documents stand in as clips (ascii raster = the 'video' blob);
+    the deterministic fake decoder IS the decoder under test: its
+    whole arithmetic (md5-derived duration, per-frame md5 rasters at
+    every_ms spacing) is replayed by the DuckDB oracle, so a dropped
+    frame, a wrong timestamp pack, a fingerprint bit, or a lag-window
+    slip all hash-mismatch. ``every_ms=1024`` keeps every packed
+    little-endian timestamp byte below 0x80 (ts = 1024*i → bytes
+    [0, 4*i, 0...]), which is what makes the md5 chain expressible as
+    VARCHAR concatenation on the oracle side. Output per clip:
+    frame count, scene count, total adjacent-frame Hamming, and the
+    keyframe id list a downstream sampler would keep. Scale: the
+    decode is a map-only pass (one blob never leaves its partition),
+    the only shuffle is the clip-keyed window + the same-keyed
+    aggregate."""
+    from data_lake_project_spark.multimodal.av import (
+        frame_scene_report,
+        make_fake_frame_decoder,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf, "documents")
+    ascii_txt = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+    clips = d.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.encode(ascii_txt, "UTF-8").alias("content"),
+    ).filter(F.length("content") > 0)
+    frames = sample_frames(
+        clips, every_ms=1024, decoder=make_fake_frame_decoder()
+    )
+    rep = frame_scene_report(
+        frames, path_col="path", frame_col="frame", threshold=8
+    )
+    return (
+        rep.groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum(F.col("is_scene_change").cast("long")).alias("n_scenes"),
+            F.coalesce(F.sum("hamming_prev"), F.lit(0))
+            .cast("long")
+            .alias("hamming_total"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("is_scene_change"), F.col("frame"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("keyframes"),
+        )
+        .select(
+            F.col("path").cast("long").alias("doc_id"),
+            "n_frames",
+            "n_scenes",
+            "hamming_total",
+            "keyframes",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6213,6 +6281,7 @@ QUERIES: dict[str, QueryFn] = {
     "q192_stream_phash_gate": q192_stream_phash_gate,
     "q193_perceptual_waterfall": q193_perceptual_waterfall,
     "q194_stream_phash_ingest_fold": q194_stream_phash_ingest_fold,
+    "q195_video_scene_ladder": q195_video_scene_ladder,
 }
 
 _SHINGLE_CTE = """
@@ -11926,3 +11995,76 @@ ORACLE["q194_stream_phash_ingest_fold"] = (
     ORDER BY doc_id
 """
 )
+
+# q195: the fake decoder's arithmetic replayed end-to-end — duration
+# from md5(clip)'s first byte (1000*(1 + b%8); b%8 is the second
+# nibble mod 8), one frame per 1024 ms, each frame's raster the
+# repeated 16-byte digest of md5(clip || pack('<q', ts)) whose bytes
+# are [0, 4*frame, 0*6] (all < 0x80 — VARCHAR-safe chr concatenation).
+# The 64-sample aHash of a 64-byte raster reads raster[j] =
+# digest[j % 16], so all four 16-bit bands are EQUAL and the frame
+# fingerprint reduces to one 16-bit pattern (bit i set iff
+# byte_i * 64 > 4 * sum(bytes)); adjacent-frame Hamming = 4x the
+# 16-bit xor popcount, compared through the same clip-keyed lag.
+ORACLE["q195_video_scene_ladder"] = """
+    WITH docs AS (
+        SELECT doc_id,
+               regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS t
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, t,
+               1000 * (1 + ((strpos('0123456789abcdef',
+                             substr(md5(t), 2, 1)) - 1) % 8)) AS dur
+        FROM docs WHERE length(t) > 0
+    ),
+    e AS (
+        SELECT doc_id, t,
+               CAST(unnest(range((dur + 1023) // 1024)) AS BIGINT)
+                   AS frame
+        FROM d
+    ),
+    f AS (
+        SELECT doc_id, frame,
+               md5(t || chr(0) || chr(4 * CAST(frame AS INT))
+                   || repeat(chr(0), 6)) AS mh
+        FROM e
+    ),
+    vals AS (
+        SELECT doc_id, frame,
+               list_transform(range(16), i ->
+                   ((strpos('0123456789abcdef',
+                            substr(mh, 2 * CAST(i AS INT) + 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef',
+                              substr(mh, 2 * CAST(i AS INT) + 2, 1)) - 1)
+                   )::BIGINT) AS v
+        FROM f
+    ),
+    fb AS (
+        SELECT doc_id, frame,
+               list_sum(list_transform(range(16), i -> CASE
+                   WHEN v[CAST(i AS INT) + 1] * 64
+                        > CAST(list_sum(v) AS BIGINT) * 4
+                   THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b16
+        FROM vals
+    ),
+    ham AS (
+        SELECT doc_id, frame,
+               4 * bit_count(xor(b16,
+                   lag(b16) OVER (PARTITION BY doc_id ORDER BY frame)))
+                   AS hamming
+        FROM fb
+    ),
+    rep AS (
+        SELECT doc_id, frame, hamming,
+               (hamming IS NULL OR hamming > 8) AS cut
+        FROM ham
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_frames,
+           sum(CASE WHEN cut THEN 1 ELSE 0 END)::BIGINT AS n_scenes,
+           coalesce(sum(hamming), 0)::BIGINT AS hamming_total,
+           coalesce(string_agg(CASE WHEN cut THEN frame::VARCHAR END,
+                               ',' ORDER BY frame), '') AS keyframes
+    FROM rep GROUP BY doc_id ORDER BY doc_id
+"""
