@@ -6011,6 +6011,56 @@ def q194_stream_phash_ingest_fold(spark, sf):
     return admitted.orderBy("doc_id")
 
 
+def q196_audio_neardup(spark, sf):
+    """The audio modality's first oracle-checked query — the lane's
+    whole path for real: blobs → ``av.audio_features`` (Arrow-batched
+    mapInPandas through the pluggable extractor seam; the
+    deterministic fake extractor's md5 arithmetic is replayed by the
+    oracle to the last rounded decimal) → blocked cosine near-dup
+    (``dedup.embedding_neardup``, the q28 production Arrow lane).
+    Documents stand in as audio blobs; every fifth doc also arrives
+    as a LOSSLESS RE-ENCODE (same bytes, new id — the duplicate class
+    a hash-based feature extractor can see: identical features,
+    cosine exactly 1). Blocking is what a real audio pipeline would
+    key on — (duration_ms, quantized lead mel) — ~20k bins, so block
+    self-joins stay tiny while exact re-encodes can never escape
+    their block (identical features → identical key). Threshold
+    0.999 admits re-encode pairs and whatever rare random pair the
+    oracle equally replays."""
+    from data_lake_project_spark.multimodal.av import audio_features
+
+    d = load_table(spark, sf, "documents")
+    ascii_txt = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+    base = d.select(
+        "doc_id", F.encode(ascii_txt, "UTF-8").alias("content")
+    ).filter(F.length("content") > 0)
+    reenc = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "content"
+    )
+    auds = base.unionByName(reenc).select(
+        F.col("doc_id").cast("string").alias("path"), "content"
+    )
+    feats = audio_features(auds)
+    emb = feats.select(
+        F.col("path").cast("long").alias("vec_id"),
+        F.concat_ws(
+            ":",
+            F.col("duration_ms").cast("string"),
+            F.floor(F.element_at("features", 1) * F.lit(1000.0))
+            .cast("long")
+            .cast("string"),
+        ).alias("block"),
+        F.col("features").alias("embedding"),
+    )
+    return D.embedding_neardup(
+        emb,
+        block_col="block",
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.999,
+    ).orderBy("id_a", "id_b")
+
+
 def q195_video_scene_ladder(spark, sf):
     """The video lane run END-TO-END as an oracle-checked query — the
     full ladder ``clips → sample_frames (mapInPandas UDTF through the
@@ -6282,6 +6332,7 @@ QUERIES: dict[str, QueryFn] = {
     "q193_perceptual_waterfall": q193_perceptual_waterfall,
     "q194_stream_phash_ingest_fold": q194_stream_phash_ingest_fold,
     "q195_video_scene_ladder": q195_video_scene_ladder,
+    "q196_audio_neardup": q196_audio_neardup,
 }
 
 _SHINGLE_CTE = """
@@ -12067,4 +12118,71 @@ ORACLE["q195_video_scene_ladder"] = """
            coalesce(string_agg(CASE WHEN cut THEN frame::VARCHAR END,
                                ',' ORDER BY frame), '') AS keyframes
     FROM rep GROUP BY doc_id ORDER BY doc_id
+"""
+
+# q196: the fake audio extractor replayed — duration 500*(1 + b%20)
+# from md5(blob)'s first byte; mel i = the big-endian first-4-bytes
+# integer of md5(blob || pack('<i', i)) (suffix bytes [i, 0, 0, 0] —
+# all < 0x80, VARCHAR-safe; hex parsed via DuckDB's '0x'-string cast)
+# divided by 2^32 and rounded through the SAME portable formula the
+# extractor uses (floor(x*1e6 + 0.5)/1e6 — bit-identical doubles on
+# both engines, identical op order). Then q28's blocked-cosine
+# arithmetic: block key (duration, floor(mel0 * 1000)), list_sum dot,
+# raw-cosine threshold, pround-4 output.
+ORACLE["q196_audio_neardup"] = """
+    WITH docs AS (
+        SELECT doc_id,
+               regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS t
+        FROM documents
+    ),
+    pop AS (
+        SELECT doc_id, t FROM docs WHERE length(t) > 0
+        UNION ALL
+        SELECT doc_id + 2000000, t FROM docs
+        WHERE length(t) > 0 AND doc_id % 5 = 0
+    ),
+    dur AS (
+        SELECT doc_id, t,
+               500 * (1 + (('0x' || substr(md5(t), 1, 2))::BIGINT % 20))
+                   AS dms
+        FROM pop
+    ),
+    mi AS (
+        SELECT doc_id, dms, i,
+               md5(t || chr(i) || repeat(chr(0), 3)) AS mh
+        FROM (
+            SELECT doc_id, dms, t,
+                   CAST(unnest(range(16)) AS INT) AS i
+            FROM dur
+        )
+    ),
+    xv AS (
+        SELECT doc_id, dms, i,
+               floor(('0x' || substr(mh, 1, 8))::BIGINT::DOUBLE
+                     / 4294967296.0 * 1000000.0 + 0.5) / 1000000.0 AS fv
+        FROM mi
+    ),
+    feat AS (
+        SELECT doc_id, any_value(dms) AS dms,
+               list(fv ORDER BY i) AS v
+        FROM xv GROUP BY doc_id
+    ),
+    n AS (
+        SELECT doc_id,
+               dms::VARCHAR || ':'
+                   || CAST(floor(v[1] * 1000.0) AS BIGINT)::VARCHAR AS blk,
+               v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM feat
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               list_sum(list_transform(range(16), i ->
+                   a.v[CAST(i AS INT) + 1] * b.v[CAST(i AS INT) + 1]))
+                   / (a.nrm * b.nrm) AS cos
+        FROM n a JOIN n b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM p WHERE cos >= 0.999 ORDER BY id_a, id_b
 """
