@@ -363,7 +363,12 @@ def embedding_neardup(
 
     ``impl``: 'arrow' routes each block through ``applyInPandas`` and
     one BLAS matmul (X·Xᵀ) — ~4-10x less per-pair cost for dense
-    vectors, the production default. 'expr' keeps every comparison a
+    vectors, the production default FOR FEW-LARGE BLOCKS (q28's
+    label blocking: ~10 blocks over the corpus). With MANY TINY
+    blocks the per-group Arrow/pandas fixture cost dominates and
+    'expr' wins big — measured 8.2 s arrow vs 0.46 s expr on 4.4k
+    blocks of ~1.4 rows (q196's duration+quantized-mel key); pick the
+    lane by block shape. 'expr' keeps every comparison a
     JVM expression — bit-exact against the SQL oracle, zero Python in
     the path; the differential-testing lane (pair sets are
     parity-tested between the two; individual cosines agree to

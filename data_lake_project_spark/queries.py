@@ -6041,6 +6041,8 @@ def q196_audio_neardup(spark, sf):
         F.col("doc_id").cast("string").alias("path"), "content"
     )
     feats = audio_features(auds)
+    # extract once (the self-join would re-run the Python extractor
+    # per side), serve the narrow projection
     emb = feats.select(
         F.col("path").cast("long").alias("vec_id"),
         F.concat_ws(
@@ -6051,13 +6053,21 @@ def q196_audio_neardup(spark, sf):
             .cast("string"),
         ).alias("block"),
         F.col("features").alias("embedding"),
-    )
+    ).localCheckpoint(eager=True)
+    # impl='expr', NOT the q28 arrow default: this blocking yields
+    # MANY TINY blocks (~4.4k blocks of ~1.4 rows at sf0.1), where
+    # applyInPandas pays its per-group Arrow/pandas fixture cost
+    # thousands of times for a handful of pairs each — measured 8.2 s
+    # arrow vs 0.46 s expr on the identical checkpointed input. The
+    # arrow lane's BLAS matmul wins in q28's few-large-blocks regime;
+    # block shape picks the lane.
     return D.embedding_neardup(
         emb,
         block_col="block",
         id_col="vec_id",
         vec_col="embedding",
         threshold=0.999,
+        impl="expr",
     ).orderBy("id_a", "id_b")
 
 
