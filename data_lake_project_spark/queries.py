@@ -6011,6 +6011,91 @@ def q194_stream_phash_ingest_fold(spark, sf):
     return admitted.orderBy("doc_id")
 
 
+def q197_keyframe_dedup(spark, sf):
+    """Video KEYFRAME dedup — the composition a video training
+    pipeline runs to kill re-uploaded clips: clips (every 10th doc
+    also arrives as an exact re-upload under a new id) → sampled
+    frames (q195's decoder seam) → scene keyframes only
+    (``frame_scene_report``; non-keyframes never reach the join) →
+    cross-clip perceptual match over keyframe fingerprints
+    (``phash_neardup`` band join; on these 64-byte rasters all four
+    bands coincide, so Hamming≤3 degenerates to exact fingerprint
+    equality — including the deterministic 16-bit birthday collisions
+    the oracle replays equally) → per-clip census: keyframes, how
+    many are duplicates of a SMALLER clip's keyframes, and the
+    clip-level verdict (every keyframe matched ⇒ re-upload). Scale:
+    only keyframes (a fraction of frames) enter the band self-join;
+    the census is one clip-keyed aggregate."""
+    from data_lake_project_spark.multimodal.av import (
+        frame_scene_report,
+        make_fake_frame_decoder,
+        sample_frames,
+    )
+    from data_lake_project_spark.multimodal.phash import phash_neardup
+
+    d = load_table(spark, sf, "documents")
+    ascii_txt = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+    base = d.select(
+        "doc_id", F.encode(ascii_txt, "UTF-8").alias("content")
+    ).filter(F.length("content") > 0)
+    reup = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "content"
+    )
+    clips = base.unionByName(reup).select(
+        F.col("doc_id").cast("string").alias("path"), "content"
+    )
+    frames = sample_frames(
+        clips, every_ms=1024, decoder=make_fake_frame_decoder()
+    )
+    rep = frame_scene_report(
+        frames, path_col="path", frame_col="frame", threshold=8
+    )
+    # keyframe ids pack (clip, frame) — frame < 16 by the decoder's
+    # 8-frame cap, so id order == (clip, frame) lexicographic order
+    # and phash_neardup's id_a < id_b convention makes id_b the
+    # later-clip side. Checkpoint: the band self-join reads both
+    # sides, and the census reads it again.
+    keys = (
+        rep.filter("is_scene_change")
+        .select(
+            (F.col("path").cast("long") * 16 + F.col("frame")).alias(
+                "kf_id"
+            ),
+            F.col("path").cast("long").alias("clip_id"),
+            "pband0",
+            "pband1",
+            "pband2",
+            "pband3",
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = phash_neardup(keys, id_col="kf_id", max_hamming=3)
+    clip_of_a = keys.select(
+        F.col("kf_id").alias("id_a"), F.col("clip_id").alias("clip_a")
+    )
+    clip_of_b = keys.select(
+        F.col("kf_id").alias("id_b"), F.col("clip_id").alias("clip_b")
+    )
+    dup_kf = (
+        pairs.join(clip_of_a, "id_a")
+        .join(clip_of_b, "id_b")
+        .filter(F.col("clip_a") != F.col("clip_b"))
+        .select(F.col("id_b").alias("kf_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        keys.join(dup_kf, "kf_id", "left")
+        .groupBy(F.col("clip_id").alias("doc_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_keyframes"),
+            F.count("__dup").cast("long").alias("n_dup_keyframes"),
+            (F.count("__dup") == F.count("*")).alias("is_dup_clip"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q196_audio_neardup(spark, sf):
     """The audio modality's first oracle-checked query — the lane's
     whole path for real: blobs → ``av.audio_features`` (Arrow-batched
@@ -6343,6 +6428,7 @@ QUERIES: dict[str, QueryFn] = {
     "q194_stream_phash_ingest_fold": q194_stream_phash_ingest_fold,
     "q195_video_scene_ladder": q195_video_scene_ladder,
     "q196_audio_neardup": q196_audio_neardup,
+    "q197_keyframe_dedup": q197_keyframe_dedup,
 }
 
 _SHINGLE_CTE = """
@@ -12195,4 +12281,84 @@ ORACLE["q196_audio_neardup"] = """
     SELECT id_a, id_b,
            floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine
     FROM p WHERE cos >= 0.999 ORDER BY id_a, id_b
+"""
+
+# q197: q195's frame/fingerprint replay over the clip population plus
+# re-uploads (doc_id % 10 == 0 under +3000000), restricted to scene
+# keyframes, then the cross-clip match. On 64-byte rasters all four
+# bands equal the same 16-bit pattern, so the operator's band join +
+# Hamming<=3 verify reduces EXACTLY to b16 equality across distinct
+# clips — the oracle joins on it directly.
+ORACLE["q197_keyframe_dedup"] = """
+    WITH docs AS (
+        SELECT doc_id,
+               regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS t
+        FROM documents
+    ),
+    pop AS (
+        SELECT doc_id, t FROM docs WHERE length(t) > 0
+        UNION ALL
+        SELECT doc_id + 3000000, t FROM docs
+        WHERE length(t) > 0 AND doc_id % 10 = 0
+    ),
+    d AS (
+        SELECT doc_id, t,
+               1000 * (1 + ((strpos('0123456789abcdef',
+                             substr(md5(t), 2, 1)) - 1) % 8)) AS dur
+        FROM pop
+    ),
+    e AS (
+        SELECT doc_id, t,
+               CAST(unnest(range((dur + 1023) // 1024)) AS BIGINT)
+                   AS frame
+        FROM d
+    ),
+    f AS (
+        SELECT doc_id, frame,
+               md5(t || chr(0) || chr(4 * CAST(frame AS INT))
+                   || repeat(chr(0), 6)) AS mh
+        FROM e
+    ),
+    vals AS (
+        SELECT doc_id, frame,
+               list_transform(range(16), i ->
+                   ((strpos('0123456789abcdef',
+                            substr(mh, 2 * CAST(i AS INT) + 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef',
+                              substr(mh, 2 * CAST(i AS INT) + 2, 1)) - 1)
+                   )::BIGINT) AS v
+        FROM f
+    ),
+    fb AS (
+        SELECT doc_id, frame,
+               list_sum(list_transform(range(16), i -> CASE
+                   WHEN v[CAST(i AS INT) + 1] * 64
+                        > CAST(list_sum(v) AS BIGINT) * 4
+                   THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b16
+        FROM vals
+    ),
+    ham AS (
+        SELECT doc_id, frame, b16,
+               4 * bit_count(xor(b16,
+                   lag(b16) OVER (PARTITION BY doc_id ORDER BY frame)))
+                   AS hamming
+        FROM fb
+    ),
+    kf AS (
+        SELECT doc_id, frame, doc_id * 16 + frame AS kfid, b16
+        FROM ham WHERE hamming IS NULL OR hamming > 8
+    ),
+    dup AS (
+        SELECT DISTINCT b.kfid FROM kf a JOIN kf b
+          ON a.b16 = b.b16 AND a.kfid < b.kfid
+         AND a.doc_id <> b.doc_id
+    )
+    SELECT k.doc_id,
+           count(*)::BIGINT AS n_keyframes,
+           sum(CASE WHEN d.kfid IS NOT NULL THEN 1 ELSE 0
+               END)::BIGINT AS n_dup_keyframes,
+           (count(*) = sum(CASE WHEN d.kfid IS NOT NULL THEN 1 ELSE 0
+                           END)) AS is_dup_clip
+    FROM kf k LEFT JOIN dup d ON k.kfid = d.kfid
+    GROUP BY k.doc_id ORDER BY k.doc_id
 """
