@@ -850,3 +850,36 @@ def test_stream_phash_ingest_fold_equals_sequential(spark, tmp_path):
     )
     codes = load_phash_index(spark, idx_seq).codes
     assert codes.count() == codes.select("doc_id").distinct().count()
+
+
+def test_av_fake_arithmetic_golden_pins():
+    """The q195/q196/q197 oracles replay the fake decoder/extractor
+    arithmetic IN SQL — any refactor of these fakes that changes a
+    byte (duration rule, timestamp pack, digest repetition, rounding
+    formula) silently breaks three declared oracles. Pin the exact
+    values so the contract drift fails HERE first."""
+    from data_lake_project_spark.multimodal.av import (
+        fake_audio_features,
+        fake_decode_frames,
+    )
+
+    # decoder: md5-derived duration (1000*(1+b%8)), frames at
+    # every_ms spacing, raster = md5(content + pack('<q', ts)) * 4
+    fr = fake_decode_frames(b"xy", every_ms=1024)
+    assert len(fr) == 7
+    assert [(i, ts, img[:8].hex(), len(img)) for i, ts, img, w, h in fr[:3]] == [
+        (0, 0, "aa010e1dcc91b586", 64),
+        (1, 1024, "6f95e2f01caef4d7", 64),
+        (2, 2048, "ba48646f8645649e", 64),
+    ]
+    one = fake_decode_frames(b"abc", every_ms=1024)
+    assert len(one) == 1 and one[0][2][:8].hex() == "a77791dc833e882a"
+    assert (one[0][4], one[0][3]) == (106, 161)  # (h, w) from digest
+
+    # extractor: duration 500*(1+b%20); mel i = first-4-bytes(BE) of
+    # md5(content + pack('<i', i)) / 2^32 through the portable
+    # floor(x*1e6+0.5)/1e6 rounding (NOT Python's banker's round)
+    dur, feats = fake_audio_features(b"abc")
+    assert dur == 2500
+    assert feats[:4] == [0.98053, 0.698995, 0.642172, 0.230794]
+    assert len(feats) == 16
