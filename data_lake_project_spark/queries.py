@@ -6096,6 +6096,73 @@ def q197_keyframe_dedup(spark, sf):
     )
 
 
+def q198_crossmodal_dedup(spark, sf):
+    """CROSS-MODAL pair dedup — the LAION-style family formation a
+    multimodal corpus needs: a (caption, image) record is a duplicate
+    if EITHER side matches, so the family graph is the UNION of two
+    modality-specific matchers — perceptual raster pairs
+    (``phash_neardup``: image twins under a +1 brightness re-encode
+    carry IDENTICAL fingerprints but their shifted text has no
+    whitespace left, so the text lane can't see them) and verified
+    Jaccard text pairs (the q26 shingle→minhash→band→verify ladder:
+    text twins append four tokens, keeping shingle overlap high while
+    shifting the raster's sample grid so the image lane misses them)
+    — promoted to families by connected components over the merged
+    edge set. Hub-shaped (twin stars), so the 1-round label default
+    wins (SCALE.md round-12 measurement). The oracle rebuilds BOTH
+    matchers over the identical population and closes the union graph
+    with a recursive CTE. Scale: both lanes are banded (never
+    all-pairs), the union is edge-sized, components run over the pair
+    graph only."""
+    from data_lake_project_spark.multimodal.phash import (
+        _BAND_COLS,
+        ahash64,
+        phash_neardup,
+    )
+
+    d = load_table(spark, sf, "documents")
+    ascii_txt = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+    orig = d.select("doc_id", ascii_txt.alias("text")).filter(
+        F.length("text") > 0
+    )
+    img_twin = orig.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.translate("text", _PRINTABLE, _SHIFTED).alias("text"),
+    )
+    txt_twin = orig.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx ww")).alias("text"),
+    )
+    # both lanes scan the population; one eager narrow cut
+    pop = (
+        orig.unionByName(img_twin)
+        .unionByName(txt_twin)
+        .localCheckpoint(eager=True)
+    )
+    fp = ahash64(
+        pop.select("doc_id", F.encode("text", "UTF-8").alias("image"))
+    ).select("doc_id", *_BAND_COLS)
+    pairs_img = phash_neardup(fp, id_col="doc_id", max_hamming=3).select(
+        "id_a", "id_b"
+    )
+    sets = D.shingle_sets(pop, k=3)
+    sig = D.minhash_sets(sets, num_hashes=8)
+    cand = D.minhash_candidates_sets(sig, band_size=2)
+    pairs_txt = D.jaccard_verify_sets(cand, sets, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    edges = pairs_img.unionByName(pairs_txt).distinct()
+    return (
+        D.connected_components(edges)
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q196_audio_neardup(spark, sf):
     """The audio modality's first oracle-checked query — the lane's
     whole path for real: blobs → ``av.audio_features`` (Arrow-batched
@@ -6429,6 +6496,7 @@ QUERIES: dict[str, QueryFn] = {
     "q195_video_scene_ladder": q195_video_scene_ladder,
     "q196_audio_neardup": q196_audio_neardup,
     "q197_keyframe_dedup": q197_keyframe_dedup,
+    "q198_crossmodal_dedup": q198_crossmodal_dedup,
 }
 
 _SHINGLE_CTE = """
@@ -12361,4 +12429,98 @@ ORACLE["q197_keyframe_dedup"] = """
                            END)) AS is_dup_clip
     FROM kf k LEFT JOIN dup d ON k.kfid = d.kfid
     GROUP BY k.doc_id ORDER BY k.doc_id
+"""
+
+# q198: both matchers rebuilt over the identical population, union
+# graph closed with the q51 recursive CTE. The image-twin transform is
+# the REAL translate (the +1 printable shift, 0x7E -> 0x7F), not the
+# sample-offset model — the twin's text feeds the SHINGLE lane too,
+# so the oracle needs the actual shifted string (whose single
+# whitespace-free token is why the text lane can't see image twins).
+_P_SQL = "'" + _PRINTABLE.replace("'", "''") + "'"
+_S_SQL = "'" + _SHIFTED.replace("'", "''") + "'"
+_POP_SHINGLE_CTE = _SHINGLE_CTE.replace("FROM documents", "FROM pop")
+ORACLE["q198_crossmodal_dedup"] = f"""
+    WITH RECURSIVE docs0 AS (
+        SELECT doc_id,
+               regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS t
+        FROM documents
+    ),
+    pop AS (
+        SELECT doc_id, t AS text FROM docs0 WHERE length(t) > 0
+        UNION ALL
+        SELECT doc_id + 1000000, translate(t, {_P_SQL}, {_S_SQL})
+        FROM docs0 WHERE length(t) > 0 AND doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, t || ' zz yy xx ww'
+        FROM docs0 WHERE length(t) > 0 AND doc_id % 7 = 0
+    ),
+    {_POP_SHINGLE_CTE},
+    sets AS (
+        SELECT doc_id, list_sort(list(DISTINCT shingle)) AS shs
+        FROM sh GROUP BY doc_id
+    ),
+    ptxt AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sets a ON a.doc_id = c.id_a
+        JOIN sets b ON b.doc_id = c.id_b
+        WHERE len(list_intersect(a.shs, b.shs))::DOUBLE
+              / (len(a.shs) + len(b.shs)
+                 - len(list_intersect(a.shs, b.shs)))::DOUBLE >= 0.5
+    ),
+    s2 AS (
+        SELECT doc_id,
+               list_transform(range(64), j -> ord(substr(
+                   text,
+                   CAST((j * length(text)) // 64 AS INT) + 1, 1))::BIGINT)
+                   AS v
+        FROM pop
+    ),
+    f2 AS (SELECT doc_id, v, list_sum(v)::BIGINT AS tot FROM s2),
+    b2 AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(16), i -> CASE
+                   WHEN v[CAST(i AS INT) + 1] * 64 > tot
+                   THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b0,
+               list_sum(list_transform(range(16), i -> CASE
+                   WHEN v[CAST(i AS INT) + 17] * 64 > tot
+                   THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b1,
+               list_sum(list_transform(range(16), i -> CASE
+                   WHEN v[CAST(i AS INT) + 33] * 64 > tot
+                   THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b2,
+               list_sum(list_transform(range(16), i -> CASE
+                   WHEN v[CAST(i AS INT) + 49] * 64 > tot
+                   THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b3
+        FROM f2
+    ),
+    pimg AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM b2 x JOIN b2 y
+          ON x.doc_id < y.doc_id
+         AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+        WHERE (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+               + bit_count(xor(x.b2, y.b2))
+               + bit_count(xor(x.b3, y.b3))) <= 3
+    ),
+    uni AS (
+        SELECT id_a, id_b FROM pimg
+        UNION
+        SELECT id_a, id_b FROM ptxt
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM uni
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM uni
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.src, re.r FROM edges e JOIN reach re ON re.id = e.dst
+    ),
+    comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp ORDER BY doc_id
 """
