@@ -883,3 +883,60 @@ def test_av_fake_arithmetic_golden_pins():
     assert dur == 2500
     assert feats[:4] == [0.98053, 0.698995, 0.642172, 0.230794]
     assert len(feats) == 16
+
+
+def test_crossmodal_union_family_needs_both_matchers(spark):
+    """The q198 property on a controlled fixture: an image twin
+    (brightness-shifted raster, whitespace-free text) and a text twin
+    (appended tokens, shifted sample grid) of the same base join ONE
+    family only through the UNION of the perceptual and Jaccard
+    matchers — either matcher alone leaves the family split."""
+    from pyspark.sql import functions as F
+
+    from data_lake_project_spark.multimodal.phash import (
+        _BAND_COLS,
+        ahash64,
+        phash_neardup,
+    )
+    from data_lake_project_spark.operators import dedup as D
+    from data_lake_project_spark.queries import _PRINTABLE, _SHIFTED
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the quiet field toward the old red barn"
+    )
+    pop = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    ).select("doc_id", "text")
+    img_twin = pop.select(
+        F.lit(101).cast("long").alias("doc_id"),
+        F.translate("text", _PRINTABLE, _SHIFTED).alias("text"),
+    )
+    txt_twin = pop.select(
+        F.lit(201).cast("long").alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx ww")).alias("text"),
+    )
+    allpop = pop.unionByName(img_twin).unionByName(txt_twin)
+
+    fp = ahash64(
+        allpop.select("doc_id", F.encode("text", "UTF-8").alias("image"))
+    ).select("doc_id", *_BAND_COLS)
+    img_pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in phash_neardup(fp, id_col="doc_id", max_hamming=3).collect()
+    )
+    sets = D.shingle_sets(allpop, k=3)
+    cand = D.minhash_candidates_sets(D.minhash_sets(sets, num_hashes=8))
+    txt_pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in D.jaccard_verify_sets(cand, sets, threshold=0.5).collect()
+    )
+    # each matcher sees exactly its own twin
+    assert img_pairs == [(1, 101)]
+    assert txt_pairs == [(1, 201)]
+    # the union closes one 3-member family
+    edges = spark.createDataFrame(
+        img_pairs + txt_pairs, "id_a long, id_b long"
+    )
+    fam = {r.id: r.cluster_id for r in D.connected_components(edges).collect()}
+    assert fam == {1: 1, 101: 1, 201: 1}
