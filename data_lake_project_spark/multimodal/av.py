@@ -142,7 +142,13 @@ def make_fake_audio_extractor() -> Callable[[bytes], tuple]:
         blob hash. Features round through the package's portable
         formula (floor(x*10^6 + 0.5)/10^6 — ``functions.pround``):
         Python's bare round() is banker's, which an oracle replay in
-        another engine cannot reproduce at ties."""
+        another engine cannot reproduce at ties.
+
+        COMPAT NOTE (round 12): the rounding switched FROM banker's
+        round() TO the formula above, changing emitted values at
+        half-ulp ties — any external consumer pinning the old fake's
+        outputs must re-pin (in-repo pins:
+        ``test_av_fake_arithmetic_golden_pins``)."""
         import hashlib
         import math
         import struct

@@ -224,11 +224,29 @@ def gate_and_fold_batch(
     image_col: str = "image",
     max_hamming: int = 3,
 ) -> None:
-    """One micro-batch of the streaming ingest-AND-fold loop: gate the
-    batch against the CURRENT index state, land survivors in the
+    """One micro-batch of the streaming ingest-AND-fold loop: drop the
+    batch's OWN intra-batch near-duplicates (keep-lowest-id), gate the
+    survivors against the CURRENT index state, land them in the
     batch's own sink directory, fold them into the index, then mark
     the batch committed. Module-level (not a closure) so the replay
     window can be pinned directly in tests.
+
+    Intra-batch dedup: a real crawl burst delivers an original AND its
+    perceptual twin inside ONE micro-batch — neither is in the prior
+    index, so an index-only gate admits and folds both. The batch is
+    therefore self-deduplicated FIRST (``phash_neardup`` band
+    self-join over the batch fingerprints only — batch-sized — then
+    the ``phash_survivors`` keep-lowest-id rule: every row with a
+    near-dup of smaller id drops, matching the oracle-expressible
+    "no smaller-id in-batch match" predicate). Deterministic across
+    replays because the rule depends only on ids and fingerprints.
+
+    Id contract: ``doc_id`` is a stable replay key — a replayed batch
+    carries the SAME (id, bytes) rows. A batch id that already exists
+    in the index with a DIFFERENT fingerprint is an id collision, not
+    a replay; it would silently desync sink and index (admitted by the
+    own-id-excluded gate, dropped by the fold's stored-id guard), so
+    it raises instead.
 
     Exactly-once under foreachBatch's at-least-once contract, by
     construction across every crash window:
@@ -251,6 +269,11 @@ def gate_and_fold_batch(
     append from re-deriving a plan that re-scans the codes directory
     it is appending to.
     """
+    from data_lake_project_spark.multimodal.phash import (
+        phash_neardup,
+        phash_survivors,
+    )
+
     spark = batch.sparkSession
     commits_dir = f"{out_dir.rstrip('/')}/_committed_batches"
     marker = f"{commits_dir}/{batch_id}"
@@ -258,6 +281,45 @@ def gate_and_fold_batch(
         return
     idx = load_phash_index(spark, index_path)
     id_col = idx.params["id_col"]
+    # one fingerprint pass over the batch, reused by the collision
+    # guard and the intra-batch self-join (the index gate refingerprints
+    # the reduced batch — batch-sized expression work, not a corpus
+    # scan)
+    bfp = (
+        build_phash_index(batch, image_col=image_col, id_col=id_col)
+        .codes.localCheckpoint(eager=True)
+    )
+    collisions = (
+        bfp.join(
+            idx.codes.select(
+                id_col, *[F.col(c).alias(f"s_{c}") for c in _BAND_COLS]
+            ),
+            id_col,
+        )
+        .filter(
+            " OR ".join(f"{c} <> s_{c}" for c in _BAND_COLS)
+        )
+        .limit(1)
+        .collect()
+    )
+    if collisions:
+        raise ValueError(
+            f"gate_and_fold_batch: batch id "
+            f"{collisions[0][id_col]!r} already stored with a "
+            "DIFFERENT fingerprint — ids must be stable replay keys "
+            "(same id => same bytes); an id collision would desync "
+            "sink and index"
+        )
+    self_pairs = phash_neardup(bfp, id_col=id_col, max_hamming=max_hamming)
+    batch = batch.join(
+        phash_survivors(bfp, self_pairs, id_col=id_col).select(id_col),
+        id_col,
+        "left_semi",
+    ).unionByName(
+        # empty rasters never fingerprint (ahash64 NULL contract) so
+        # they bypass the self-dedup exactly as they bypass the gate
+        batch.filter(F.length(F.col(image_col)) == 0)
+    )
     prior = PhashIndex(
         idx.params,
         idx.codes.join(batch.select(id_col), id_col, "left_anti"),

@@ -813,6 +813,7 @@ def connected_components(
     max_iter: int = 25,
     stats: dict | None = None,
     algo: str = "label",
+    require_converged: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected pair graph: the
     cluster-formation step that turns pairwise near-dup matches
@@ -863,6 +864,13 @@ def connected_components(
     first and rejected (14 → 11 rounds at a higher per-round cost —
     the label pointer graph is not chain-aligned, so compression
     stalls).
+
+    ``require_converged``: raise ``RuntimeError`` if the fixpoint was
+    not reached within ``max_iter`` instead of returning
+    partially-propagated labels — a graph deeper than the bound means
+    silently SPLIT families for any caller that doesn't inspect
+    ``stats`` (round-12 advice on q198); production compositions
+    should opt in so depth overruns fail loudly.
     """
     if algo not in ("label", "star"):
         # loud, not a silent fall-through: a typo ("stars") must not
@@ -872,8 +880,18 @@ def connected_components(
             f"connected_components: unknown algo {algo!r} "
             "(expected 'label' or 'star')"
         )
+    if stats is None and require_converged:
+        stats = {}
     if algo == "star":
-        return _star_components(pairs, left, right, max_iter, stats)
+        out = _star_components(pairs, left, right, max_iter, stats)
+        if require_converged and not stats["converged"]:
+            raise RuntimeError(
+                "connected_components(algo='star'): edge fixpoint not "
+                f"reached in max_iter={max_iter} rounds — labels would "
+                "be partially propagated (split families); raise "
+                "max_iter"
+            )
+        return out
     edges = pairs.select(
         F.col(left).cast("long").alias("src"),
         F.col(right).cast("long").alias("dst"),
@@ -914,6 +932,13 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
+    if require_converged and not converged:
+        raise RuntimeError(
+            "connected_components(algo='label'): fixpoint not reached "
+            f"in max_iter={max_iter} rounds — the graph is deeper than "
+            "the bound and labels would be partially propagated (split "
+            "families); raise max_iter or use algo='star'"
+        )
     size_w = Window.partitionBy("label")
     return labels.select(
         F.col("id"),

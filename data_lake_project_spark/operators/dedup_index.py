@@ -173,6 +173,7 @@ def dedup_against_index(
     index: DedupIndex,
     batch: DataFrame,
     threshold: float = 0.5,
+    self_dedup: bool = False,
 ) -> DataFrame:
     """Serve an ingest batch against the standing index: keep only the
     batch docs that are NOT near-duplicates (exact shingle Jaccard >=
@@ -181,10 +182,59 @@ def dedup_against_index(
     the PREBUILT band/set tables, so join cost scales with the batch
     band count and the candidates' set fetches, exactly the
     ``dedup_against`` plan minus the corpus re-index.
+
+    Intra-batch contract: by default the batch is assumed ALREADY
+    self-deduplicated — a batch carrying both an original and its
+    near-dup twin admits BOTH (neither matches the index). A crawl
+    burst delivers exactly that, so an ingest-loop caller passes
+    ``self_dedup=True``: a batch-LOCAL band self-join + verified
+    Jaccard with the keep-lowest-id rule (a row with a matching
+    SMALLER id in the same batch drops) runs BEFORE the index gate.
+    Batch-sized work on both legs (the corpus is still touched only by
+    the candidate fetch); deterministic across replays because the
+    rule depends only on ids and shingle sets.
     """
     p = index.params
     id_col = p["id_col"]
     b_sets = shingle_sets(batch, p["text_col"], id_col, p["k"])
+    if self_dedup:
+        bsig = minhash_sets(b_sets, id_col, p["num_hashes"])
+        bkeys = band_keys(bsig, id_col, p["band_size"])
+        ba = bkeys.select(
+            F.col(id_col).alias("__ia"), "band", "bandsig"
+        )
+        bb2 = bkeys.select(
+            F.col(id_col).alias("__ib"), "band", "bandsig"
+        )
+        scand = (
+            ba.join(bb2, ["band", "bandsig"])
+            .filter(F.col("__ia") < F.col("__ib"))
+            .select("__ia", "__ib")
+            .distinct()
+        )
+        sa = b_sets.select(
+            F.col(id_col).alias("__ia"), F.col("sh").alias("__sa")
+        )
+        sb = b_sets.select(
+            F.col(id_col).alias("__ib"), F.col("sh").alias("__sb")
+        )
+        sinter = F.size(F.array_intersect("__sa", "__sb"))
+        doomed = (
+            scand.join(sa, "__ia")
+            .join(sb, "__ib")
+            .withColumn(
+                "__j",
+                sinter
+                / (F.size("__sa") + F.size("__sb") - sinter).cast(
+                    "double"
+                ),
+            )
+            .filter(F.col("__j") >= threshold)
+            .select(F.col("__ib").alias(id_col))
+            .distinct()
+        )
+        batch = batch.join(doomed, id_col, "left_anti")
+        b_sets = b_sets.join(doomed, id_col, "left_anti")
     bb = band_keys(
         minhash_sets(b_sets, id_col, p["num_hashes"]), id_col, p["band_size"]
     ).select(F.col(id_col).alias("__bid"), "band", "bandsig")

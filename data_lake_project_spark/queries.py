@@ -5932,9 +5932,17 @@ def q194_stream_phash_ingest_fold(spark, sf):
     never be the shared published artifact). A twin whose base
     survived batch 0 is the order-dependent case: it carries the
     IDENTICAL fingerprint (aHash brightness invariance) and must be
-    rejected BY THE FOLD, not the base corpus. The oracle replays the
-    sequential admission: s1 = batch-0 rows with no stored match,
-    s2 = batch-1 rows with no match in (stored ∪ s1)."""
+    rejected BY THE FOLD, not the base corpus. Twins of doc_id % 12
+    == 3 bases ride batch 1 TOGETHER with their originals — the
+    intra-batch crawl-burst case (round-12 verdict #1): neither side
+    is in the prior index, so only the gate's batch-LOCAL
+    keep-lowest-id survivor pass rejects the twin. The oracle replays
+    the sequential admission with the same in-batch rule: s_k =
+    batch-k rows with no stored match AND no smaller-id in-batch
+    match; stored grows by s_k before batch k+1. Temp dirs (mutable
+    index copy, src, stage, sink, checkpoint) are deleted before
+    returning — the result rides an eager localCheckpoint, so the
+    frame outlives its source files (round-12 verdict #3)."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -5997,17 +6005,29 @@ def q194_stream_phash_ingest_fold(spark, sf):
         .parquet(src)
     )
     out = _tempfile.mkdtemp(prefix="spark_graft_q194_out_")
-    q = stream_ingest_with_phash_gate(
-        stream,
-        idx_path,
-        out,
-        _tempfile.mkdtemp(prefix="spark_graft_q194_ckpt_"),
-        available_now=True,
-    )
-    _await_stream(q)
-    admitted = spark.read.parquet(f"{out}/data").select(
-        "doc_id", F.col("__batch").cast("long").alias("admitted_in_batch")
-    )
+    ckpt = _tempfile.mkdtemp(prefix="spark_graft_q194_ckpt_")
+    try:
+        q = stream_ingest_with_phash_gate(
+            stream,
+            idx_path,
+            out,
+            ckpt,
+            available_now=True,
+        )
+        _await_stream(q)
+        # eager checkpoint BEFORE the temp dirs vanish: the returned
+        # frame must not hold lineage into files the finally deletes
+        admitted = (
+            spark.read.parquet(f"{out}/data")
+            .select(
+                "doc_id",
+                F.col("__batch").cast("long").alias("admitted_in_batch"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d_ in (idx_path, src, stage, out, ckpt):
+            _shutil.rmtree(d_, ignore_errors=True)
     return admitted.orderBy("doc_id")
 
 
@@ -6153,7 +6173,10 @@ def q198_crossmodal_dedup(spark, sf):
     )
     edges = pairs_img.unionByName(pairs_txt).distinct()
     return (
-        D.connected_components(edges)
+        # require_converged: a chain of near-dup collisions deeper
+        # than max_iter must fail loudly, never emit split families
+        # (round-12 advice)
+        D.connected_components(edges, require_converged=True)
         .select(
             F.col("id").cast("long").alias("doc_id"),
             "cluster_id",
@@ -12161,7 +12184,12 @@ ORACLE["q190_phash_survivors"] = (
 # re-encoded twins) is gated against stored UNION batch-0 survivors,
 # because the stream folds each batch's survivors into the index
 # before the next batch. Match = shared band + bit_count(xor) <= 3,
-# identical to the q191 gate.
+# identical to the q191 gate. Each batch ALSO drops its own
+# intra-batch near-dups first (keep-lowest-id: a row with a matching
+# SMALLER id in the same batch never reaches the index gate) — the
+# crawl-burst rule gate_and_fold_batch applies before gating, hit
+# here by the doc_id % 12 == 3 originals riding batch 1 with their
+# twins.
 ORACLE["q194_stream_phash_ingest_fold"] = (
     _PHASH_BANDS_SQL
     + """
@@ -12183,6 +12211,16 @@ ORACLE["q194_stream_phash_ingest_fold"] = (
                    + bit_count(xor(x.b2, y.b2))
                    + bit_count(xor(x.b3, y.b3))) <= 3
         )
+        AND NOT EXISTS (
+            SELECT 1 FROM b1 w
+            WHERE w.doc_id < x.doc_id
+              AND (x.b0 = w.b0 OR x.b1 = w.b1
+                   OR x.b2 = w.b2 OR x.b3 = w.b3)
+              AND (bit_count(xor(x.b0, w.b0))
+                   + bit_count(xor(x.b1, w.b1))
+                   + bit_count(xor(x.b2, w.b2))
+                   + bit_count(xor(x.b3, w.b3))) <= 3
+        )
     ),
     stored1 AS (
         SELECT * FROM stored0 UNION ALL SELECT * FROM s1
@@ -12202,6 +12240,16 @@ ORACLE["q194_stream_phash_ingest_fold"] = (
                    + bit_count(xor(x.b1, y.b1))
                    + bit_count(xor(x.b2, y.b2))
                    + bit_count(xor(x.b3, y.b3))) <= 3
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM b2 w
+            WHERE w.doc_id < x.doc_id
+              AND (x.b0 = w.b0 OR x.b1 = w.b1
+                   OR x.b2 = w.b2 OR x.b3 = w.b3)
+              AND (bit_count(xor(x.b0, w.b0))
+                   + bit_count(xor(x.b1, w.b1))
+                   + bit_count(xor(x.b2, w.b2))
+                   + bit_count(xor(x.b3, w.b3))) <= 3
         )
     )
     SELECT doc_id, 0::BIGINT AS admitted_in_batch FROM s1

@@ -852,6 +852,141 @@ def test_stream_phash_ingest_fold_equals_sequential(spark, tmp_path):
     assert codes.count() == codes.select("doc_id").distinct().count()
 
 
+def test_gate_and_fold_intra_batch_twin(spark, tmp_path):
+    """Round-12 verdict #1: ONE micro-batch carrying both an original
+    and its perceptual twin — neither is in the prior index, so only
+    the batch-local keep-lowest-id survivor pass can reject the twin.
+    Only the original must be admitted AND folded, and the crash
+    window (fold landed, marker lost) must replay identically."""
+    import hashlib
+    import os
+    import shutil
+
+    from data_lake_project_spark.multimodal.phash_index import (
+        build_phash_index,
+        gate_and_fold_batch,
+        load_phash_index,
+        save_phash_index,
+    )
+    from data_lake_project_spark.streaming.pipeline import read_sink
+
+    def img(seed, n=96):
+        out, i = b"", 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}:{i}".encode()).digest()
+            i += 1
+        return out[:n]
+
+    r1, r2 = img(1), img(2)
+    idx = str(tmp_path / "idx")
+    save_phash_index(
+        build_phash_index(
+            spark.createDataFrame([(1, r1)], "doc_id long, image binary")
+        ),
+        idx,
+    )
+    # one batch: 10 novel original, 11 = brightness twin OF 10 (same
+    # aHash — intra-batch dup), 12 dup of indexed 1, 13 novel
+    batch = [
+        (10, r2),
+        (11, bytes(x if x == 255 else x + 1 for x in r2)),
+        (12, r1),
+        (13, img(3)),
+    ]
+    out = str(tmp_path / "out")
+    gate_and_fold_batch(
+        spark.createDataFrame(batch, "doc_id long, image binary"),
+        0,
+        idx,
+        out,
+    )
+    assert sorted(
+        r.doc_id for r in read_sink(spark, out).collect()
+    ) == [10, 13]
+    folded = sorted(
+        r.doc_id for r in load_phash_index(spark, idx).codes.collect()
+    )
+    assert folded == [1, 10, 13]  # the twin never reached the fold
+
+    # crash window: marker lost after the fold — the replay must
+    # re-derive the identical survivor set (the self-dedup rule is
+    # deterministic) and leave the codes duplicate-free
+    os.remove(os.path.join(out, "_committed_batches", "0"))
+    gate_and_fold_batch(
+        spark.createDataFrame(batch, "doc_id long, image binary"),
+        0,
+        idx,
+        out,
+    )
+    assert sorted(
+        r.doc_id for r in read_sink(spark, out).collect()
+    ) == [10, 13]
+    codes = load_phash_index(spark, idx).codes
+    assert codes.count() == codes.select("doc_id").distinct().count() == 3
+    shutil.rmtree(out)
+
+
+def test_gate_and_fold_id_collision_raises(spark, tmp_path):
+    """Round-12 advice: a batch id already stored with a DIFFERENT
+    fingerprint is an id collision, not a replay — the loop's
+    exactly-once protocol assumes ids are stable replay keys, so the
+    gate raises instead of silently desyncing sink and index. A true
+    replay (same id, same bytes) still passes."""
+    import hashlib
+
+    import pytest
+
+    from data_lake_project_spark.multimodal.phash_index import (
+        build_phash_index,
+        gate_and_fold_batch,
+        save_phash_index,
+    )
+
+    r1 = hashlib.md5(b"a").digest() * 6
+    r2 = hashlib.md5(b"b").digest() * 6
+    idx = str(tmp_path / "idx")
+    save_phash_index(
+        build_phash_index(
+            spark.createDataFrame([(1, r1)], "doc_id long, image binary")
+        ),
+        idx,
+    )
+    with pytest.raises(ValueError, match="DIFFERENT fingerprint"):
+        gate_and_fold_batch(
+            spark.createDataFrame([(1, r2)], "doc_id long, image binary"),
+            0,
+            idx,
+            str(tmp_path / "out_bad"),
+        )
+    # same id + same bytes = replay: passes the guard, folds as no-op
+    gate_and_fold_batch(
+        spark.createDataFrame([(1, r1)], "doc_id long, image binary"),
+        0,
+        idx,
+        str(tmp_path / "out_ok"),
+    )
+
+
+def test_q194_cleans_per_call_temp_dirs(spark):
+    """Round-12 verdict #3: q194 must not leave its five per-call
+    mkdtemp directories behind — repeated bench/correctness sweeps
+    were accumulating unbounded /tmp. The returned frame must survive
+    the cleanup (eager checkpoint, no lineage into deleted files)."""
+    import glob
+    import tempfile
+
+    from data_lake_project_spark.queries import QUERIES
+
+    pat = f"{tempfile.gettempdir()}/spark_graft_q194_*"
+    before = set(glob.glob(pat))
+    df = QUERIES["q194_stream_phash_ingest_fold"](
+        spark, "/root/testdata/sf0.001"
+    )
+    n = df.count()
+    assert n > 0  # frame readable AFTER its temp sources are gone
+    assert set(glob.glob(pat)) == before
+
+
 def test_av_fake_arithmetic_golden_pins():
     """The q195/q196/q197 oracles replay the fake decoder/extractor
     arithmetic IN SQL — any refactor of these fakes that changes a

@@ -1993,6 +1993,71 @@ def test_dedup_index_incremental_equals_recompute(spark, tmp_path):
     assert kept_idx == kept_oneshot and len(kept_idx) > 0
 
 
+def test_dedup_against_index_self_dedup_intra_batch(spark):
+    """Round-12 verdict #1, text lane: a batch carrying BOTH an
+    original and its near-dup twin matches nothing in the index, so
+    the default (contract: batch assumed self-deduplicated) admits
+    both; self_dedup=True runs the batch-local keep-lowest-id pass
+    first and only the original survives. Index-matched docs are
+    rejected under both modes."""
+    from data_lake_project_spark.operators.dedup_index import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # 10/11: intra-batch near-dup pair, novel vs the corpus
+            (10, "pack my box with five dozen brown liquor jugs now"),
+            (11, "pack my box with five dozen brown liquor jugs soon"),
+            # 12: near-dup of the INDEXED doc 1
+            (12, "the quick brown fox jumps over the lazy dog tonight"),
+            # 13: novel
+            (13, "sphinx of black quartz judge my vow said the king"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_dedup_index(corpus)
+
+    def kept(**kw):
+        return sorted(
+            r.doc_id for r in dedup_against_index(idx, batch, **kw).collect()
+        )
+
+    assert kept() == [10, 11, 13]  # default: twin admitted
+    assert kept(self_dedup=True) == [10, 13]  # survivor pass drops 11
+
+
+def test_connected_components_require_converged(spark):
+    """Round-12 advice on q198: a graph deeper than max_iter must fail
+    loudly under require_converged instead of returning partially-
+    propagated (split-family) labels — both algorithms; a converging
+    graph is unaffected."""
+    import pytest
+
+    from data_lake_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint not reached"):
+        connected_components(chain, max_iter=3, require_converged=True)
+    with pytest.raises(RuntimeError, match="fixpoint not reached"):
+        connected_components(
+            chain, max_iter=1, algo="star", require_converged=True
+        )
+    ok = connected_components(
+        chain, max_iter=100, require_converged=True
+    )
+    assert ok.select("cluster_id").distinct().count() == 1
+
+
 def test_dedup_index_apply_replayed_delta_is_noop(spark, tmp_path):
     """Folding the SAME delta twice (a replayed batch — the silent-
     corruption failure mode the apply guard closes) must leave the
