@@ -763,6 +763,7 @@ def keep_cluster_representatives(
     pairs: DataFrame,
     order_cols: list,
     id_col: str = "doc_id",
+    require_converged: bool = False,
 ) -> DataFrame:
     """The keep-one-per-family materialization that turns near-dup
     CLUSTERS (:func:`connected_components` over verified pairs) into
@@ -787,7 +788,9 @@ def keep_cluster_representatives(
         "family_size",
         "__rk",
     )
-    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    comp = connected_components(
+        pairs, require_converged=require_converged
+    ).withColumnRenamed("id", id_col)
     clustered = docs.join(comp, id_col)
     w = Window.partitionBy("cluster_id").orderBy(*order_cols)
     drops = (

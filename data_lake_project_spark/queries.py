@@ -6134,6 +6134,25 @@ def q198_crossmodal_dedup(spark, sf):
     with a recursive CTE. Scale: both lanes are banded (never
     all-pairs), the union is edge-sized, components run over the pair
     graph only."""
+    pop, edges = _crossmodal_pop_and_edges(spark, sf)
+    return (
+        # require_converged: a chain of near-dup collisions deeper
+        # than max_iter must fail loudly, never emit split families
+        # (round-12 advice)
+        D.connected_components(edges, require_converged=True)
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _crossmodal_pop_and_edges(spark, sf):
+    """The shared q198/q199 front half: the (caption, image) population
+    (originals + brightness-shifted image twins + token-appended text
+    twins) and the UNION match graph over both banded matchers."""
     from data_lake_project_spark.multimodal.phash import (
         _BAND_COLS,
         ahash64,
@@ -6172,18 +6191,173 @@ def q198_crossmodal_dedup(spark, sf):
         "id_a", "id_b"
     )
     edges = pairs_img.unionByName(pairs_txt).distinct()
-    return (
-        # require_converged: a chain of near-dup collisions deeper
-        # than max_iter must fail loudly, never emit split families
-        # (round-12 advice)
-        D.connected_components(edges, require_converged=True)
-        .select(
-            F.col("id").cast("long").alias("doc_id"),
-            "cluster_id",
-            "cluster_size",
-        )
-        .orderBy("doc_id")
+    return pop, edges
+
+
+def q199_crossmodal_survivors(spark, sf):
+    """The cross-modal family graph APPLIED — the production step a
+    LAION-style pipeline actually ships (round-12 verdict #4): q198
+    stops at family formation; q199 composes it with q86's
+    keep-one-per-family materialization
+    (``dedup.keep_cluster_representatives``). Within each union-graph
+    family keep the LONGEST member (a multimodal corpus keeps the
+    highest-information variant; here the token-appended text twin
+    outranks its base — deterministic tie-break on lowest doc_id),
+    drop the rest; records that matched nothing pass through with
+    family_size 1. Plan shape: components + rank windows run over the
+    PAIR GRAPH only (a vanishing fraction of the corpus); the corpus
+    itself is touched by exactly ONE anti-join against the dropped-id
+    set. require_converged: a deeper-than-bound collision chain fails
+    loudly instead of emitting survivors from split families."""
+    pop, edges = _crossmodal_pop_and_edges(spark, sf)
+    kept = D.keep_cluster_representatives(
+        pop,
+        edges,
+        order_cols=[
+            F.length("text").desc(),
+            F.col("doc_id").asc(),
+        ],
+        require_converged=True,
     )
+    return kept.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.col("family_size").cast("long").alias("family_size"),
+    ).orderBy("doc_id")
+
+
+def q200_av_erasure_report(spark, sf):
+    """GDPR erasure for the AV modality (round-12 verdict #5): q195's
+    keyframe fingerprints and q196's audio features become PERSISTED
+    artifacts (q195-q197 built them per-call) with erase-by-clip-id
+    legs — the q168 lifecycle discipline extended to the last two
+    modalities. Base artifacts are published once per corpus content
+    fingerprint; each call erases a fixed deletion request (clips
+    with ``doc_id % 9 == 4`` — the SQL-expressible modular predicate,
+    q168 convention) from a per-call mutable copy and reports per
+    lane: rows before/after, clips after, and an integer content
+    checksum over the REMAINING rows (keyframes: band sums + frame
+    ids; audio: duration + quantized lead mel) — so the oracle's
+    rebuild-on-remaining re-derivation checks erase == never-ingested
+    by VALUE, not just by count. Scale shape: the keyframe lane is
+    partitioned by a 16-way id bucket and erased with partition-
+    pruned rewrites (``prune_values`` derived from the request ids —
+    only touched buckets are rewritten); the audio lane is the plain
+    anti-join rewrite. Temp dirs are cleaned before returning (q194
+    hygiene rule); the report rides an eager localCheckpoint."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from data_lake_project_spark.multimodal.av import (
+        audio_features,
+        frame_scene_report,
+        make_fake_frame_decoder,
+        sample_frames,
+    )
+    from data_lake_project_spark.operators.erasure import _erase_rows
+
+    base_path = (
+        f"/tmp/spark_graft_av_art_{_dataset_fingerprint(sf, 'documents')}"
+    )
+
+    def _build(tmp):
+        d = load_table(spark, sf, "documents")
+        ascii_txt = F.regexp_replace(F.col("text"), r"[^\x20-\x7E]", "")
+        clips = d.select(
+            F.col("doc_id").cast("string").alias("path"),
+            F.encode(ascii_txt, "UTF-8").alias("content"),
+        ).filter(F.length("content") > 0)
+        rep = frame_scene_report(
+            sample_frames(
+                clips, every_ms=1024, decoder=make_fake_frame_decoder()
+            ),
+            path_col="path",
+            frame_col="frame",
+            threshold=8,
+        )
+        (
+            rep.filter("is_scene_change")
+            .select(
+                F.col("path").cast("long").alias("clip_id"),
+                "frame",
+                "pband0",
+                "pband1",
+                "pband2",
+                "pband3",
+            )
+            .withColumn("pb", F.col("clip_id") % 16)
+            .write.partitionBy("pb")
+            .parquet(f"{tmp}/keyframes")
+        )
+        audio_features(clips).select(
+            F.col("path").cast("long").alias("clip_id"),
+            "duration_ms",
+            "features",
+        ).write.parquet(f"{tmp}/audio")
+
+    _publish_if_absent(spark, base_path, _build)
+    work = _tempfile.mkdtemp(prefix="spark_graft_q200_work_")
+    try:
+        _shutil.rmtree(work)
+        _shutil.copytree(base_path, work)
+        before = {
+            "keyframes": spark.read.parquet(f"{work}/keyframes").count(),
+            "audio": spark.read.parquet(f"{work}/audio").count(),
+        }
+        d = load_table(spark, sf, "documents")
+        req = (
+            d.filter(F.col("doc_id") % 9 == 4)
+            .select(F.col("doc_id").alias("clip_id"))
+            .localCheckpoint(eager=True)
+        )
+        buckets = sorted(
+            r[0]
+            for r in req.select(
+                (F.col("clip_id") % 16).alias("pb")
+            ).distinct().collect()
+        )
+        _erase_rows(
+            spark,
+            f"{work}/keyframes",
+            "clip_id",
+            req,
+            partition_col="pb",
+            prune_values=buckets,
+        )
+        _erase_rows(spark, f"{work}/audio", "clip_id", req)
+        kf = spark.read.parquet(f"{work}/keyframes")
+        au = spark.read.parquet(f"{work}/audio")
+        kf_row = kf.agg(
+            F.lit("keyframes").alias("lane"),
+            F.lit(before["keyframes"]).cast("long").alias("rows_before"),
+            F.count("*").cast("long").alias("rows_after"),
+            F.countDistinct("clip_id").cast("long").alias("clips_after"),
+            F.sum(
+                F.col("pband0")
+                + F.col("pband1")
+                + F.col("pband2")
+                + F.col("pband3")
+                + F.col("frame")
+            )
+            .cast("long")
+            .alias("checksum_after"),
+        )
+        au_row = au.agg(
+            F.lit("audio").alias("lane"),
+            F.lit(before["audio"]).cast("long").alias("rows_before"),
+            F.count("*").cast("long").alias("rows_after"),
+            F.countDistinct("clip_id").cast("long").alias("clips_after"),
+            F.sum(
+                F.col("duration_ms")
+                + F.floor(F.element_at("features", 1) * F.lit(1000.0))
+            )
+            .cast("long")
+            .alias("checksum_after"),
+        )
+        out = kf_row.unionByName(au_row).localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return out.orderBy("lane")
 
 
 def q196_audio_neardup(spark, sf):
@@ -6520,6 +6694,8 @@ QUERIES: dict[str, QueryFn] = {
     "q196_audio_neardup": q196_audio_neardup,
     "q197_keyframe_dedup": q197_keyframe_dedup,
     "q198_crossmodal_dedup": q198_crossmodal_dedup,
+    "q199_crossmodal_survivors": q199_crossmodal_survivors,
+    "q200_av_erasure_report": q200_av_erasure_report,
 }
 
 _SHINGLE_CTE = """
@@ -12571,4 +12747,123 @@ ORACLE["q198_crossmodal_dedup"] = f"""
     SELECT id AS doc_id, cluster_id,
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size
     FROM comp ORDER BY doc_id
+"""
+
+# q199: q198's union-CTE closure composed with the q86 survivor rank —
+# within each family keep the longest member (tie: lowest doc_id);
+# unmatched records pass through with family_size 1. The CTE chain up
+# to comp is byte-identical to q198's.
+ORACLE["q199_crossmodal_survivors"] = ORACLE[
+    "q198_crossmodal_dedup"
+].replace(
+    """    SELECT id AS doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp ORDER BY doc_id
+""",
+    """,
+    fam AS (
+        SELECT p.doc_id, length(p.text) AS n_chars, c.cluster_id,
+               count(*) OVER (PARTITION BY c.cluster_id) AS family_size,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY length(p.text) DESC, p.doc_id)
+                   AS rk
+        FROM pop p JOIN comp c ON c.id = p.doc_id
+    )
+    SELECT doc_id, n_chars::BIGINT AS n_chars,
+           family_size::BIGINT AS family_size
+    FROM fam WHERE rk = 1
+    UNION ALL
+    SELECT p.doc_id, length(p.text)::BIGINT, 1::BIGINT
+    FROM pop p
+    WHERE NOT EXISTS (SELECT 1 FROM comp c WHERE c.id = p.doc_id)
+    ORDER BY doc_id
+""",
+)
+
+# q200: both AV artifacts re-derived on the REMAINING population
+# (erase == never-ingested, checked by integer content checksums, not
+# just counts). Keyframe CTE chain = q195's ladder (all four bands
+# equal b16 on 64-byte rasters, so the band-sum checksum is 4*b16 +
+# frame); audio = q196's extractor replay without the re-encode union
+# (checksum dms + floor(mel0*1000), both integers). Deletion request:
+# doc_id % 9 == 4.
+ORACLE["q200_av_erasure_report"] = """
+    WITH docs AS (
+        SELECT doc_id,
+               regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS t
+        FROM documents
+    ),
+    pop AS (SELECT doc_id, t FROM docs WHERE length(t) > 0),
+    d AS (
+        SELECT doc_id, t,
+               1000 * (1 + ((strpos('0123456789abcdef',
+                             substr(md5(t), 2, 1)) - 1) % 8)) AS dur
+        FROM pop
+    ),
+    e AS (
+        SELECT doc_id, t,
+               CAST(unnest(range((dur + 1023) // 1024)) AS BIGINT)
+                   AS frame
+        FROM d
+    ),
+    f AS (
+        SELECT doc_id, frame,
+               md5(t || chr(0) || chr(4 * CAST(frame AS INT))
+                   || repeat(chr(0), 6)) AS mh
+        FROM e
+    ),
+    vals AS (
+        SELECT doc_id, frame,
+               list_transform(range(16), i ->
+                   ((strpos('0123456789abcdef',
+                            substr(mh, 2 * CAST(i AS INT) + 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef',
+                              substr(mh, 2 * CAST(i AS INT) + 2, 1)) - 1)
+                   )::BIGINT) AS v
+        FROM f
+    ),
+    fb AS (
+        SELECT doc_id, frame,
+               list_sum(list_transform(range(16), i -> CASE
+                   WHEN v[CAST(i AS INT) + 1] * 64
+                        > CAST(list_sum(v) AS BIGINT) * 4
+                   THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b16
+        FROM vals
+    ),
+    ham AS (
+        SELECT doc_id, frame, b16,
+               4 * bit_count(xor(b16,
+                   lag(b16) OVER (PARTITION BY doc_id ORDER BY frame)))
+                   AS hamming
+        FROM fb
+    ),
+    kf AS (
+        SELECT doc_id, frame, b16 FROM ham
+        WHERE hamming IS NULL OR hamming > 8
+    ),
+    aud AS (
+        SELECT doc_id,
+               500 * (1 + (('0x' || substr(md5(t), 1, 2))::BIGINT % 20))
+                   AS dms,
+               floor(('0x' || substr(md5(t || repeat(chr(0), 4)), 1, 8))
+                         ::BIGINT::DOUBLE
+                     / 4294967296.0 * 1000000.0 + 0.5) / 1000000.0
+                   AS mel0
+        FROM pop
+    )
+    SELECT 'audio' AS lane,
+           (SELECT count(*) FROM aud)::BIGINT AS rows_before,
+           count(*)::BIGINT AS rows_after,
+           count(DISTINCT doc_id)::BIGINT AS clips_after,
+           sum(dms + CAST(floor(mel0 * 1000.0) AS BIGINT))::BIGINT
+               AS checksum_after
+    FROM aud WHERE doc_id % 9 <> 4
+    UNION ALL
+    SELECT 'keyframes',
+           (SELECT count(*) FROM kf)::BIGINT,
+           count(*)::BIGINT,
+           count(DISTINCT doc_id)::BIGINT,
+           sum(4 * b16 + frame)::BIGINT
+    FROM kf WHERE doc_id % 9 <> 4
+    ORDER BY lane
 """
