@@ -182,6 +182,19 @@ def phash_neardup(
     join, result-parity CI-pinned on a hot-band fixture). The hot
     bucket still pairs quadratically — that is real duplication the
     gate WANTS — salting spreads the work instead of serializing it.
+
+    Plan shape (round-13 rework): each exploded band row CARRIES its
+    full fingerprint, so the Hamming verify runs INLINE in the band
+    join and the dedupe shuffle moves from candidate-sized to
+    OUTPUT-sized. The previous shape (candidate ``distinct`` → two
+    fingerprint joins) shuffled the whole candidate set twice more;
+    on a low-entropy corpus (sf1-class text-raster fixture: 6.27M
+    candidates from 50k docs, 16.7k true pairs — SCALE.md round-13
+    density measurement) candidates outnumber verified pairs ~375x,
+    and the rework cut q189 from 25.2 s to a fraction (stamped in
+    SCALE.md). Verify work rises at most 4x (a pair is re-verified
+    once per matching band, integer xor/popcount) — always cheaper
+    than shuffling the same rows.
     """
     if max_hamming > N_BANDS - 1:
         raise ValueError(
@@ -190,11 +203,11 @@ def phash_neardup(
             f"max_hamming <= {N_BANDS - 1}); use more bands or a "
             "dedicated multi-probe design for looser thresholds"
         )
-    # the narrow (id, 4 bands) projection feeds THREE consumers (the
-    # band explode and both verify sides) — eagerly cut once (the
-    # multi-consumer rule), which also keeps the fingerprint
-    # expression trees from inlining into the NULL-guard filter
-    # (hash computed once per row, not once per consumer)
+    # the narrow (id, 4 bands) projection is exploded once per band
+    # with the FULL fingerprint riding along — eagerly cut once (the
+    # multi-consumer rule via the salted path, and it keeps the
+    # fingerprint expression trees from inlining into the NULL-guard
+    # filter: hash computed once per row, not once per consumer)
     f = (
         fps.select(id_col, *_BAND_COLS)
         .localCheckpoint(eager=True)
@@ -202,6 +215,7 @@ def phash_neardup(
     )
     keyed = f.select(
         F.col(id_col).alias("__id"),
+        *_BAND_COLS,
         F.explode(
             F.array(
                 *[
@@ -213,54 +227,35 @@ def phash_neardup(
                 ]
             )
         ).alias("bk"),
-    ).select("__id", "bk.band", "bk.val")
+    ).select("__id", *_BAND_COLS, "bk.band", "bk.val")
+    a_side = keyed.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(c).alias(f"a_{c}") for c in _BAND_COLS],
+        "band",
+        "val",
+    )
+    b_side = keyed.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(c).alias(f"b_{c}") for c in _BAND_COLS],
+        "band",
+        "val",
+    )
     if n_salts:
         from data_lake_project_spark.operators.skew import salted_join
 
-        a_side = keyed.select(
-            F.col("__id").alias("__xid"), "band", "val"
-        )
-        b_side = keyed.select(
-            F.col("__id").alias("__yid"), "band", "val"
-        )
-        cand = (
-            salted_join(a_side, b_side, ["band", "val"], n_salts=n_salts)
-            .filter(F.col("__xid") < F.col("__yid"))
-            .select(
-                F.col("__xid").alias("id_a"),
-                F.col("__yid").alias("id_b"),
-            )
-            .distinct()
+        joined = salted_join(
+            a_side, b_side, ["band", "val"], n_salts=n_salts
         )
     else:
-        cand = (
-            keyed.alias("x")
-            .join(
-                keyed.alias("y"),
-                (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.val") == F.col("y.val"))
-                & (F.col("x.__id") < F.col("y.__id")),
-            )
-            .select(
-                F.col("x.__id").alias("id_a"),
-                F.col("y.__id").alias("id_b"),
-            )
-            .distinct()
-        )
-    a = f.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(c).alias(f"a_{c}") for c in _BAND_COLS],
-    )
-    b = f.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(c).alias(f"b_{c}") for c in _BAND_COLS],
-    )
+        joined = a_side.join(b_side, ["band", "val"])
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        joined.filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", hamming64("a_", "b_"))
         .filter(F.col("hamming") <= max_hamming)
+        # output-sized dedupe: the same verified pair arrives once per
+        # matching band, always with the identical hamming
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
