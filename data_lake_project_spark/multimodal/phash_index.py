@@ -150,12 +150,19 @@ def phash_index_matches(
     batch: DataFrame,
     image_col: str = "image",
     max_hamming: int = 3,
+    batch_codes: DataFrame | None = None,
 ) -> DataFrame:
     """Every (batch id, stored id, hamming) pair within
     ``max_hamming`` — the audit view of the gate (who matched whom).
     The batch is fingerprinted inline (it is the delta — small by
     contract); the corpus side is the prebuilt codes. Exactness: same
     4-band pigeonhole as ``phash_neardup``, same threshold guard.
+
+    ``batch_codes``: a caller that already fingerprinted the batch
+    (the gate-and-fold loop reuses one pass for the collision guard,
+    the self-dedup join AND this gate) passes the codes frame to skip
+    the re-fingerprint; it must be the ``build_phash_index`` output
+    for exactly the rows of ``batch``.
 
     Output: (id, dup_of, hamming) where ``id`` is the batch id column
     name from the index params."""
@@ -169,6 +176,8 @@ def phash_index_matches(
     bfp = (
         build_phash_index(batch, image_col=image_col, id_col=id_col)
         .codes.localCheckpoint(eager=True)
+        if batch_codes is None
+        else batch_codes
     )
     cand = (
         _band_rows(bfp, id_col, "__bid")
@@ -202,14 +211,18 @@ def gate_against_phash_index(
     batch: DataFrame,
     image_col: str = "image",
     max_hamming: int = 3,
+    batch_codes: DataFrame | None = None,
 ) -> DataFrame:
     """The ingest gate: batch rows that are NOT perceptual duplicates
     of any indexed image (one anti-join over the match set) — the
     ``dedup_against_index`` shape for the image lane. Rows with empty
     rasters pass through (nothing to match), mirroring the build-side
-    exclusion."""
+    exclusion. ``batch_codes``: precomputed batch fingerprints (see
+    ``phash_index_matches``)."""
     dup = (
-        phash_index_matches(index, batch, image_col, max_hamming)
+        phash_index_matches(
+            index, batch, image_col, max_hamming, batch_codes=batch_codes
+        )
         .select(index.params["id_col"])
         .distinct()
     )
@@ -311,11 +324,10 @@ def gate_and_fold_batch(
             "sink and index"
         )
     self_pairs = phash_neardup(bfp, id_col=id_col, max_hamming=max_hamming)
-    batch = batch.join(
-        phash_survivors(bfp, self_pairs, id_col=id_col).select(id_col),
-        id_col,
-        "left_semi",
-    ).unionByName(
+    self_kept = phash_survivors(bfp, self_pairs, id_col=id_col).select(
+        id_col
+    )
+    batch = batch.join(self_kept, id_col, "left_semi").unionByName(
         # empty rasters never fingerprint (ahash64 NULL contract) so
         # they bypass the self-dedup exactly as they bypass the gate
         batch.filter(F.length(F.col(image_col)) == 0)
@@ -325,7 +337,14 @@ def gate_and_fold_batch(
         idx.codes.join(batch.select(id_col), id_col, "left_anti"),
     )
     survivors = gate_against_phash_index(
-        prior, batch, image_col, max_hamming
+        prior,
+        batch,
+        image_col,
+        max_hamming,
+        # one fingerprint pass serves guard + self-dedup + gate: the
+        # reduced batch's codes are the checkpointed bfp minus the
+        # self-dedup drops
+        batch_codes=bfp.join(self_kept, id_col, "left_semi"),
     ).localCheckpoint(eager=True)
     survivors.write.mode("overwrite").parquet(
         f"{out_dir.rstrip('/')}/data/__batch={batch_id}"
