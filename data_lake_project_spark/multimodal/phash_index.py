@@ -249,10 +249,13 @@ def gate_and_fold_batch(
     index, so an index-only gate admits and folds both. The batch is
     therefore self-deduplicated FIRST (``phash_neardup`` band
     self-join over the batch fingerprints only — batch-sized — then
-    the ``phash_survivors`` keep-lowest-id rule: every row with a
-    near-dup of smaller id drops, matching the oracle-expressible
-    "no smaller-id in-batch match" predicate). Deterministic across
-    replays because the rule depends only on ids and fingerprints.
+    one anti-join against the doomed larger-id pair ends: every row
+    with a near-dup of smaller id drops, matching the
+    oracle-expressible "no smaller-id in-batch match" predicate, and
+    rows that never fingerprint — empty OR NULL rasters — pass
+    through untouched because they cannot appear in the pair set).
+    Deterministic across replays because the rule depends only on ids
+    and fingerprints.
 
     Id contract: ``doc_id`` is a stable replay key — a replayed batch
     carries the SAME (id, bytes) rows. A batch id that already exists
@@ -282,10 +285,7 @@ def gate_and_fold_batch(
     append from re-deriving a plan that re-scans the codes directory
     it is appending to.
     """
-    from data_lake_project_spark.multimodal.phash import (
-        phash_neardup,
-        phash_survivors,
-    )
+    from data_lake_project_spark.multimodal.phash import phash_neardup
 
     spark = batch.sparkSession
     commits_dir = f"{out_dir.rstrip('/')}/_committed_batches"
@@ -302,15 +302,25 @@ def gate_and_fold_batch(
         build_phash_index(batch, image_col=image_col, id_col=id_col)
         .codes.localCheckpoint(eager=True)
     )
+    # collision leg 1: a fingerprinted batch id stored with a
+    # DIFFERENT fingerprint. Leg 2: an UNFINGERPRINTED batch id
+    # (empty/NULL raster — excluded from bfp by build_phash_index)
+    # whose id is already stored: stored codes always carry a
+    # fingerprint, so same id => different bytes — the same collision
+    # arriving through the empty-raster passthrough, which would
+    # otherwise bypass the guard, sail through the gate, land in the
+    # sink, and no-op in the fold (sink/index desync).
+    stored_fp = idx.codes.select(
+        id_col, *[F.col(c).alias(f"s_{c}") for c in _BAND_COLS]
+    )
     collisions = (
-        bfp.join(
-            idx.codes.select(
-                id_col, *[F.col(c).alias(f"s_{c}") for c in _BAND_COLS]
-            ),
-            id_col,
-        )
-        .filter(
-            " OR ".join(f"{c} <> s_{c}" for c in _BAND_COLS)
+        bfp.join(stored_fp, id_col)
+        .filter(" OR ".join(f"{c} <> s_{c}" for c in _BAND_COLS))
+        .select(id_col)
+        .unionByName(
+            batch.select(id_col)
+            .join(bfp.select(id_col), id_col, "left_anti")
+            .join(stored_fp.select(id_col), id_col, "left_semi")
         )
         .limit(1)
         .collect()
@@ -324,14 +334,14 @@ def gate_and_fold_batch(
             "sink and index"
         )
     self_pairs = phash_neardup(bfp, id_col=id_col, max_hamming=max_hamming)
-    self_kept = phash_survivors(bfp, self_pairs, id_col=id_col).select(
-        id_col
-    )
-    batch = batch.join(self_kept, id_col, "left_semi").unionByName(
-        # empty rasters never fingerprint (ahash64 NULL contract) so
-        # they bypass the self-dedup exactly as they bypass the gate
-        batch.filter(F.length(F.col(image_col)) == 0)
-    )
+    # one anti-join against the doomed (larger-id) ends keeps every
+    # non-doomed row — fingerprinted survivors AND empty/NULL rasters
+    # (which never fingerprint, so never appear in self_pairs) — with
+    # no special-case passthrough union
+    self_doomed = self_pairs.select(
+        F.col("id_b").alias(id_col)
+    ).distinct()
+    batch = batch.join(self_doomed, id_col, "left_anti")
     prior = PhashIndex(
         idx.params,
         idx.codes.join(batch.select(id_col), id_col, "left_anti"),
@@ -344,7 +354,7 @@ def gate_and_fold_batch(
         # one fingerprint pass serves guard + self-dedup + gate: the
         # reduced batch's codes are the checkpointed bfp minus the
         # self-dedup drops
-        batch_codes=bfp.join(self_kept, id_col, "left_semi"),
+        batch_codes=bfp.join(self_doomed, id_col, "left_anti"),
     ).localCheckpoint(eager=True)
     survivors.write.mode("overwrite").parquet(
         f"{out_dir.rstrip('/')}/data/__batch={batch_id}"

@@ -197,6 +197,7 @@ def dedup_against_index(
     p = index.params
     id_col = p["id_col"]
     b_sets = shingle_sets(batch, p["text_col"], id_col, p["k"])
+    bkeys = None
     if self_dedup:
         bsig = minhash_sets(b_sets, id_col, p["num_hashes"])
         bkeys = band_keys(bsig, id_col, p["band_size"])
@@ -235,9 +236,17 @@ def dedup_against_index(
         )
         batch = batch.join(doomed, id_col, "left_anti")
         b_sets = b_sets.join(doomed, id_col, "left_anti")
-    bb = band_keys(
-        minhash_sets(b_sets, id_col, p["num_hashes"]), id_col, p["band_size"]
-    ).select(F.col(id_col).alias("__bid"), "band", "bandsig")
+        # the signature/banding work already ran for the self-join —
+        # the index gate reuses it minus the doomed rows instead of
+        # re-deriving minhash+bands over the reduced b_sets
+        bkeys = bkeys.join(doomed, id_col, "left_anti")
+    if bkeys is None:
+        bkeys = band_keys(
+            minhash_sets(b_sets, id_col, p["num_hashes"]),
+            id_col,
+            p["band_size"],
+        )
+    bb = bkeys.select(F.col(id_col).alias("__bid"), "band", "bandsig")
     cb = index.bands.select(
         F.col(id_col).alias("__cid"), "band", "bandsig"
     )

@@ -226,8 +226,11 @@ def generate(out_dir: str, mult: float, seed: int = 42) -> None:
         for chunk in np.split(words, splits)
     ]
     n_dup = int(0.05 * n_doc)
+    # floor the dup-target window at 1 so every chosen i has at least
+    # one earlier source doc (n_doc < 10 would make n_doc // 10 == 0,
+    # letting i == 0 reach rng.integers(0, 0) below)
     dup_ids = rng.choice(
-        np.arange(n_doc // 10, n_doc), size=n_dup, replace=False
+        np.arange(max(1, n_doc // 10), n_doc), size=n_dup, replace=False
     )
     for i in sorted(dup_ids):
         src = int(rng.integers(0, i))

@@ -967,6 +967,89 @@ def test_gate_and_fold_id_collision_raises(spark, tmp_path):
     )
 
 
+def test_gate_and_fold_null_and_empty_rasters_pass_through(spark, tmp_path):
+    """Round-13 advice #1: the self-dedup pass is one anti-join
+    against the doomed (larger-id) pair ends, so rows that never
+    fingerprint — EMPTY and NULL rasters alike — pass the gate into
+    the sink (the documented passthrough contract) and are excluded
+    from the fold's codes. The prior semi-join+union reconstruction
+    silently dropped NULL rasters (length(NULL) fails both legs)."""
+    import hashlib
+
+    from data_lake_project_spark.multimodal.phash_index import (
+        build_phash_index,
+        gate_and_fold_batch,
+        load_phash_index,
+        save_phash_index,
+    )
+    from data_lake_project_spark.streaming.pipeline import read_sink
+
+    r1 = hashlib.md5(b"a").digest() * 6
+    idx = str(tmp_path / "idx")
+    save_phash_index(
+        build_phash_index(
+            spark.createDataFrame([(1, r1)], "doc_id long, image binary")
+        ),
+        idx,
+    )
+    out = str(tmp_path / "out")
+    batch = [
+        (10, hashlib.md5(b"b").digest() * 6),  # novel, fingerprints
+        (11, b""),  # empty raster: passthrough
+        (12, None),  # NULL raster: passthrough (the fixed leg)
+        (13, r1),  # dup of indexed 1: gated out
+    ]
+    gate_and_fold_batch(
+        spark.createDataFrame(batch, "doc_id long, image binary"),
+        0,
+        idx,
+        out,
+    )
+    assert sorted(
+        r.doc_id for r in read_sink(spark, out).collect()
+    ) == [10, 11, 12]
+    # only fingerprintable survivors fold into codes
+    assert sorted(
+        r.doc_id for r in load_phash_index(spark, idx).codes.collect()
+    ) == [1, 10]
+
+
+def test_gate_and_fold_empty_raster_id_collision_raises(spark, tmp_path):
+    """Round-13 advice #2: an id already stored (therefore with a
+    fingerprint) arriving as an EMPTY or NULL raster is the same
+    same-id-different-bytes collision — it must raise, not ride the
+    empty-raster passthrough into the sink while the fold no-ops
+    (exactly the sink/index desync the guard exists to prevent)."""
+    import hashlib
+
+    import pytest
+
+    from data_lake_project_spark.multimodal.phash_index import (
+        build_phash_index,
+        gate_and_fold_batch,
+        save_phash_index,
+    )
+
+    r1 = hashlib.md5(b"a").digest() * 6
+    idx = str(tmp_path / "idx")
+    save_phash_index(
+        build_phash_index(
+            spark.createDataFrame([(1, r1)], "doc_id long, image binary")
+        ),
+        idx,
+    )
+    for bad in (b"", None):
+        with pytest.raises(ValueError, match="DIFFERENT fingerprint"):
+            gate_and_fold_batch(
+                spark.createDataFrame(
+                    [(1, bad)], "doc_id long, image binary"
+                ),
+                0,
+                idx,
+                str(tmp_path / "out_bad"),
+            )
+
+
 def test_q194_cleans_per_call_temp_dirs(spark):
     """Round-12 verdict #3: q194 must not leave its five per-call
     mkdtemp directories behind — repeated bench/correctness sweeps
