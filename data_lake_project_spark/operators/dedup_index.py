@@ -273,3 +273,140 @@ def dedup_against_index(
         .distinct()
     )
     return batch.join(dup, id_col, "left_anti")
+
+
+def gate_and_fold_text_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_dir: str,
+    threshold: float = 0.5,
+) -> None:
+    """One micro-batch of the TEXT streaming ingest-AND-fold loop —
+    the ``multimodal/phash_index.gate_and_fold_batch`` protocol
+    applied to the shingle/minhash lane (text crawl is the
+    highest-volume ingest a training-data pipeline runs; the
+    reference's at-least-once delivery, ``spark_stream.py:217-224``,
+    is exactly the window this closes): self-dedup the batch
+    (keep-lowest-id, ``dedup_against_index(self_dedup=True)``), gate
+    the survivors against the CURRENT index state, land them in the
+    batch's own sink directory, fold them into the index, mark the
+    batch committed.
+
+    Exactly-once under foreachBatch's at-least-once contract, by the
+    same construction as the image lane:
+
+    - committed marker present -> pure no-op;
+    - the gate runs against the index state EXCLUDING this batch's
+      own ids (one anti-join per stored table) — a replay after the
+      fold landed but before the marker re-derives the IDENTICAL
+      survivor set instead of rejecting every survivor as a duplicate
+      of its own folded shingles;
+    - the sink write is per-batch-directory overwrite
+      (``write_idempotent_foreach_batch`` layout, read via
+      ``read_sink``);
+    - the fold replays as a no-op through ``dedup_index_apply``'s
+      stored-id anti-join guard.
+
+    Id contract: ids are stable replay keys (same id => same text). A
+    batch id already stored with a DIFFERENT shingle set is an id
+    collision — admitted by the own-id-excluded gate but dropped by
+    the fold's guard, silently desyncing sink and index — so it
+    raises. The check joins stored sets on the batch ids only
+    (batch-sized fetch, set equality via two containment sizes).
+
+    Per-batch work is batch-sized: the batch is shingled/banded once
+    (``self_dedup=True`` reuses the band keys for the index gate),
+    the corpus is touched only by the candidate band join + the
+    candidates' set fetches, and the fold appends without rescanning.
+
+    Survivors are eagerly checkpointed before use: they feed BOTH the
+    sink write and the fold, and cutting lineage keeps the fold's
+    append from re-deriving a plan that re-scans the band/set
+    directories it is appending to.
+    """
+    spark = batch.sparkSession
+    commits_dir = f"{out_dir.rstrip('/')}/_committed_batches"
+    marker = f"{commits_dir}/{batch_id}"
+    if fs.exists(spark, marker):
+        return
+    idx = load_dedup_index(spark, index_path)
+    p = idx.params
+    id_col = p["id_col"]
+    bsets = shingle_sets(
+        batch, p["text_col"], id_col, p["k"]
+    ).localCheckpoint(eager=True)
+    inter = F.size(F.array_intersect("sh", "s_sh"))
+    collisions = (
+        bsets.join(
+            idx.sets.select(id_col, F.col("sh").alias("s_sh")), id_col
+        )
+        .filter(
+            (inter < F.size("sh")) | (inter < F.size("s_sh"))
+        )
+        .select(id_col)
+        .limit(1)
+        .collect()
+    )
+    if collisions:
+        raise ValueError(
+            f"gate_and_fold_text_batch: batch id "
+            f"{collisions[0][id_col]!r} already stored with a "
+            "DIFFERENT shingle set — ids must be stable replay keys "
+            "(same id => same text); an id collision would desync "
+            "sink and index"
+        )
+    own = batch.select(id_col)
+    prior = DedupIndex(
+        dict(p),
+        idx.bands.join(own, id_col, "left_anti"),
+        idx.sets.join(own, id_col, "left_anti"),
+    )
+    survivors = dedup_against_index(
+        prior, batch, threshold, self_dedup=True
+    ).localCheckpoint(eager=True)
+    survivors.write.mode("overwrite").parquet(
+        f"{out_dir.rstrip('/')}/data/__batch={batch_id}"
+    )
+    dedup_index_apply(spark, index_path, survivors)
+    fs.write_text(spark, marker, "committed")
+
+
+def stream_ingest_with_text_gate(
+    stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    available_now: bool = False,
+):
+    """The production text-ingest loop (the image lane's
+    ``stream_ingest_with_phash_gate`` shape on the shingle/minhash
+    index): every micro-batch self-dedups, gates against the index
+    state built by ALL PRIOR batches, and folds its survivors in
+    before the next batch arrives — batch N+1's near-duplicates of
+    batch N's survivors are rejected BY THE FOLD. Micro-batch work is
+    batch-sized; the corpus is never re-shingled.
+
+    Returns the started StreamingQuery; read admitted rows back with
+    ``streaming.pipeline.read_sink(spark, out_dir)``.
+
+    ``available_now=True`` drains the backlog and TERMINATES (still
+    honoring maxFilesPerTrigger, so the backlog processes as multiple
+    sequential gated-and-folded batches); the default runs the
+    continuous micro-batch trigger an always-on crawl ingest wants.
+    """
+
+    def _on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        gate_and_fold_text_batch(
+            batch_df, batch_id, index_path, out_dir, threshold
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -6488,6 +6488,106 @@ def q195_video_scene_ladder(spark, sf):
     )
 
 
+def q201_stream_text_ingest_fold(spark, sf):
+    """The TEXT ingest loop CLOSED (q194's protocol on the shingle/
+    minhash lane — text crawl is the highest-volume ingest a
+    training-data pipeline runs, and the reference's at-least-once
+    delivery window, ``spark_stream.py:217-224``, is exactly what the
+    loop's exactly-once markers fix): gate AND fold per micro-batch
+    (``operators/dedup_index.stream_ingest_with_text_gate``) — where
+    q136 serves one batch against a STATIC index, the production
+    crawl cycle admits each batch's survivors INTO the index before
+    the next batch arrives, so batch N+1's near-duplicates of batch
+    N's survivors are rejected BY THE FOLD. Two deterministic
+    micro-batches (one file each, mtime-ordered + maxFilesPerTrigger
+    = 1): batch 0 = docs with doc_id % 4 in (1, 2); batch 1 = docs
+    with doc_id % 4 == 3 plus append-one-token twins (text || ' dup',
+    id + 1000000) of every doc_id % 3 == 0 doc. The index starts from
+    the doc_id % 4 == 0 docs (copied fresh per call — the loop
+    MUTATES it). A twin whose base is doc_id % 12 in (6, 9) (base
+    rode batch 0) is the order-dependent case; twins of doc_id % 12
+    == 3 bases ride batch 1 TOGETHER with their originals — the
+    intra-batch crawl-burst case (``self_dedup=True`` keep-lowest-id
+    rule). Match = shared minhash band + exact shingle Jaccard >=
+    0.5, identical to the q102/q136 gate; the oracle replays the
+    sequential admission with the same in-batch rule. Temp dirs are
+    deleted before returning; the result rides an eager
+    localCheckpoint (q194 hygiene)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from data_lake_project_spark.operators.dedup_index import (
+        build_dedup_index,
+        save_dedup_index,
+        stream_ingest_with_text_gate,
+    )
+
+    base_path = (
+        f"/tmp/spark_graft_q201_base_{_dataset_fingerprint(sf, 'documents')}"
+    )
+    d = load_table(spark, sf, "documents")
+    docs = d.select("doc_id", "text")
+    _publish_if_absent(
+        spark,
+        base_path,
+        lambda tmp: save_dedup_index(
+            build_dedup_index(docs.filter(F.col("doc_id") % 4 == 0)),
+            tmp,
+        ),
+    )
+    idx_path = _tempfile.mkdtemp(prefix="spark_graft_q201_idx_")
+    _shutil.rmtree(idx_path)
+    _shutil.copytree(base_path, idx_path)
+
+    twins = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" dup")).alias("text"),
+    )
+    batches = [
+        docs.filter((F.col("doc_id") % 4).isin(1, 2)),
+        docs.filter(F.col("doc_id") % 4 == 3).unionByName(twins),
+    ]
+    src = _tempfile.mkdtemp(prefix="spark_graft_q201_src_")
+    stage = _tempfile.mkdtemp(prefix="spark_graft_q201_stage_")
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
+        part = sorted(_glob.glob(f"{stage}/b{i}/part-*.parquet"))[0]
+        dst = _os.path.join(src, f"{i:02d}.parquet")
+        _shutil.copy(part, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _tempfile.mkdtemp(prefix="spark_graft_q201_out_")
+    ckpt = _tempfile.mkdtemp(prefix="spark_graft_q201_ckpt_")
+    try:
+        q = stream_ingest_with_text_gate(
+            stream,
+            idx_path,
+            out,
+            ckpt,
+            available_now=True,
+        )
+        _await_stream(q)
+        admitted = (
+            spark.read.parquet(f"{out}/data")
+            .select(
+                "doc_id",
+                F.col("__batch").cast("long").alias("admitted_in_batch"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d_ in (idx_path, src, stage, out, ckpt):
+            _shutil.rmtree(d_, ignore_errors=True)
+    return admitted.orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -6696,6 +6796,7 @@ QUERIES: dict[str, QueryFn] = {
     "q198_crossmodal_dedup": q198_crossmodal_dedup,
     "q199_crossmodal_survivors": q199_crossmodal_survivors,
     "q200_av_erasure_report": q200_av_erasure_report,
+    "q201_stream_text_ingest_fold": q201_stream_text_ingest_fold,
 }
 
 _SHINGLE_CTE = """
@@ -12866,4 +12967,83 @@ ORACLE["q200_av_erasure_report"] = """
            sum(4 * b16 + frame)::BIGINT
     FROM kf WHERE doc_id % 9 <> 4
     ORDER BY lane
+"""
+
+# q201: the text-lane SEQUENTIAL admission replayed — batch 0
+# (doc_id % 4 in (1, 2)) gates against the stored shingle index
+# (doc_id % 4 == 0); batch 1 (doc_id % 4 == 3 docs + ' dup'-appended
+# twins of every doc_id % 3 == 0 doc) gates against stored UNION
+# batch-0 survivors, because the stream folds each batch's survivors
+# into the index before the next batch. Match = shared minhash band
+# AND exact shingle Jaccard >= 0.5 (the q102/q136 gate). Each batch
+# ALSO drops its own intra-batch near-dups first (keep-lowest-id over
+# ALL batch members — gate_and_fold_text_batch's self_dedup=True
+# rule), hit here by the doc_id % 12 == 3 docs riding batch 1 with
+# their twins.
+ORACLE["q201_stream_text_ingest_fold"] = f"""
+    WITH pop AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' dup'
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    {_POP_SHINGLE_CTE},
+    sets AS (
+        SELECT doc_id, list_sort(list(DISTINCT shingle)) AS shs
+        FROM sh GROUP BY doc_id
+    ),
+    m AS (
+        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.bandsig = b.bandsig
+        WHERE a.doc_id <> b.doc_id
+    ),
+    mv AS (
+        SELECT m.ia, m.ib FROM m
+        JOIN sets x ON x.doc_id = m.ia
+        JOIN sets y ON y.doc_id = m.ib
+        WHERE len(list_intersect(x.shs, y.shs))::DOUBLE
+              / (len(x.shs) + len(y.shs)
+                 - len(list_intersect(x.shs, y.shs)))::DOUBLE >= 0.5
+    ),
+    stored0 AS (
+        SELECT doc_id FROM documents WHERE doc_id % 4 = 0
+    ),
+    b1 AS (
+        SELECT doc_id FROM documents WHERE doc_id % 4 IN (1, 2)
+    ),
+    b2 AS (
+        SELECT doc_id FROM documents WHERE doc_id % 4 = 3
+        UNION ALL
+        SELECT doc_id + 1000000 FROM documents WHERE doc_id % 3 = 0
+    ),
+    s1 AS (
+        SELECT x.doc_id FROM b1 x
+        WHERE NOT EXISTS (
+            SELECT 1 FROM mv JOIN stored0 s ON mv.ib = s.doc_id
+            WHERE mv.ia = x.doc_id
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM mv JOIN b1 w ON mv.ib = w.doc_id
+            WHERE mv.ia = x.doc_id AND w.doc_id < x.doc_id
+        )
+    ),
+    stored1 AS (
+        SELECT doc_id FROM stored0 UNION ALL SELECT doc_id FROM s1
+    ),
+    s2 AS (
+        SELECT x.doc_id FROM b2 x
+        WHERE NOT EXISTS (
+            SELECT 1 FROM mv JOIN stored1 s ON mv.ib = s.doc_id
+            WHERE mv.ia = x.doc_id
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM mv JOIN b2 w ON mv.ib = w.doc_id
+            WHERE mv.ia = x.doc_id AND w.doc_id < x.doc_id
+        )
+    )
+    SELECT doc_id, 0::BIGINT AS admitted_in_batch FROM s1
+    UNION ALL
+    SELECT doc_id, 1::BIGINT FROM s2
+    ORDER BY doc_id
 """

@@ -2032,6 +2032,152 @@ def test_dedup_against_index_self_dedup_intra_batch(spark):
     assert kept(self_dedup=True) == [10, 13]  # survivor pass drops 11
 
 
+def test_stream_text_ingest_fold_equals_sequential(spark, tmp_path):
+    """Round-13 verdict #2: the TEXT gate-AND-fold loop closed. Batch
+    1's duplicates of batch 0's SURVIVORS must be rejected (the fold,
+    not the base corpus, supplies the match), the intra-batch twin
+    must fall to the keep-lowest-id pass, the stream must equal a
+    sequential per-batch replay, and the crash window 'fold landed,
+    marker lost' must replay without losing survivors."""
+    import glob
+    import os
+    import shutil
+
+    from data_lake_project_spark.operators.dedup_index import (
+        build_dedup_index,
+        gate_and_fold_text_batch,
+        load_dedup_index,
+        save_dedup_index,
+        stream_ingest_with_text_gate,
+    )
+    from data_lake_project_spark.streaming.pipeline import read_sink
+
+    t1 = "the quick brown fox jumps over the lazy dog today"
+    ta = "pack my box with five dozen brown liquor jugs now"
+    tc = "sphinx of black quartz judge my vow said the king"
+    base = str(tmp_path / "base_idx")
+    save_dedup_index(
+        build_dedup_index(
+            spark.createDataFrame([(1, t1)], "doc_id long, text string")
+        ),
+        base,
+    )
+    # batch 0: 10 novel (survives), 11 dup of indexed 1 (rejected)
+    # batch 1: 20 dup of SURVIVOR 10 (rejected only if the fold ran),
+    #          21 dup of indexed 1 (rejected), 22 novel (survives),
+    #          23 intra-batch dup of 22 (keep-lowest-id drops it)
+    b0 = [(10, ta), (11, t1)]
+    b1 = [(20, ta), (21, t1), (22, tc), (23, tc + " soon")]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows_ in enumerate([b0, b1]):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(
+            rows_, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = sorted(glob.glob(f"{stage}/part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    idx_stream = str(tmp_path / "idx_stream")
+    shutil.copytree(base, idx_stream)
+    out_stream = str(tmp_path / "out_stream")
+    q = stream_ingest_with_text_gate(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        idx_stream,
+        out_stream,
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    admitted = sorted(
+        r.doc_id for r in read_sink(spark, out_stream).collect()
+    )
+    assert admitted == [10, 22]  # 20 fold-rejected, 23 intra-batch
+
+    # sequential per-batch replay: identical sink + post-fold index
+    idx_seq = str(tmp_path / "idx_seq")
+    shutil.copytree(base, idx_seq)
+    out_seq = str(tmp_path / "out_seq")
+    for i, rows_ in enumerate([b0, b1]):
+        gate_and_fold_text_batch(
+            spark.createDataFrame(rows_, "doc_id long, text string"),
+            i,
+            idx_seq,
+            out_seq,
+        )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(read_sink(spark, out_seq).select("doc_id")) == rows(
+        read_sink(spark, out_stream).select("doc_id")
+    )
+    assert rows(load_dedup_index(spark, idx_seq).bands) == rows(
+        load_dedup_index(spark, idx_stream).bands
+    )
+
+    # crash window: batch 1's fold landed but its marker was lost —
+    # the replay must re-derive the SAME survivors (not reject them
+    # as duplicates of their own folded shingles) and the fold guard
+    # must keep the band rows duplicate-free per id
+    os.remove(os.path.join(out_seq, "_committed_batches", "1"))
+    gate_and_fold_text_batch(
+        spark.createDataFrame(b1, "doc_id long, text string"),
+        1,
+        idx_seq,
+        out_seq,
+    )
+    assert rows(read_sink(spark, out_seq).select("doc_id")) == rows(
+        read_sink(spark, out_stream).select("doc_id")
+    )
+    sets = load_dedup_index(spark, idx_seq).sets
+    assert sets.count() == sets.select("doc_id").distinct().count()
+
+
+def test_gate_and_fold_text_id_collision_raises(spark, tmp_path):
+    """Text-lane twin of the phash id-collision guard: a batch id
+    already stored with a DIFFERENT shingle set raises (ids are
+    stable replay keys); a true replay (same id, same text) passes
+    and folds as a no-op."""
+    import pytest
+
+    from data_lake_project_spark.operators.dedup_index import (
+        build_dedup_index,
+        gate_and_fold_text_batch,
+        save_dedup_index,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog today"
+    idx = str(tmp_path / "idx")
+    save_dedup_index(
+        build_dedup_index(
+            spark.createDataFrame([(1, t1)], "doc_id long, text string")
+        ),
+        idx,
+    )
+    with pytest.raises(ValueError, match="DIFFERENT shingle set"):
+        gate_and_fold_text_batch(
+            spark.createDataFrame(
+                [(1, "completely different words entirely here okay")],
+                "doc_id long, text string",
+            ),
+            0,
+            idx,
+            str(tmp_path / "out_bad"),
+        )
+    gate_and_fold_text_batch(
+        spark.createDataFrame([(1, t1)], "doc_id long, text string"),
+        0,
+        idx,
+        str(tmp_path / "out_ok"),
+    )
+
+
 def test_connected_components_require_converged(spark):
     """Round-12 advice on q198: a graph deeper than max_iter must fail
     loudly under require_converged instead of returning partially-
