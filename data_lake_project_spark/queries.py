@@ -4439,7 +4439,7 @@ _GDPR_USER_PRED = "user_id % 10 = 3"
 
 
 def _gdpr_build_fn(spark, sf):
-    """The q168 build closure: all seven lanes built + the fixed
+    """The q168 build closure: all NINE lanes built + the fixed
     deletion request erased through every one, into the directory the
     closure receives. Exposed separately from the publish step so the
     partial-replay crash test can drive ``_publish_if_absent`` with
@@ -4455,6 +4455,7 @@ def _gdpr_build_fn(spark, sf):
     )
     from data_lake_project_spark.operators import erasure as _er
     from data_lake_project_spark.operators import knn_index as _knn
+    from data_lake_project_spark.multimodal import av as _av
     from data_lake_project_spark.multimodal import phash_index as _ph
     from data_lake_project_spark.operators.retrieval import (
         build_bm25_index,
@@ -4502,6 +4503,42 @@ def _gdpr_build_fn(spark, sf):
             ).alias("image"),
         )
         _ph.save_phash_index(_ph.build_phash_index(rasters), f"{tmp}/phash")
+        # the AV lanes (round-13 verdict #3: q200's standalone
+        # artifacts composed into the capstone): per-clip scene
+        # keyframes (16-way id-bucketed for partition-pruned erase)
+        # and audio feature rows, both keyed by clip_id == doc_id and
+        # erased under the SAME document deletion request
+        clips = rasters.filter(F.length("image") > 0).select(
+            F.col("doc_id").cast("string").alias("path"),
+            F.col("image").alias("content"),
+        )
+        rep = _av.frame_scene_report(
+            _av.sample_frames(
+                clips, every_ms=1024, decoder=_av.make_fake_frame_decoder()
+            ),
+            path_col="path",
+            frame_col="frame",
+            threshold=8,
+        )
+        (
+            rep.filter("is_scene_change")
+            .select(
+                F.col("path").cast("long").alias("clip_id"),
+                "frame",
+                "pband0",
+                "pband1",
+                "pband2",
+                "pband3",
+            )
+            .withColumn("pb", F.col("clip_id") % 16)
+            .write.partitionBy("pb")
+            .parquet(f"{tmp}/keyframes")
+        )
+        _av.audio_features(clips).select(
+            F.col("path").cast("long").alias("clip_id"),
+            "duration_ms",
+            "features",
+        ).write.parquet(f"{tmp}/audio")
         # the deletion request, propagated through every lane (module
         # attribute lookups, not from-imports, so the crash test can
         # inject a failure at any single lane boundary)
@@ -4511,6 +4548,24 @@ def _gdpr_build_fn(spark, sf):
         _er.erase_ann_index(spark, f"{tmp}/ann", erased_vecs)
         _knn.erase_knn_index(spark, f"{tmp}/knn", erased_vecs)
         _ph.erase_phash_index(spark, f"{tmp}/phash", erased_docs)
+        erased_clips = erased_docs.select(
+            F.col("doc_id").alias("clip_id")
+        ).localCheckpoint(eager=True)
+        buckets = sorted(
+            r[0]
+            for r in erased_clips.select(
+                (F.col("clip_id") % 16).alias("pb")
+            ).distinct().collect()
+        )
+        _er._erase_rows(
+            spark,
+            f"{tmp}/keyframes",
+            "clip_id",
+            erased_clips,
+            partition_col="pb",
+            prune_values=buckets,
+        )
+        _er._erase_rows(spark, f"{tmp}/audio", "clip_id", erased_clips)
         remaining = ev.filter(f"NOT ({_GDPR_USER_PRED})")
         touched = ev.filter(_GDPR_USER_PRED).select("event_type", "day")
         _er.rebuild_hll_keys(
@@ -4522,10 +4577,11 @@ def _gdpr_build_fn(spark, sf):
 
 
 def _published_gdpr_lanes(spark, sf) -> str:
-    """The q168 artifact: ALL SEVEN persisted lanes (dedup, BM25, SQ
+    """The q168 artifact: ALL NINE persisted lanes (dedup, BM25, SQ
     with the id-bucket erase layout, IVF ANN, HLL rollup, kNN-graph,
-    and the pHash fingerprint index — the round-11 lifecycles' erase
-    legs composed in)
+    the pHash fingerprint index, and the AV pair — 16-way id-bucketed
+    scene keyframes + audio feature rows, q200's artifacts composed
+    in, round-13 verdict #3)
     built from the lake, then a fixed deletion request erased through
     every one — inside ONE publish-if-absent step, so the published
     directory IS the post-erasure state (replays never re-build or
@@ -4536,7 +4592,7 @@ def _published_gdpr_lanes(spark, sf) -> str:
         _dataset_fingerprint(sf, t)
         for t in ("documents", "embeddings", "events")
     )
-    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_gdpr10"
+    path = f"/tmp/spark_graft_ann_idx/v2/{tag}_{fp}_gdpr11"
     _publish_if_absent(spark, path, _gdpr_build_fn(spark, sf))
     return path
 
@@ -4544,13 +4600,16 @@ def _published_gdpr_lanes(spark, sf) -> str:
 def q168_gdpr_erasure_report(spark, sf):
     """GDPR capstone (the q141 composition pattern for DELETION):
     every persisted lane is built from the lake and a fixed deletion
-    request erased through all seven — dedup bands/sets, BM25
+    request erased through all nine — dedup bands/sets, BM25
     postings/dl, id-bucketed SQ codes, bucket-partitioned IVF codes,
     HLL rollup (non-invertible → touched-key rebuild), and the
     kNN-graph index (bounded rebuild: only nodes that lost a neighbor
-    re-probe — ``knn_index.erase_knn_index``), and the pHash
-    fingerprint index over the documents' rasters (the multimodal
-    lane — a per-row anti-join rewrite) — then this report
+    re-probe — ``knn_index.erase_knn_index``), the pHash
+    fingerprint index over the documents' rasters (a per-row
+    anti-join rewrite), and the AV pair — 16-way id-bucketed scene
+    keyframes (partition-pruned rewrite) + audio feature rows
+    (anti-join rewrite), clip_id == doc_id so one deletion request
+    covers text, image, video, and audio — then this report
     audits the post-erasure state per lane: rows remaining and erased
     ids still visible (must be 0). The kNN lane contributes TWO rows:
     its corpus vectors (the uniform per-id unit) and its directed
@@ -4622,6 +4681,13 @@ def q168_gdpr_erasure_report(spark, sf):
         spark.read.parquet(f"{root}/phash/codes"),
         _GDPR_DOC_PRED,
     )
+    # the AV pair: clip_id == doc_id, so the SAME deletion request
+    # audits both (q200's lanes composed in — round-13 verdict #3)
+    clip_pred = _GDPR_DOC_PRED.replace("doc_id", "clip_id")
+    kfr = lane(
+        "keyframes", spark.read.parquet(f"{root}/keyframes"), clip_pred
+    )
+    aud = lane("audio", spark.read.parquet(f"{root}/audio"), clip_pred)
     # HLL rows are keyed by (event_type, day), not user — "visible"
     # here means a key that would not exist had the erased users never
     # ingested (i.e. a key with no remaining-user events survived the
@@ -4659,6 +4725,8 @@ def q168_gdpr_erasure_report(spark, sf):
         .unionByName(knn)
         .unionByName(knn_e)
         .unionByName(ph)
+        .unionByName(kfr)
+        .unionByName(aud)
         .unionByName(hll)
         .orderBy("lane")
     )
@@ -11172,7 +11240,62 @@ ORACLE["q165_ivfpq_recall_report"] = """
 # an index that never ingested the erased ids would hold (the bounded
 # erase rebuild must restore it exactly, never drop an affected
 # node's re-probe or keep a dangling edge).
+# q168's AV lanes replay the fake-decoder arithmetic (the q195/q200
+# CTE chain) to re-derive how many scene keyframes / audio rows a
+# pipeline that NEVER ingested the erased clips would hold.
 ORACLE["q168_gdpr_erasure_report"] = """
+    WITH docs0 AS (
+        SELECT doc_id,
+               regexp_replace(text, '[^\\x20-\\x7E]', '', 'g') AS t
+        FROM documents
+    ),
+    pop AS (SELECT doc_id, t FROM docs0 WHERE length(t) > 0),
+    d AS (
+        SELECT doc_id, t,
+               1000 * (1 + ((strpos('0123456789abcdef',
+                             substr(md5(t), 2, 1)) - 1) % 8)) AS dur
+        FROM pop
+    ),
+    e AS (
+        SELECT doc_id, t,
+               CAST(unnest(range((dur + 1023) // 1024)) AS BIGINT)
+                   AS frame
+        FROM d
+    ),
+    f AS (
+        SELECT doc_id, frame,
+               md5(t || chr(0) || chr(4 * CAST(frame AS INT))
+                   || repeat(chr(0), 6)) AS mh
+        FROM e
+    ),
+    vals AS (
+        SELECT doc_id, frame,
+               list_transform(range(16), i ->
+                   ((strpos('0123456789abcdef',
+                            substr(mh, 2 * CAST(i AS INT) + 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef',
+                              substr(mh, 2 * CAST(i AS INT) + 2, 1)) - 1)
+                   )::BIGINT) AS v
+        FROM f
+    ),
+    fb AS (
+        SELECT doc_id, frame,
+               list_sum(list_transform(range(16), i -> CASE
+                   WHEN v[CAST(i AS INT) + 1] * 64
+                        > CAST(list_sum(v) AS BIGINT) * 4
+                   THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS b16
+        FROM vals
+    ),
+    ham AS (
+        SELECT doc_id, frame,
+               4 * bit_count(xor(b16,
+                   lag(b16) OVER (PARTITION BY doc_id ORDER BY frame)))
+                   AS hamming
+        FROM fb
+    ),
+    kf AS (
+        SELECT doc_id FROM ham WHERE hamming IS NULL OR hamming > 8
+    )
     SELECT * FROM (
         SELECT 'ann' AS lane,
                (SELECT count(*) FROM embeddings
@@ -11213,6 +11336,14 @@ ORACLE["q168_gdpr_erasure_report"] = """
         SELECT 'sq',
                (SELECT count(*) FROM embeddings
                 WHERE NOT (vec_id % 9 = 4))::BIGINT, 0::BIGINT
+        UNION ALL
+        SELECT 'keyframes',
+               (SELECT count(*) FROM kf
+                WHERE NOT (doc_id % 7 = 3))::BIGINT, 0::BIGINT
+        UNION ALL
+        SELECT 'audio',
+               (SELECT count(*) FROM pop
+                WHERE NOT (doc_id % 7 = 3))::BIGINT, 0::BIGINT
     ) ORDER BY lane
 """
 

@@ -4545,6 +4545,57 @@ def test_gdpr_capstone_composed_pipeline(spark, tmp_path):
         build_hll_rollup(rem_ev, ["event_type", "day"], "user_id", 14)
     )
 
+    # the AV pair (round-13 verdict #3: q200's lanes composed in):
+    # the erased keyframe/audio artifacts row-for-row equal a
+    # pipeline that only ever decoded the REMAINING clips, and no
+    # erased clip_id survives either lane
+    from data_lake_project_spark.multimodal.av import (
+        audio_features,
+        frame_scene_report,
+        make_fake_frame_decoder,
+        sample_frames,
+    )
+
+    def clips(frame):
+        return rasters(frame).filter(F__.length("image") > 0).select(
+            F__.col("doc_id").cast("string").alias("path"),
+            F__.col("image").alias("content"),
+        )
+
+    twin_kf = (
+        frame_scene_report(
+            sample_frames(
+                clips(rem_docs),
+                every_ms=1024,
+                decoder=make_fake_frame_decoder(),
+            ),
+            path_col="path",
+            frame_col="frame",
+            threshold=8,
+        )
+        .filter("is_scene_change")
+        .select(
+            F__.col("path").cast("long").alias("clip_id"),
+            "frame",
+            "pband0",
+            "pband1",
+            "pband2",
+            "pband3",
+        )
+    )
+    got_kf = spark.read.parquet(f"{root}/keyframes").drop("pb")
+    assert rows(got_kf.select(*twin_kf.columns)) == rows(twin_kf)
+    clip_pred = _GDPR_DOC_PRED.replace("doc_id", "clip_id")
+    assert got_kf.filter(clip_pred).count() == 0
+    twin_au = audio_features(clips(rem_docs)).select(
+        F__.col("path").cast("long").alias("clip_id"),
+        "duration_ms",
+        "features",
+    )
+    got_au = spark.read.parquet(f"{root}/audio")
+    assert rows(got_au.select(*twin_au.columns)) == rows(twin_au)
+    assert got_au.filter(clip_pred).count() == 0
+
     # and the SOURCE table: the same request leaves only survivors
     src = str(tmp_path / "documents_src")
     docs.write.parquet(src)
