@@ -75,7 +75,19 @@ def _sweep_head(window: int = 50, artifact_dir: str | None = None) -> list[str]:
         (k for k in oracle_backed if k in last_green),
         key=lambda k: (last_green[k], list(QUERIES).index(k)),
     )
-    return (never + stale_first)[:window]
+    # Queries whose RESULT CONTRACT changed this round (output schema /
+    # row set, with a matching oracle update) must re-verify even
+    # though an old green row exists — the one exception to the pure
+    # staleness ordering. Round 14: q168 grew from seven to nine
+    # erased lanes (AV keyframe-fingerprint + audio-feature artifacts
+    # composed into the capstone).
+    changed = [
+        k
+        for k in ("q168_gdpr_erasure_report",)
+        if k in oracle_backed and k in last_green
+    ]
+    rest = [k for k in stale_first if k not in changed]
+    return (never + changed + rest)[:window]
 
 
 _SWEEP_HEAD = _sweep_head()

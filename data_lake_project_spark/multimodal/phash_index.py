@@ -89,25 +89,35 @@ def phash_index_apply(
     new_images: DataFrame,
     image_col: str = "image",
     assume_new_ids: bool = False,
+    delta_codes: DataFrame | None = None,
 ) -> PhashIndex:
     """The O(delta) maintenance fold: fingerprint ONLY the new images
     and append — the corpus is never rescanned. Same replay guard as
     ``dedup_index_apply``: by default the delta anti-joins the stored
     id set so an overlapping batch folds in as a no-op instead of
     doubling an id's band rows; a pre-gated high-frequency ingest
-    passes ``assume_new_ids=True`` to stay strictly O(delta)."""
+    passes ``assume_new_ids=True`` to stay strictly O(delta).
+    ``delta_codes``: precomputed fingerprints of ``new_images`` (the
+    gate-and-fold loop already holds one fingerprint pass over the
+    batch — reuse it instead of rehashing the survivors; a
+    fingerprint is a pure per-row function of the bytes, so the two
+    paths are row-identical by construction)."""
     p = path.rstrip("/")
     params = json.loads(fs.read_text(spark, f"{p}/{_PARAMS}"))
     id_col = params["id_col"]
+    codes = (
+        delta_codes
+        if delta_codes is not None
+        else build_phash_index(
+            new_images, image_col=image_col, id_col=id_col
+        ).codes
+    )
     if not assume_new_ids:
         existing = (
             spark.read.parquet(f"{p}/codes").select(id_col).distinct()
         )
-        new_images = new_images.join(existing, id_col, "left_anti")
-    delta = build_phash_index(
-        new_images, image_col=image_col, id_col=id_col
-    )
-    delta.codes.write.mode("append").parquet(f"{p}/codes")
+        codes = codes.join(existing, id_col, "left_anti")
+    codes.write.mode("append").parquet(f"{p}/codes")
     return load_phash_index(spark, p)
 
 
@@ -359,7 +369,19 @@ def gate_and_fold_batch(
     survivors.write.mode("overwrite").parquet(
         f"{out_dir.rstrip('/')}/data/__batch={batch_id}"
     )
-    phash_index_apply(spark, index_path, survivors, image_col=image_col)
+    # the fold reuses the SAME fingerprint pass (bfp minus self-dedup
+    # drops, kept to survivor ids): empty/NULL-raster passthrough rows
+    # never fingerprint so they semi-join out, exactly matching what
+    # rehashing the survivors would produce
+    phash_index_apply(
+        spark,
+        index_path,
+        survivors,
+        image_col=image_col,
+        delta_codes=bfp.join(self_doomed, id_col, "left_anti").join(
+            survivors.select(id_col), id_col, "left_semi"
+        ),
+    )
     fs.write_text(spark, marker, "committed")
 
 
