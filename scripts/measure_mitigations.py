@@ -10,8 +10,14 @@ ASSERTED (round-13 verdict #4) on a generated corpus:
     counts and wall time on the same corpus.
 (c) phash hot-band salting: ``phash_neardup`` with and without
     ``n_salts`` on the corpus rasters — wall time, identical pairs.
+(c2) the same pair on a PLANTED hot band: a slice of the corpus
+    fingerprints gets one shared pband0 value (the degenerate
+    form-page scenario the module docstring warns about), so the
+    band self-join concentrates a quadratic bucket into one
+    partition — the case ``n_salts`` exists for.
 
-Usage: python scripts/measure_mitigations.py [corpus_dir] [runs]
+Usage: python scripts/measure_mitigations.py [corpus_dir] [runs] [legs]
+``legs``: comma-separated subset of a,b,c,c2 (default: all).
 Prints one JSON line per measurement. Run on a QUIET box (no
 concurrent Spark); numbers are 'runs'-run medians after one warmup.
 """
@@ -43,13 +49,16 @@ def timed(fn, runs):
 def main():
     corpus = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_gen_sf1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    legs = set(
+        (sys.argv[3] if len(sys.argv) > 3 else "a,b,c,c2").split(",")
+    )
     spark = get_spark("mitigations")
     docs = spark.read.parquet(f"{corpus}/documents.parquet")
 
     from data_lake_project_spark.operators import dedup as D
 
     # (a) q92 candidate curve vs shingle k
-    for k in (3, 4, 5):
+    for k in (3, 4, 5) if "a" in legs else ():
         sets = D.shingle_sets(docs, k=k).localCheckpoint(eager=True)
         n_cand = D._prefix_candidates(
             sets, (3, 5), "doc_id", "sh", True
@@ -77,43 +86,44 @@ def main():
     # (b) q160-class pair generation: blocked fuzzy_join vs SNM
     from data_lake_project_spark.operators.linkage import fuzzy_join
 
-    sec, n_pairs = timed(
-        lambda: fuzzy_join(
-            docs, ["lang", "source"], "text", "doc_id",
-            max_dist=14, prefix_len=24,
-        ).count(),
-        runs,
-    )
-    print(
-        json.dumps(
-            {
-                "measure": "q160_pairgen_fuzzy_join_blocked",
-                "corpus": corpus,
-                "pairs": n_pairs,
-                "sec": round(sec, 2),
-                "runs": runs,
-            }
-        ),
-        flush=True,
-    )
-    sec, n_pairs = timed(
-        lambda: D.sorted_neighborhood_pairs(
-            docs, window=5, jaccard_min=0.5
-        ).count(),
-        runs,
-    )
-    print(
-        json.dumps(
-            {
-                "measure": "q160_pairgen_sorted_neighborhood_w5",
-                "corpus": corpus,
-                "pairs": n_pairs,
-                "sec": round(sec, 2),
-                "runs": runs,
-            }
-        ),
-        flush=True,
-    )
+    if "b" in legs:
+        sec, n_pairs = timed(
+            lambda: fuzzy_join(
+                docs, ["lang", "source"], "text", "doc_id",
+                max_dist=14, prefix_len=24,
+            ).count(),
+            runs,
+        )
+        print(
+            json.dumps(
+                {
+                    "measure": "q160_pairgen_fuzzy_join_blocked",
+                    "corpus": corpus,
+                    "pairs": n_pairs,
+                    "sec": round(sec, 2),
+                    "runs": runs,
+                }
+            ),
+            flush=True,
+        )
+        sec, n_pairs = timed(
+            lambda: D.sorted_neighborhood_pairs(
+                docs, window=5, jaccard_min=0.5
+            ).count(),
+            runs,
+        )
+        print(
+            json.dumps(
+                {
+                    "measure": "q160_pairgen_sorted_neighborhood_w5",
+                    "corpus": corpus,
+                    "pairs": n_pairs,
+                    "sec": round(sec, 2),
+                    "runs": runs,
+                }
+            ),
+            flush=True,
+        )
 
     # (c) phash band self-join: unsalted vs salted on the corpus
     # rasters (the q189 ASCII-raster convention)
@@ -131,7 +141,7 @@ def main():
     fps = ahash64(rasters, image_col="image").select(
         "doc_id", "pband0", "pband1", "pband2", "pband3"
     ).localCheckpoint(eager=True)
-    for n_salts in (None, 8):
+    for n_salts in (None, 8) if "c" in legs else ():
         sec, n_pairs = timed(
             lambda ns=n_salts: phash_neardup(
                 fps, max_hamming=3, n_salts=ns
@@ -151,6 +161,114 @@ def main():
             ),
             flush=True,
         )
+
+    # (c2) the PLANTED hot band: every doc_id % 10 == 0 fingerprint
+    # (~10% of the corpus) shares one pband0 value — the degenerate
+    # form-page scenario (one band bucket pairs quadratically and,
+    # unsalted, lands in ONE shuffle partition). Other bands stay
+    # corpus-random, so verified output stays small; the measurement
+    # isolates candidate-bucket skew, which is what n_salts spreads.
+    if "c2" in legs:
+        for mod in (10, 2):
+            hot = fps.withColumn(
+                "pband0",
+                F.when(
+                    F.col("doc_id") % mod == 0, F.lit(4242)
+                ).otherwise(F.col("pband0")),
+            ).localCheckpoint(eager=True)
+            pair_sets = {}
+            for n_salts in (None, 8):
+                sec, n_pairs = timed(
+                    lambda ns=n_salts: phash_neardup(
+                        hot, max_hamming=3, n_salts=ns
+                    ).count(),
+                    runs,
+                )
+                pair_sets[n_salts] = n_pairs
+                print(
+                    json.dumps(
+                        {
+                            "measure": "phash_neardup_hot_band",
+                            "corpus": corpus,
+                            "hot_fraction": round(1 / mod, 2),
+                            "n_salts": n_salts,
+                            "pairs": n_pairs,
+                            "sec": round(sec, 2),
+                            "runs": runs,
+                        }
+                    ),
+                    flush=True,
+                )
+            assert pair_sets[None] == pair_sets[8], pair_sets
+            hot.unpersist()
+
+    # (c3) the same planted-hot-band pair with auto-broadcast OFF:
+    # on this box the corpus-side band frame broadcasts (~MBs), so
+    # the unsalted join is a broadcast hash join whose hot key is
+    # ALREADY spread across the probe side's partitions — no
+    # straggler, and salting can only add replication overhead (the
+    # honest c2 reading). At 100 TB neither side broadcasts; forcing
+    # the shuffle join here measures the actual escalation ladder a
+    # cluster runs: AQE skew-join split (the default production
+    # answer) vs AQE-off (the genuine one-partition straggler) vs
+    # manual salting (the pre-AQE / non-adaptive fallback).
+    if "c3" in legs:
+        hot = fps.withColumn(
+            "pband0",
+            F.when(F.col("doc_id") % 2 == 0, F.lit(4242)).otherwise(
+                F.col("pband0")
+            ),
+        ).localCheckpoint(eager=True)
+
+        def _with_conf(pairs_conf, fn):
+            saved = {
+                k: spark.conf.get(k) for k, _ in pairs_conf
+            }
+            for k, v in pairs_conf:
+                spark.conf.set(k, v)
+            try:
+                return fn()
+            finally:
+                for k, v in saved.items():
+                    spark.conf.set(k, v)
+
+        no_bcast = [("spark.sql.autoBroadcastJoinThreshold", "-1")]
+        cases = [
+            ("shuffle_aqe_skewjoin", no_bcast, None),
+            (
+                "shuffle_no_aqe",
+                no_bcast + [("spark.sql.adaptive.enabled", "false")],
+                None,
+            ),
+            ("shuffle_salted8", no_bcast, 8),
+        ]
+        pair_sets = {}
+        for label, conf, ns in cases:
+            sec, n_pairs = _with_conf(
+                conf,
+                lambda ns=ns: timed(
+                    lambda: phash_neardup(
+                        hot, max_hamming=3, n_salts=ns
+                    ).count(),
+                    runs,
+                ),
+            )
+            pair_sets[label] = n_pairs
+            print(
+                json.dumps(
+                    {
+                        "measure": "phash_neardup_hot_band_shuffle",
+                        "corpus": corpus,
+                        "hot_fraction": 0.5,
+                        "case": label,
+                        "pairs": n_pairs,
+                        "sec": round(sec, 2),
+                        "runs": runs,
+                    }
+                ),
+                flush=True,
+            )
+        assert len(set(pair_sets.values())) == 1, pair_sets
 
 
 if __name__ == "__main__":
