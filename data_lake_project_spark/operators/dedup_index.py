@@ -174,6 +174,7 @@ def dedup_against_index(
     batch: DataFrame,
     threshold: float = 0.5,
     self_dedup: bool = False,
+    b_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Serve an ingest batch against the standing index: keep only the
     batch docs that are NOT near-duplicates (exact shingle Jaccard >=
@@ -193,10 +194,25 @@ def dedup_against_index(
     Batch-sized work on both legs (the corpus is still touched only by
     the candidate fetch); deterministic across replays because the
     rule depends only on ids and shingle sets.
+
+    ``b_sets``: optional precomputed (ideally eagerly checkpointed)
+    shingle sets for EXACTLY ``batch`` under the index params. The
+    shingle explode is referenced several times in this plan (self
+    pair verify, index pair verify, banding) and Spark re-evaluates
+    the subtree per reference; a caller that already materialized the
+    sets (the streaming loop computes them for its collision guard)
+    passes them here so every reference reads materialized rows.
+    Pure per-row function of the text, so the result is unchanged.
+    NOTE (r14, measured): reuse is only a win when it adds NO new
+    action or join — an eagerly-checkpointed band-key frame plus a
+    delta-reuse fold was tried and REGRESSED q201 9.0→13.6 s at
+    sf0.01 (the added checkpoint + non-broadcast joins cost more than
+    the re-derived minhash on a batch-sized frame).
     """
     p = index.params
     id_col = p["id_col"]
-    b_sets = shingle_sets(batch, p["text_col"], id_col, p["k"])
+    if b_sets is None:
+        b_sets = shingle_sets(batch, p["text_col"], id_col, p["k"])
     bkeys = None
     if self_dedup:
         bsig = minhash_sets(b_sets, id_col, p["num_hashes"])
@@ -363,7 +379,7 @@ def gate_and_fold_text_batch(
         idx.sets.join(own, id_col, "left_anti"),
     )
     survivors = dedup_against_index(
-        prior, batch, threshold, self_dedup=True
+        prior, batch, threshold, self_dedup=True, b_sets=bsets
     ).localCheckpoint(eager=True)
     survivors.write.mode("overwrite").parquet(
         f"{out_dir.rstrip('/')}/data/__batch={batch_id}"

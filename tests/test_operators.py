@@ -2233,6 +2233,40 @@ def test_dedup_index_apply_replayed_delta_is_noop(spark, tmp_path):
     assert dup.bands.count() > n_bands
 
 
+def test_dedup_against_index_precomputed_sets_identical(spark):
+    """The r14 text-lane trim: the streaming loop hands the shingle
+    sets it already materialized for its collision guard to
+    ``dedup_against_index(b_sets=...)`` so the gate plan reads
+    materialized rows instead of re-running the shingle explode per
+    reference. Pinned: identical survivors with and without the
+    precomputed frame, on both the self-dedup and plain paths."""
+    from data_lake_project_spark.operators.dedup import shingle_sets
+    from data_lake_project_spark.operators.dedup_index import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    d = load_table(spark, SF_DIR, "documents")
+    corpus = d.filter("doc_id % 5 in (1, 2)")
+    batch = d.filter("doc_id % 5 in (3, 4)")
+    idx = build_dedup_index(corpus)
+    pre = shingle_sets(batch, "text", "doc_id", 3).localCheckpoint(
+        eager=True
+    )
+    for kw in ({}, {"self_dedup": True}):
+        base = sorted(
+            r.doc_id
+            for r in dedup_against_index(idx, batch, **kw).collect()
+        )
+        reused = sorted(
+            r.doc_id
+            for r in dedup_against_index(
+                idx, batch, b_sets=pre, **kw
+            ).collect()
+        )
+        assert base == reused
+
+
 def test_cdc_apply_last_op_wins(spark):
     from data_lake_project_spark.lakehouse import cdc_apply
 
