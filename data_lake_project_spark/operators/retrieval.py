@@ -251,6 +251,22 @@ def search_bm25_index(
     """
     id_col = index.params["id_col"]
     per_doc, dl = index.tfs, index.dl
+    if not index.persisted:
+        # Inline lane (bm25_topk = build + search): the scoring plan
+        # references the postings four ways (postings join, df
+        # derivation, dl join, corpus stats) and Spark re-evaluates
+        # the token explode once PER REFERENCE — one bm25 action
+        # tokenized the corpus 4x (r14 measurement; at 100 TB the
+        # corpus passes ARE the cost, guide §1.2). Cut the postings
+        # once and derive dl from the cut: dl == sum(tf) per doc by
+        # definition (both count the non-empty tokens), so the result
+        # is bit-identical. Interleaved A/B at sf0.1: 8.32 -> 5.24 s
+        # medians on the q144 shape. The persisted lane keeps its
+        # parquet scans (bucket partition-pruning beats a checkpoint).
+        per_doc = per_doc.localCheckpoint(eager=True)
+        dl = per_doc.groupBy(id_col).agg(
+            F.sum("__tf").cast("long").alias("__dl")
+        )
     if index.persisted:
         # static bucket pre-filter → PartitionFilters on the tfs scan
         # (plan-pinned): collecting the distinct query terms is the
