@@ -617,6 +617,14 @@ def ngram_lm_score(
         .select(id_col, "g.prefix", "g.word")
         .groupBy(id_col, "prefix", "word")
         .agg(F.count("*").alias("__occ_n"))
+        # The occurrence stream feeds the model (c2 -> c1 -> model),
+        # the vocabulary count AND the scoring join — uncut, the
+        # tokenize+bigram explode re-ran once per reference (~5x; no
+        # CSE across join branches). One eager cut = one corpus pass
+        # (r14 interleaved A/B at sf0.1: 5.97 -> 4.08 s medians; a
+        # further c2 cut measured as a wash and was left out). On a
+        # cluster flip to reliable checkpoint, as elsewhere.
+        .localCheckpoint(eager=True)
     )
     c2 = occ.groupBy("prefix", "word").agg(F.sum("__occ_n").alias("__c2"))
     c1 = c2.groupBy("prefix").agg(F.sum("__c2").alias("__c1"))

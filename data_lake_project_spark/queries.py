@@ -432,7 +432,7 @@ def q25_minhash_candidates(spark, sf):
 def q26_jaccard_neardup(spark, sf):
     """MinHash candidates verified by exact shingle Jaccard >= 0.5."""
     d = load_table(spark, sf, "documents")
-    sets = D.shingle_sets(d, k=3)
+    sets = D.shingle_sets(d, k=3).localCheckpoint(eager=True)
     sig = D.minhash_sets(sets, num_hashes=8)
     cand = D.minhash_candidates_sets(sig, band_size=2)
     return D.jaccard_verify_sets(cand, sets, threshold=0.5).orderBy(
@@ -1542,7 +1542,10 @@ def q51_dedup_clusters(spark, sf):
     dedup ladder. Oracle: DuckDB recursive-CTE transitive closure
     over the identical verified pair set."""
     d = load_table(spark, sf, "documents")
-    sets = D.shingle_sets(d, k=3)
+    # sets feeds the signature subtree AND both verify legs — cut
+    # once or the shingle explode re-runs per reference (r14: q135
+    # 2.87->2.01 s, q198 8.79->7.52 s interleaved medians)
+    sets = D.shingle_sets(d, k=3).localCheckpoint(eager=True)
     sig = D.minhash_sets(sets, num_hashes=8)
     cand = D.minhash_candidates_sets(sig, band_size=2)
     pairs = D.jaccard_verify_sets(cand, sets, threshold=0.5)
@@ -1560,7 +1563,10 @@ def q86_dedup_corpus(spark, sf):
     The complete near-dup ladder (shingle → minhash → LSH → verify →
     cluster → materialize) as one oracle-checked plan."""
     d = load_table(spark, sf, "documents")
-    sets = D.shingle_sets(d, k=3)
+    # sets feeds the signature subtree AND both verify legs — cut
+    # once or the shingle explode re-runs per reference (r14: q135
+    # 2.87->2.01 s, q198 8.79->7.52 s interleaved medians)
+    sets = D.shingle_sets(d, k=3).localCheckpoint(eager=True)
     sig = D.minhash_sets(sets, num_hashes=8)
     cand = D.minhash_candidates_sets(sig, band_size=2)
     pairs = D.jaccard_verify_sets(cand, sets, threshold=0.5)
@@ -3507,7 +3513,10 @@ def q131_cluster_safe_split(spark, sf):
     from data_lake_project_spark.operators.dataset import split_column
 
     d = load_table(spark, sf, "documents")
-    sets = D.shingle_sets(d, k=3)
+    # sets feeds the signature subtree AND both verify legs — cut
+    # once or the shingle explode re-runs per reference (r14: q135
+    # 2.87->2.01 s, q198 8.79->7.52 s interleaved medians)
+    sets = D.shingle_sets(d, k=3).localCheckpoint(eager=True)
     sig = D.minhash_sets(sets, num_hashes=8)
     cand = D.minhash_candidates_sets(sig, band_size=2)
     pairs = D.jaccard_verify_sets(cand, sets, threshold=0.5)
@@ -3583,7 +3592,10 @@ def q135_dup_source_mix(spark, sf):
     which dedup key the curation ladder needs). Two broadcast-sized
     joins of the pair list against the doc->source map."""
     d = load_table(spark, sf, "documents")
-    sets = D.shingle_sets(d, k=3)
+    # sets feeds the signature subtree AND both verify legs — cut
+    # once or the shingle explode re-runs per reference (r14: q135
+    # 2.87->2.01 s, q198 8.79->7.52 s interleaved medians)
+    sets = D.shingle_sets(d, k=3).localCheckpoint(eager=True)
     sig = D.minhash_sets(sets, num_hashes=8)
     cand = D.minhash_candidates_sets(sig, band_size=2)
     pairs = D.jaccard_verify_sets(cand, sets, threshold=0.5)
@@ -6252,7 +6264,8 @@ def _crossmodal_pop_and_edges(spark, sf):
     pairs_img = phash_neardup(fp, id_col="doc_id", max_hamming=3).select(
         "id_a", "id_b"
     )
-    sets = D.shingle_sets(pop, k=3)
+    # cut: sets feeds sig AND both verify legs (r14 rule above)
+    sets = D.shingle_sets(pop, k=3).localCheckpoint(eager=True)
     sig = D.minhash_sets(sets, num_hashes=8)
     cand = D.minhash_candidates_sets(sig, band_size=2)
     pairs_txt = D.jaccard_verify_sets(cand, sets, threshold=0.5).select(
