@@ -349,10 +349,22 @@ def curate_corpus(
     from data_lake_project_spark.operators.dedup import decontaminate, exact_dedup
     from data_lake_project_spark.operators.text import quality_score
 
-    deduped = exact_dedup(docs, text_col, id_col).drop("content_hash")
+    # Stage outputs feed multiple downstream branches (deduped: the
+    # default probe set + decontaminate's shingle AND anti-join legs;
+    # clean: the scoring pass + the source-carry join) — uncut, the
+    # md5-dedup subtree re-ran once per reference (~6x in the final
+    # plan; no CSE across join branches, the r14 BM25 defect class).
+    # One eager cut per stage keeps the ladder at one pass per stage.
+    deduped = (
+        exact_dedup(docs, text_col, id_col)
+        .drop("content_hash")
+        .localCheckpoint(eager=True)
+    )
     if probes is None:
         probes = deduped.filter(F.col(id_col) % 97 == 0).select(text_col)
-    clean = decontaminate(deduped, probes, text_col=text_col, id_col=id_col)
+    clean = decontaminate(
+        deduped, probes, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
     scored = quality_score(clean, text_col, id_col).select(
         F.col(id_col), F.col("quality")
     )

@@ -1105,17 +1105,25 @@ def dup_spans(
         tokens(F.col(text_col)).alias("__tk"),
     ).withColumn("__n", F.size("__tk"))
     # (id, p, gram) for every position p in [0, n-g]
-    grams = toks.filter(F.col("__n") >= g).select(
-        id_col,
-        "__n",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("__n") - g),
-                lambda i: F.concat_ws(
-                    " ", F.slice("__tk", i + 1, g)
-                ),
-            )
-        ).alias("p", "gram"),
+    # grams feeds the corpus-duplication roll-up AND the anchor join —
+    # cut once or the per-position g-gram explode runs twice (r14
+    # rule; this materialization is the suffix-array memory cost the
+    # docstring already acknowledges, paid once instead of twice)
+    grams = (
+        toks.filter(F.col("__n") >= g)
+        .select(
+            id_col,
+            "__n",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__n") - g),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("__tk", i + 1, g)
+                    ),
+                )
+            ).alias("p", "gram"),
+        )
+        .localCheckpoint(eager=True)
     )
     # corpus-duplicated grams: total occurrences >= min_count
     dup_grams = (

@@ -336,8 +336,12 @@ def tfidf_top_terms(
         )
         .filter(F.col("tok") != "")
     )
-    per_doc = toks.groupBy(id_col, "tok").agg(
-        F.count("*").cast("long").alias("tf_d")
+    # per_doc feeds the df roll-up AND the scoring join — cut once or
+    # the token explode+count re-runs per reference (r14 rule)
+    per_doc = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count("*").cast("long").alias("tf_d"))
+        .localCheckpoint(eager=True)
     )
     df_docs = per_doc.groupBy("tok").agg(
         F.count("*").cast("long").alias("df_docs")

@@ -3177,9 +3177,13 @@ def q122_snapshot_novelty(spark, sf):
     new_sh = D.shingle_sets(new_docs, k=3).join(
         new_docs.select("doc_id", "source"), "doc_id"
     )
-    per_source = new_sh.select(
-        "source", F.explode("sh").alias("shingle")
-    ).distinct()
+    # per_source feeds the anti-join AND the totals — cut once (r14
+    # multi-reference rule)
+    per_source = (
+        new_sh.select("source", F.explode("sh").alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     novel = per_source.join(old_sh, "shingle", "left_anti")
     tot = per_source.groupBy("source").agg(
         F.count("*").cast("long").alias("n_shingles")
@@ -3464,6 +3468,10 @@ def q130_source_overlap(spark, sf):
     (pairs bounded by sources² per shingle, sources are
     vocabulary-sized); never a doc-level all-pairs."""
     d = load_table(spark, sf, "documents")
+    # ss feeds sizes and both pair-join sides, but its subtree ends in
+    # a DISTINCT exchange that ReuseExchange already shares — an eager
+    # cut measured as a wash (r14 interleave: 1.92 vs 1.90 s medians)
+    # and was deliberately NOT added.
     ss = (
         D.shingle_sets(d, k=3)
         .join(d.select("doc_id", "source"), "doc_id")
